@@ -1,0 +1,151 @@
+"""Text analysis (tokenizer) pipeline, semantics-parity with tantivy.
+
+Reference semantics (paradedb/tantivy @ /root/reference):
+
+* ``default`` analyzer = SimpleTokenizer -> RemoveLongFilter(40) -> LowerCaser
+  (src/tokenizer/tokenizer_manager.rs:56-80).
+* SimpleTokenizer splits on runs of non-alphanumeric characters, where
+  "alphanumeric" is Rust ``char::is_alphanumeric`` — the Unicode Alphabetic
+  property plus the Nd/Nl/No number categories
+  (src/tokenizer/simple_tokenizer.rs:41-55).  Token positions are 0-based
+  and incremented per token *emitted by the tokenizer* — a token later
+  dropped by a filter leaves a gap in the position sequence.
+* RemoveLongFilter drops tokens whose UTF-8 **byte** length is >= 40
+  (kept iff ``len < limit``, src/tokenizer/remove_long.rs:28-37).  The
+  length check runs *before* lowercasing.
+* LowerCaser applies per-char Unicode lowercasing, explicitly ignoring the
+  Greek final-sigma context rule (src/tokenizer/lower_caser.rs:43-60), with
+  an ASCII fast path.
+
+Python mapping notes:
+
+* CPython's ``str.isalnum`` is Alphabetic-or-numeric per Unicode, matching
+  Rust ``char::is_alphanumeric`` for every practical category (the only
+  divergence is a handful of Other_Alphabetic combining marks, which do not
+  occur in our corpora).  The regex ``[^\\W_]+`` compiles to exactly the
+  ``isalnum`` character class (``\\w`` = isalnum + underscore).
+* ``"".join(c.lower() for c in tok)`` is per-char lowercasing — it applies
+  the full Unicode lowercase mapping (e.g. U+0130 -> "i" + U+0307) but,
+  being context-free, never applies the final-sigma rule; identical to the
+  reference's ``c.to_lowercase()`` loop.
+
+Everything here is plain-Python/NumPy so it can be used both inside
+vectorized pandas UDFs (the Spark hot path) and in driver-side oracles.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_LONG_LIMIT = 40  # bytes, src/tokenizer/tokenizer_manager.rs:62
+
+# \w in CPython == isalnum() + '_'; subtracting '_' leaves the isalnum class,
+# which matches Rust char::is_alphanumeric (see module docstring).
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_WS_RE = re.compile(r"\S+", re.UNICODE)
+
+
+def _lower_no_final_sigma(tok: str) -> str:
+    """Per-char Unicode lowercase, no final-sigma rule (lower_caser.rs:43-60)."""
+    if tok.isascii():
+        return tok.lower()
+    return "".join(c.lower() for c in tok)
+
+
+def tokenize_default(text: str) -> tuple[list[str], list[int]]:
+    """``default`` analyzer: returns (terms, positions).
+
+    Positions are the ordinals assigned by the tokenizer *before* the
+    RemoveLong filter, so dropped tokens leave gaps — matching tantivy's
+    position semantics (simple_tokenizer.rs:44, remove_long.rs:28-37).
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, m in enumerate(_TOKEN_RE.finditer(text)):
+        tok = m.group()
+        if len(tok.encode("utf-8")) >= DEFAULT_LONG_LIMIT:
+            continue
+        terms.append(_lower_no_final_sigma(tok))
+        positions.append(pos)
+    return terms, positions
+
+
+def tokenize_raw(text: str) -> tuple[list[str], list[int]]:
+    """``raw`` tokenizer: the whole input is one token, unfiltered
+    (src/tokenizer/raw_tokenizer.rs)."""
+    if text == "":
+        return [], []
+    return [text], [0]
+
+
+def tokenize_whitespace(text: str) -> tuple[list[str], list[int]]:
+    """``whitespace`` tokenizer: split on whitespace, NO filters
+    (tokenizer_manager.rs:78 registers the bare tokenizer)."""
+    terms = _WS_RE.findall(text)
+    return terms, list(range(len(terms)))
+
+
+def tokenize_en_stem(text: str) -> tuple[list[str], list[int]]:
+    """``en_stem``: default chain + English Snowball stemmer
+    (tokenizer_manager.rs:66-76)."""
+    from tantivy_spark.functions.porter2 import stem
+
+    terms, positions = tokenize_default(text)
+    return [stem(t) for t in terms], positions
+
+
+ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
+    "default": tokenize_default,
+    "raw": tokenize_raw,
+    "whitespace": tokenize_whitespace,
+    "en_stem": tokenize_en_stem,
+}
+
+
+def register_analyzer(name: str, fn: Callable[[str], tuple[list[str], list[int]]]) -> None:
+    """Custom tokenizer registration — analogue of TokenizerManager::register
+    (src/tokenizer/tokenizer_manager.rs:31-41)."""
+    ANALYZERS[name] = fn
+
+
+def get_analyzer(name: str) -> Callable[[str], tuple[list[str], list[int]]]:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise KeyError(f"unknown tokenizer {name!r}; registered: {sorted(ANALYZERS)}")
+
+
+def analyze_series(texts: pd.Series, tokenizer: str = "default") -> pd.Series:
+    """Vectorized (Arrow-batch) analysis: Series[str] -> Series[list[str]].
+
+    This is the body of the tokenize pandas UDF — one Python call per Arrow
+    batch, never per Spark row.
+    """
+    fn = get_analyzer(tokenizer)
+    return texts.map(lambda t: fn(t)[0] if t is not None else [])
+
+
+def analyze_series_with_positions(
+    texts: pd.Series, tokenizer: str = "default"
+) -> tuple[pd.Series, pd.Series]:
+    fn = get_analyzer(tokenizer)
+    out = texts.map(lambda t: fn(t) if t is not None else ([], []))
+    return out.map(lambda tp: tp[0]), out.map(lambda tp: tp[1])
+
+
+def token_count_series(texts: pd.Series, tokenizer: str = "default") -> np.ndarray:
+    """Token counts per text (the fieldnorm input: count of tokens produced
+    by the full analyzer chain, src/indexer/segment_writer.rs:309-313)."""
+    fn = get_analyzer(tokenizer)
+    return texts.map(lambda t: len(fn(t)[0]) if t is not None else 0).to_numpy(np.int64)
+
+
+def batch_iter_tokenize(
+    texts: Iterator[pd.Series], tokenizer: str = "default"
+) -> Iterator[pd.Series]:
+    for batch in texts:
+        yield analyze_series(batch, tokenizer)

@@ -1,0 +1,252 @@
+"""Posting-list block codec — numpy-vectorized, semantics per tantivy.
+
+Reference format (not byte-copied; we keep the *shape*, stored as parquet
+binary + typed metadata columns instead of a custom file):
+
+* 128-doc blocks; doc ids strictly-increasing, delta encoded and bitpacked
+  at the block's minimal bit width (/root/reference/src/postings/
+  compression/mod.rs:3-77, serializer.rs:314-497).
+* term freqs stored minus-one, bitpacked per block.
+* the final partial block (< 128 docs) is VInt/LEB128 encoded
+  (serializer.rs:454-488).
+* per-block skip metadata: last doc id + block-max scoring pair
+  (src/postings/skip.rs:55-120).  tantivy stores the (fieldnorm_id, tf)
+  pair maximizing tf_factor under a segment-local weight
+  (serializer.rs:389-440); we store ``(min fieldnorm_id, max tf)`` of the
+  block, which is a genuine upper bound under ANY BM25 weight (the factor
+  is increasing in tf and decreasing in norm) and keeps the build
+  single-pass — upper-bound semantics, and therefore WAND exactness, are
+  preserved (see SURVEY.md §4 WAND safety note).
+
+The per-posting fieldnorm byte is stored alongside (tantivy keeps it in the
+segment's ``.fieldnorm`` file, src/fieldnorm/writer.rs:58-95; we denormalize
+it into the posting row so the query kernel is self-contained).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # COMPRESSION_BLOCK_SIZE, src/postings/compression/mod.rs
+
+
+# --------------------------------------------------------------------------
+# bit packing (width 0..=32), big-endian within each value
+# --------------------------------------------------------------------------
+
+def bitpack(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint values at `width` bits each. width==0 -> empty buffer."""
+    if width == 0:
+        return b""
+    bits = np.unpackbits(
+        vals.astype(">u4").view(np.uint8).reshape(-1, 4), axis=1
+    )[:, 32 - width:]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def bitunpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of bitpack -> uint32[n]."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    total_bits = n * width
+    nbytes = (total_bits + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    bits = np.unpackbits(raw)[:total_bits].reshape(n, width)
+    full = np.zeros((n, 32), dtype=np.uint8)
+    full[:, 32 - width:] = bits
+    return np.packbits(full, axis=1).view(">u4").ravel().astype(np.uint32)
+
+
+def _needed_width(vals: np.ndarray) -> int:
+    if len(vals) == 0:
+        return 0
+    m = int(vals.max())
+    return m.bit_length()
+
+
+# --------------------------------------------------------------------------
+# LEB128 varint (tail blocks)
+# --------------------------------------------------------------------------
+
+def vint_encode(vals: np.ndarray) -> bytes:
+    out = bytearray()
+    for v in vals.tolist():
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def vint_decode(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, int]:
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    mv = memoryview(buf)
+    for i in range(n):
+        shift = 0
+        acc = 0
+        while True:
+            b = mv[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out[i] = acc
+    return out, pos
+
+
+# --------------------------------------------------------------------------
+# posting-list encode / decode
+# --------------------------------------------------------------------------
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, fieldnorm_ids: np.ndarray
+) -> dict:
+    """Encode one term's posting list (sorted, strictly increasing doc ids).
+
+    Returns a dict of parquet-ready columns:
+      doc_enc/tf_enc: binary block streams  (full blocks: [1B width][packed];
+                      tail block: LEB128 varints)
+      fnorm_enc:      one uint8 per posting (parquet-compressed)
+      block_last:     int64[]  last doc id per block (the skip index)
+      block_doc_off / block_tf_off: int32[] byte offset of each block
+      bm_norm_id / bm_tf: per-block block-max pair (upper-bound semantics)
+    """
+    n = len(doc_ids)
+    assert n > 0
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    fieldnorm_ids = np.asarray(fieldnorm_ids, dtype=np.uint8)
+
+    deltas_m1 = np.diff(doc_ids, prepend=-1) - 1  # strict-increasing => >= 0
+    tfs_m1 = tfs - 1
+
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    block_last = np.empty(n_blocks, dtype=np.int64)
+    block_doc_off = np.empty(n_blocks, dtype=np.int32)
+    block_tf_off = np.empty(n_blocks, dtype=np.int32)
+    bm_norm_id = np.empty(n_blocks, dtype=np.int32)
+    bm_tf = np.empty(n_blocks, dtype=np.int32)
+
+    doc_off = 0
+    tf_off = 0
+    for bi in range(n_blocks):
+        lo = bi * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, n)
+        d = deltas_m1[lo:hi]
+        t = tfs_m1[lo:hi]
+        block_last[bi] = doc_ids[hi - 1]
+        block_doc_off[bi] = doc_off
+        block_tf_off[bi] = tf_off
+        bm_norm_id[bi] = int(fieldnorm_ids[lo:hi].min())
+        bm_tf[bi] = int(tfs[lo:hi].max())
+        if hi - lo == BLOCK_SIZE:
+            dw = _needed_width(d)
+            tw = _needed_width(t)
+            db = bytes([dw]) + bitpack(d.astype(np.uint32), dw)
+            tb = bytes([tw]) + bitpack(t.astype(np.uint32), tw)
+        else:  # vint tail (serializer.rs:454-488)
+            db = vint_encode(d)
+            tb = vint_encode(t)
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        doc_off += len(db)
+        tf_off += len(tb)
+
+    return {
+        "doc_freq": n,
+        "doc_enc": b"".join(doc_parts),
+        "tf_enc": b"".join(tf_parts),
+        "fnorm_enc": fieldnorm_ids.tobytes(),
+        "block_last": block_last,
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+        "bm_norm_id": bm_norm_id,
+        "bm_tf": bm_tf,
+    }
+
+
+def decode_block(
+    doc_enc: bytes,
+    tf_enc: bytes,
+    block_doc_off: np.ndarray,
+    block_tf_off: np.ndarray,
+    doc_freq: int,
+    block_idx: int,
+    prev_last_doc: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block -> (doc_ids int64, tfs int64)."""
+    lo = block_idx * BLOCK_SIZE
+    cnt = min(BLOCK_SIZE, doc_freq - lo)
+    do = int(block_doc_off[block_idx])
+    to = int(block_tf_off[block_idx])
+    if cnt == BLOCK_SIZE:  # full blocks are bitpacked, the (<128) tail is vint
+        dw = doc_enc[do]
+        d = bitunpack(memoryview(doc_enc)[do + 1:], BLOCK_SIZE, dw).astype(np.int64)
+        tw = tf_enc[to]
+        t = bitunpack(memoryview(tf_enc)[to + 1:], BLOCK_SIZE, tw).astype(np.int64)
+    else:
+        d, _ = vint_decode(memoryview(doc_enc)[do:], cnt)
+        t, _ = vint_decode(memoryview(tf_enc)[to:], cnt)
+        d = d.astype(np.int64)
+        t = t.astype(np.int64)
+    docs = np.cumsum(d + 1) + prev_last_doc
+    return docs, t + 1
+
+
+def decode_postings(
+    doc_enc: bytes,
+    tf_enc: bytes,
+    block_doc_off: np.ndarray,
+    block_tf_off: np.ndarray,
+    block_last: np.ndarray,
+    doc_freq: int,
+    block_indices: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all blocks (or a subset) -> (doc_ids, tfs, posting_offsets).
+
+    posting_offsets[i] is the index within the full posting list of the
+    first doc of decoded block i — used to slice fnorm_enc.
+    """
+    n_blocks = len(block_doc_off)
+    if block_indices is None:
+        block_indices = np.arange(n_blocks)
+    docs_parts = []
+    tf_parts = []
+    offs = np.empty(len(block_indices), dtype=np.int64)
+    for i, bi in enumerate(np.asarray(block_indices, dtype=np.int64)):
+        prev = int(block_last[bi - 1]) if bi > 0 else -1
+        d, t = decode_block(
+            doc_enc, tf_enc, block_doc_off, block_tf_off, doc_freq, int(bi), prev
+        )
+        docs_parts.append(d)
+        tf_parts.append(t)
+        offs[i] = bi * BLOCK_SIZE
+    if not docs_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(docs_parts), np.concatenate(tf_parts), offs
+
+
+def fnorms_for_blocks(
+    fnorm_enc: bytes, doc_freq: int, block_indices: np.ndarray | None = None
+) -> np.ndarray:
+    """Per-posting fieldnorm ids for the given blocks (uint8 array)."""
+    arr = np.frombuffer(fnorm_enc, dtype=np.uint8, count=doc_freq)
+    if block_indices is None:
+        return arr
+    parts = [
+        arr[bi * BLOCK_SIZE: min((bi + 1) * BLOCK_SIZE, doc_freq)]
+        for bi in np.asarray(block_indices, dtype=np.int64)
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(parts)
