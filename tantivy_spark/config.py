@@ -1,0 +1,50 @@
+"""Index configuration — the analogue of tantivy's Schema + IndexSettings.
+
+The reference declares a strict schema with per-field tokenizer/record
+options and BM25 params (/root/reference/src/schema/, index_meta.rs:240-260).
+We index a single text field of a typed DataFrame; the schema role is played
+by the source table's StructType plus this config.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    #: column holding the text to index
+    text_col: str = "text"
+    #: stable document identity; docs are ordered by these columns within a
+    #: segment (the reference's index-sorting invariant: stable ordering by
+    #: (conv_id, turn_idx), src/index/index_meta.rs:288-398)
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    #: first key col is hashed to place a doc in a segment; all turns of a
+    #: conversation land in one segment
+    segment_col: str = "conv_id"
+    #: analyzer name in tantivy_spark.functions.analysis.ANALYZERS
+    tokenizer: str = "default"
+    #: number of build segments. Scale note: one segment ≈ one stage-1 task;
+    #: at 10^12 turns pick n_segments so a segment holds ~1-5M docs (doc ids
+    #: are dense int32 per segment, like tantivy's per-segment u32 DocId).
+    n_segments: int = 8
+    #: directory-level partition buckets of the postings table; exact-term
+    #: queries prune to |terms| buckets. 8 is right for tests; use 256+ at
+    #: 100 TB so a bucket is a few GB.
+    n_term_buckets: int = 8
+    #: store token positions (needed for phrase queries)
+    positions: bool = False
+    k1: float = 1.2
+    b: float = 0.75
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["key_cols"] = list(self.key_cols)
+        return json.dumps(d)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexConfig":
+        d = json.loads(s)
+        d["key_cols"] = tuple(d["key_cols"])
+        return IndexConfig(**d)

@@ -1,0 +1,337 @@
+"""Index build — the distributed analogue of tantivy's write path.
+
+tantivy: IndexWriter worker threads each build an independent immutable
+segment (dense per-segment doc ids, in-arena term -> postings buffers),
+then serialize sorted postings in 128-doc blocks and atomically commit a
+meta.json (/root/reference/src/indexer/index_writer.rs,
+segment_writer.rs:221-330, postings/serializer.rs:314-497,
+segment_updater.rs:511).
+
+Spark-first mapping (NOT a port — see SURVEY.md §3.1):
+
+  stage 1 ``docmap``   tokenize once (vectorized Arrow UDF), assign each doc
+                       a dense per-segment doc_id by the stable
+                       (conv_id, turn_idx) order, quantize fieldnorms.
+                       Written partitioned by segment_ord — the per-segment
+                       "segment files" and the tokenize checkpoint.
+  stage 2 ``postings`` explode terms -> partial-aggregated (term, doc) tf
+                       counts -> shuffle by (segment_ord, term-shard) ->
+                       block-encode per term with numpy -> term-bucket
+                       partitioned parquet, sorted by term within files
+                       (parquet min/max stats play tantivy's term-dict FST
+                       role; the tbucket dir plays term partition pruning).
+  stage 3 ``manifest`` per-segment lineage/metrics + global stats + config,
+                       written LAST — the atomic-meta.json commit protocol
+                       (ARCHITECTURE.md:53).
+
+Skew strategy (north-rule requirement): the shuffle key is
+(segment_ord, term_shard). A Zipf-hot term's postings are bounded per
+reducer by the *segment* size, because a segment contributes at most one
+posting per doc — segments are the salt, sized by ``n_segments``.  At
+10^12 turns: n_segments ≈ corpus/2M docs, n_term_buckets 256+, and AQE
+handles residual imbalance.
+
+Resumability: each stage writes its table idempotently (overwrite) and then
+drops a ``_done_<stage>`` marker; ``build_index(resume=True)`` skips stages
+whose marker exists.  The manifest (with per-segment lineage: docs
+tokenized, tokens, postings emitted, terms) commits last.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.functions import analysis
+from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
+from tantivy_spark.operators import blocks
+
+MANIFEST_NAME = "manifest.json"
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("segment_ord", T.IntegerType()),
+        T.StructField("doc_freq", T.LongType()),
+        T.StructField("sum_tf", T.LongType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("doc_enc", T.BinaryType()),
+        T.StructField("tf_enc", T.BinaryType()),
+        T.StructField("fnorm_enc", T.BinaryType()),
+        T.StructField("block_last", T.ArrayType(T.LongType())),
+        T.StructField("block_doc_off", T.ArrayType(T.IntegerType())),
+        T.StructField("block_tf_off", T.ArrayType(T.IntegerType())),
+        T.StructField("bm_norm_id", T.ArrayType(T.IntegerType())),
+        T.StructField("bm_tf", T.ArrayType(T.IntegerType())),
+        T.StructField("tbucket", T.IntegerType()),
+    ]
+)
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side term -> partition bucket; must equal the Spark-side
+    crc32-based expression used at write time (java.util.zip.CRC32 == zlib)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _term_bucket_col(term_col, n_buckets: int):
+    return F.pmod(F.crc32(term_col.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def _marker(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, f"_done_{stage}")
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    return os.path.exists(_marker(index_dir, stage))
+
+
+def _mark_done(index_dir: str, stage: str) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_marker(index_dir, stage), "w") as f:
+        f.write(str(time.time()))
+
+
+# --------------------------------------------------------------------------
+# stage 1: docmap (tokenize + dense per-segment doc ids + fieldnorms)
+# --------------------------------------------------------------------------
+
+def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Tokenized corpus with stable per-segment dense doc ids.
+
+    Doc identity: tantivy assigns dense u32 doc ids in insertion order per
+    segment (ARCHITECTURE.md:68-72); we assign them by the deterministic
+    stable sort on key_cols within a deterministic hash-assigned segment, so
+    two builds (at any parallelism) produce identical ids.
+    """
+    tokenizer = cfg.tokenizer
+    positions = cfg.positions
+
+    if positions:
+        tok_schema = "terms array<string>, positions array<int>, token_count int, fieldnorm_id int"
+    else:
+        tok_schema = "terms array<string>, token_count int, fieldnorm_id int"
+
+    text_col = cfg.text_col
+
+    def tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = pdf[text_col]
+            if positions:
+                terms, poss = analysis.analyze_series_with_positions(texts, tokenizer)
+            else:
+                terms = analysis.analyze_series(texts, tokenizer)
+            counts = terms.map(len).to_numpy(np.int64)
+            fn_ids = fieldnorm_to_id(counts)
+            out = pdf.drop(columns=[text_col])
+            out["terms"] = terms
+            if positions:
+                out["positions"] = poss
+            out["token_count"] = counts
+            out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
+            yield out
+
+    seg = F.pmod(F.xxhash64(F.col(cfg.segment_col)), F.lit(cfg.n_segments)).cast("int")
+    base = source.select(*cfg.key_cols, F.col(text_col), seg.alias("segment_ord"))
+
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name != text_col
+    )
+    out_schema = f"{passthrough}, {tok_schema}"
+
+    tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
+
+    w = Window.partitionBy("segment_ord").orderBy(*[F.col(c) for c in cfg.key_cols])
+    return tokenized.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# stage 2: postings (explode -> tf agg -> block encode, skew-sharded)
+# --------------------------------------------------------------------------
+
+def _encode_group(pdf: pd.DataFrame, n_term_buckets: int) -> pd.DataFrame:
+    """Block-encode every term of one (segment_ord, shard) group.
+
+    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf).  The pandas
+    groupby below is the in-memory 'arena' analogue (indexing_context.rs) —
+    Spark's shuffle already grouped a bounded slice of one segment here.
+    """
+    import zlib
+
+    pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+    seg = int(pdf["segment_ord"].iloc[0])
+    out_rows = []
+    for term, g in pdf.groupby("term", sort=False):
+        doc_ids = g["doc_id"].to_numpy(np.int64)
+        tfs = g["tf"].to_numpy(np.int64)
+        fns = g["fieldnorm_id"].to_numpy(np.int64).astype(np.uint8)
+        e = blocks.encode_postings(doc_ids, tfs, fns)
+        out_rows.append(
+            {
+                "term": term,
+                "segment_ord": seg,
+                "doc_freq": int(e["doc_freq"]),
+                "sum_tf": int(tfs.sum()),
+                "max_tf": int(tfs.max()),
+                "doc_enc": e["doc_enc"],
+                "tf_enc": e["tf_enc"],
+                "fnorm_enc": e["fnorm_enc"],
+                "block_last": e["block_last"].tolist(),
+                "block_doc_off": e["block_doc_off"].tolist(),
+                "block_tf_off": e["block_tf_off"].tolist(),
+                "bm_norm_id": e["bm_norm_id"].tolist(),
+                "bm_tf": e["bm_tf"].tolist(),
+                "tbucket": zlib.crc32(term.encode("utf-8")) % n_term_buckets,
+            }
+        )
+    return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+
+def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = None) -> DataFrame:
+    """Flat (term, doc, tf) aggregation + per-term block encoding.
+
+    The groupBy below does map-side partial aggregation (Catalyst), so the
+    shuffle carries one row per distinct (segment, term, doc) — not one row
+    per token occurrence.
+    """
+    if n_shards is None:
+        n_shards = max(cfg.n_segments * 4, 32)
+
+    flat = (
+        docmap.select(
+            "segment_ord",
+            "doc_id",
+            "fieldnorm_id",
+            F.explode("terms").alias("term"),
+        )
+        .groupBy("segment_ord", "term", "doc_id", "fieldnorm_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sharded = flat.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("int")
+    )
+    nb = cfg.n_term_buckets
+    return (
+        sharded.groupBy("segment_ord", "shard")
+        .applyInPandas(
+            lambda pdf: _encode_group(pdf, nb), schema=POSTINGS_SCHEMA
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# full build with checkpoint/resume + manifest
+# --------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build (or resume) the full index at ``index_dir``. Returns manifest."""
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    docmap_path = os.path.join(index_dir, "docmap")
+    postings_path = os.path.join(index_dir, "postings")
+
+    t0 = time.time()
+    stage_times: dict[str, float] = {}
+
+    if not (resume and _stage_done(index_dir, "docmap")):
+        t = time.time()
+        docmap = build_docmap(spark, source, cfg)
+        (
+            docmap.repartition(cfg.n_segments, "segment_ord")
+            .sortWithinPartitions("segment_ord", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("segment_ord")
+            .parquet(docmap_path)
+        )
+        _mark_done(index_dir, "docmap")
+        stage_times["docmap"] = time.time() - t
+
+    docmap_df = spark.read.parquet(docmap_path)
+
+    if not (resume and _stage_done(index_dir, "postings")):
+        t = time.time()
+        postings = build_postings(docmap_df, cfg)
+        (
+            postings.repartition(max(cfg.n_term_buckets, 8), "tbucket")
+            .sortWithinPartitions("tbucket", "term", "segment_ord")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(postings_path)
+        )
+        _mark_done(index_dir, "postings")
+        stage_times["postings"] = time.time() - t
+
+    # stage 3: stats + per-segment lineage, manifest committed LAST
+    t = time.time()
+    postings_df = spark.read.parquet(postings_path)
+    seg_doc_stats = {
+        int(r["segment_ord"]): r
+        for r in docmap_df.groupBy("segment_ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("n_tokens"),
+        )
+        .collect()
+    }
+    seg_post_stats = {
+        int(r["segment_ord"]): r
+        for r in postings_df.groupBy("segment_ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("doc_freq").alias("n_postings"),
+        )
+        .collect()
+    }
+    segments = []
+    for seg_ord in sorted(seg_doc_stats):
+        d = seg_doc_stats[seg_ord]
+        p = seg_post_stats.get(seg_ord)
+        segments.append(
+            {
+                "segment_ord": seg_ord,
+                "n_docs": int(d["n_docs"]),
+                "n_tokens": int(d["n_tokens"]),
+                "n_terms": int(p["n_terms"]) if p else 0,
+                "n_postings": int(p["n_postings"]) if p else 0,
+            }
+        )
+    stage_times["stats"] = time.time() - t
+
+    manifest = {
+        "format_version": 1,
+        "config": json.loads(cfg.to_json()),
+        "total_docs": int(sum(s["n_docs"] for s in segments)),
+        "total_tokens": int(sum(s["n_tokens"] for s in segments)),
+        "segments": segments,
+        "stage_seconds": stage_times,
+        "build_seconds": time.time() - t0,
+    }
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))  # atomic commit
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+        return json.load(f)

@@ -1,0 +1,295 @@
+"""Per-segment exact top-k kernel — batch MaxScore with block skipping.
+
+This is the DAAT side of the engine (tantivy's block-max WAND family,
+/root/reference/src/query/boolean_query/block_wand_union.rs:19-130,
+block_wand_intersection.rs, weight.rs:58-80).  tantivy walks doc-at-a-time
+with a pivot + threshold heap; a per-doc Python loop would violate the
+vectorization rule, so we run the *batch* formulation of the same pruning
+family (MaxScore / block-max):
+
+* every term carries per-block upper-bound metadata (bm_norm_id, bm_tf) —
+  genuine score upper bounds (see blocks.py docstring), so pruning never
+  changes the result set: exactly the WAND safety contract the reference's
+  proptest asserts (block_wand_union.rs:427-634).
+* disjunctions: seed a threshold θ from the highest-impact term's true
+  scores (a lower bound on the final k-th score), split terms into
+  essential / non-essential by ascending upper-bound prefix sums strictly
+  below θ; docs appearing only in non-essential terms score < θ and can
+  never enter the top-k, even via tie-break.  Essential terms are decoded
+  fully; non-essential terms are *probed* — only blocks containing a
+  candidate are decoded (the skip-index `block_last` plays
+  src/postings/skip.rs's role, np.searchsorted plays block_search.rs).
+* conjunctions: leapfrog from the rarest term, probing the others
+  block-selectively (galloping intersection, src/query/intersection.rs).
+* scores accumulate in float32 in clause order — the same accumulation the
+  brute-force oracle uses, keeping rank-identical f32 semantics.
+* ties: equal scores order by ascending (segment_ord, doc_id)
+  (src/collector/top_score_collector.rs:28-30,648-655).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tantivy_spark.functions.bm25 import Bm25Weight
+from tantivy_spark.operators import blocks
+
+_F32 = np.float32
+
+
+@dataclass
+class TermPostings:
+    """One (term, segment) posting list, lazily decoded."""
+
+    term: str
+    doc_freq: int
+    doc_enc: bytes
+    tf_enc: bytes
+    fnorm_enc: bytes
+    block_last: np.ndarray
+    block_doc_off: np.ndarray
+    block_tf_off: np.ndarray
+    bm_norm_id: np.ndarray
+    bm_tf: np.ndarray
+
+    @staticmethod
+    def from_row(row) -> "TermPostings":
+        return TermPostings(
+            term=row["term"],
+            doc_freq=int(row["doc_freq"]),
+            doc_enc=bytes(row["doc_enc"]),
+            tf_enc=bytes(row["tf_enc"]),
+            fnorm_enc=bytes(row["fnorm_enc"]),
+            block_last=np.asarray(row["block_last"], dtype=np.int64),
+            block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int32),
+            block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int32),
+            bm_norm_id=np.asarray(row["bm_norm_id"], dtype=np.int64),
+            bm_tf=np.asarray(row["bm_tf"], dtype=np.int64),
+        )
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        docs, tfs, _ = blocks.decode_postings(
+            self.doc_enc, self.tf_enc, self.block_doc_off, self.block_tf_off,
+            self.block_last, self.doc_freq,
+        )
+        fns = blocks.fnorms_for_blocks(self.fnorm_enc, self.doc_freq)
+        return docs, tfs, fns
+
+    def max_block_score(self, weight: Bm25Weight) -> np.float32:
+        """Tightest per-term upper bound from the block-max pairs."""
+        return _F32(weight.score(self.bm_norm_id, self.bm_tf).max())
+
+    def probe(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(tf, fieldnorm, present) aligned to sorted `candidates`, decoding
+        only the blocks that can contain a candidate (block skipping)."""
+        n = len(candidates)
+        tf_out = np.zeros(n, dtype=np.int64)
+        fn_out = np.zeros(n, dtype=np.int64)
+        present = np.zeros(n, dtype=bool)
+        if n == 0 or self.doc_freq == 0:
+            return tf_out, fn_out, present
+        bidx = np.searchsorted(self.block_last, candidates, side="left")
+        valid = bidx < len(self.block_last)
+        if not valid.any():
+            return tf_out, fn_out, present
+        need = np.unique(bidx[valid])
+        docs, tfs, _ = blocks.decode_postings(
+            self.doc_enc, self.tf_enc, self.block_doc_off, self.block_tf_off,
+            self.block_last, self.doc_freq, need,
+        )
+        fns = blocks.fnorms_for_blocks(self.fnorm_enc, self.doc_freq, need)
+        pos = np.searchsorted(docs, candidates)
+        ok = pos < len(docs)
+        hit = np.zeros(n, dtype=bool)
+        hit[ok] = docs[pos[ok]] == candidates[ok]
+        tf_out[hit] = tfs[pos[hit]]
+        fn_out[hit] = fns[pos[hit]].astype(np.int64)
+        present[hit] = True
+        return tf_out, fn_out, present
+
+
+def _align_full(docs_t, tfs_t, fns_t, candidates):
+    """Align a fully-decoded term to sorted candidates."""
+    n = len(candidates)
+    tf_out = np.zeros(n, dtype=np.int64)
+    fn_out = np.zeros(n, dtype=np.int64)
+    present = np.zeros(n, dtype=bool)
+    pos = np.searchsorted(docs_t, candidates)
+    ok = pos < len(docs_t)
+    hit = np.zeros(n, dtype=bool)
+    hit[ok] = docs_t[pos[ok]] == candidates[ok]
+    tf_out[hit] = tfs_t[pos[hit]]
+    fn_out[hit] = fns_t[pos[hit]].astype(np.int64)
+    present[hit] = True
+    return tf_out, fn_out, present
+
+
+@dataclass
+class Clause:
+    occur: str  # "must" | "should" | "must_not"
+    term: str
+    weight: Bm25Weight | None  # None => no postings in this segment (df=0)
+    postings: TermPostings | None
+
+
+def segment_topk(
+    clauses: list[Clause],
+    k: int,
+    minimum_should_match: int = 0,
+    const_score: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of one segment -> (doc_ids, f32 scores), ordered by
+    (score desc, doc_id asc)."""
+    musts = [c for c in clauses if c.occur == "must"]
+    shoulds = [c for c in clauses if c.occur == "should"]
+    must_nots = [c for c in clauses if c.occur == "must_not" and c.postings is not None]
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
+    if not musts and not shoulds:
+        return empty  # only must_not matches nothing (boolean_weight.rs)
+    if any(c.postings is None for c in musts):
+        return empty  # a required term absent from the segment
+
+    # ---- candidate generation -------------------------------------------
+    aligned: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    if musts:
+        order = sorted(range(len(musts)), key=lambda i: musts[i].postings.doc_freq)
+        docs0, tfs0, fns0 = musts[order[0]].postings.decode_all()
+        candidates = docs0
+        full0 = (docs0, tfs0, fns0)
+        kept: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        kept[order[0]] = _align_full(*full0, candidates)
+        for i in order[1:]:
+            tf, fn, present = musts[i].postings.probe(candidates)
+            keep = present
+            candidates = candidates[keep]
+            kept = {
+                j: (t[keep], f[keep], p[keep]) for j, (t, f, p) in kept.items()
+            }
+            kept[i] = (tf[keep], fn[keep], np.ones(keep.sum(), dtype=bool))
+        for j, triple in kept.items():
+            aligned[id(musts[j])] = triple
+        for c in shoulds:
+            if c.postings is None:
+                aligned[id(c)] = (
+                    np.zeros(len(candidates), np.int64),
+                    np.zeros(len(candidates), np.int64),
+                    np.zeros(len(candidates), bool),
+                )
+            else:
+                aligned[id(c)] = c.postings.probe(candidates)
+    else:
+        live = [c for c in shoulds if c.postings is not None]
+        if not live:
+            return empty
+        ubs = np.array(
+            [c.postings.max_block_score(c.weight) for c in live], dtype=_F32
+        )
+        # θ seed: true scores of the highest-impact term give a lower bound
+        # on the final k-th score (their totals can only be larger).
+        theta = _F32(0.0)
+        seed_full: dict[int, tuple] = {}
+        if minimum_should_match <= 1 and len(live) > 1:
+            si = int(np.argmax(ubs))
+            sd, st, sf = live[si].postings.decode_all()
+            seed_full[si] = (sd, st, sf)
+            sscores = live[si].weight.score(sf.astype(np.int64), st)
+            if len(sscores) >= k:
+                theta = _F32(np.partition(sscores, len(sscores) - k)[len(sscores) - k])
+        asc = np.argsort(ubs, kind="stable")
+        cum = np.cumsum(ubs[asc].astype(np.float64))
+        non_essential = set()
+        for rank, ci in enumerate(asc):
+            if cum[rank] < float(theta):
+                non_essential.add(int(ci))
+            else:
+                break
+        parts = []
+        fulls: dict[int, tuple] = dict(seed_full)
+        for i, c in enumerate(live):
+            if i in non_essential:
+                continue
+            if i not in fulls:
+                fulls[i] = c.postings.decode_all()
+            parts.append(fulls[i][0])
+        candidates = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        for i, c in enumerate(live):
+            if i in fulls:
+                aligned[id(c)] = _align_full(*fulls[i], candidates)
+            else:
+                aligned[id(c)] = c.postings.probe(candidates)
+        for c in shoulds:
+            if c.postings is None:
+                aligned[id(c)] = (
+                    np.zeros(len(candidates), np.int64),
+                    np.zeros(len(candidates), np.int64),
+                    np.zeros(len(candidates), bool),
+                )
+
+    if len(candidates) == 0:
+        return empty
+
+    # ---- minimum_should_match -------------------------------------------
+    if minimum_should_match > 0 and shoulds:
+        match_count = np.zeros(len(candidates), dtype=np.int64)
+        for c in shoulds:
+            match_count += aligned[id(c)][2]
+        keep = match_count >= minimum_should_match
+        candidates = candidates[keep]
+        aligned = {key: (t[keep], f[keep], p[keep]) for key, (t, f, p) in aligned.items()}
+
+    # ---- must_not exclusion ----------------------------------------------
+    for c in must_nots:
+        if len(candidates) == 0:
+            break
+        _, _, present = c.postings.probe(candidates)
+        keep = ~present
+        candidates = candidates[keep]
+        aligned = {key: (t[keep], f[keep], p[keep]) for key, (t, f, p) in aligned.items()}
+
+    if len(candidates) == 0:
+        return empty
+
+    # ---- scoring: f32 accumulation in clause order ------------------------
+    if const_score is not None:
+        scores = np.full(len(candidates), _F32(const_score), dtype=_F32)
+    else:
+        scores = np.zeros(len(candidates), dtype=_F32)
+        for c in clauses:
+            if c.occur == "must_not" or id(c) not in aligned or c.weight is None:
+                continue
+            tf, fn, present = aligned[id(c)]
+            sc = c.weight.score(fn, tf)
+            sc = np.where(present, sc, _F32(0.0)).astype(_F32)
+            scores = (scores + sc).astype(_F32)
+
+    # ---- top-k with ascending-doc tie-break -------------------------------
+    kk = min(k, len(candidates))
+    order = np.lexsort((candidates, -scores.astype(np.float64)))[:kk]
+    return candidates[order], scores[order]
+
+
+def segment_topk_dismax(
+    subclauses: list[Clause], tie_breaker: float, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMax over term subqueries: max + tie_breaker * (sum - max)
+    (src/query/disjunction_max_query.rs:64-83, score_combiner.rs)."""
+    live = [c for c in subclauses if c.postings is not None]
+    if not live:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
+    fulls = [c.postings.decode_all() for c in live]
+    candidates = np.unique(np.concatenate([f[0] for f in fulls]))
+    mx = np.zeros(len(candidates), dtype=_F32)
+    sm = np.zeros(len(candidates), dtype=_F32)
+    for c, f in zip(live, fulls):
+        tf, fn, present = _align_full(*f, candidates)
+        sc = np.where(present, c.weight.score(fn, tf), _F32(0.0)).astype(_F32)
+        mx = np.maximum(mx, sc)
+        sm = (sm + sc).astype(_F32)
+    scores = (mx + _F32(tie_breaker) * (sm - mx)).astype(_F32)
+    kk = min(k, len(candidates))
+    order = np.lexsort((candidates, -scores.astype(np.float64)))[:kk]
+    return candidates[order], scores[order]

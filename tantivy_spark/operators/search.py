@@ -1,0 +1,364 @@
+"""Searcher — query execution over a built index.
+
+Spark trace (SURVEY.md §3.2): logical query -> term-bucket partition-pruned
+scan of the postings table (Catalyst pushes `tbucket isin` to directory
+pruning and `term isin` to parquet row-group stats — the term-dict FST
+analogue) -> one tiny stats job for global doc_freqs (the reference computes
+global stats once per query, searcher.rs:133-146, bm25.rs:108-144) ->
+per-segment exact top-k kernel (kernel.py) in applyInPandas -> global merge
+ordered by (score desc, segment_ord asc, doc_id asc) — the reference's
+merge_fruits tie-break (top_score_collector.rs:28-30,648-655).
+
+Two execution paths:
+
+* ``daat`` (default): the f32 block-max kernel; rank-identical to tantivy.
+* ``taat64``: a pure-DataFrame term-at-a-time plan in float64 built-ins —
+  Catalyst-optimized end to end, used as the SQL-comparable oracle and the
+  high-k fallback (no per-partition heap bound).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.functions.bm25 import Bm25Params, Bm25Weight
+from tantivy_spark.functions.fieldnorm import FIELD_NORMS_TABLE
+from tantivy_spark.operators import kernel as K
+from tantivy_spark.operators.build import load_manifest, term_bucket_py
+from tantivy_spark.plans import logical as L
+
+_F32 = np.float32
+
+
+class CompiledBoolean:
+    def __init__(self, clauses, minimum_should_match, const_score):
+        self.clauses = clauses  # list[(occur:str, term:str, boost:float)]
+        self.minimum_should_match = minimum_should_match
+        self.const_score = const_score
+
+
+class CompiledDismax:
+    def __init__(self, terms, tie_breaker, boost):
+        self.terms = terms  # list[(term, clause_boost)]
+        self.tie_breaker = tie_breaker
+        self.boost = boost
+
+
+def compile_query(q: L.Query) -> CompiledBoolean | CompiledDismax:
+    """Flatten the logical tree to a term-clause spec the kernel executes."""
+    boost = 1.0
+    const_score = None
+    while True:
+        if isinstance(q, L.BoostQuery):
+            boost *= q.boost
+            q = q.query
+        elif isinstance(q, L.ConstScoreQuery):
+            const_score = q.score
+            q = q.query
+        else:
+            break
+
+    def term_of(sub: L.Query, b: float) -> tuple[str, float]:
+        while isinstance(sub, L.BoostQuery):
+            b *= sub.boost
+            sub = sub.query
+        if not isinstance(sub, L.TermQuery):
+            raise NotImplementedError(f"clause type {type(sub).__name__} not supported here")
+        return sub.term, b
+
+    if isinstance(q, L.TermQuery):
+        return CompiledBoolean([("should", q.term, boost)], 0, const_score)
+    if isinstance(q, L.TermSetQuery):
+        cl = [("should", t, 1.0) for t in q.set_terms]
+        return CompiledBoolean(cl, 0, 1.0 if const_score is None else const_score)
+    if isinstance(q, L.BooleanQuery):
+        cl = []
+        for occur, sub in q.clauses:
+            t, b = term_of(sub, boost)
+            cl.append((occur.value, t, b))
+        return CompiledBoolean(cl, q.minimum_should_match, const_score)
+    if isinstance(q, L.DisjunctionMaxQuery):
+        terms = [term_of(sub, 1.0) for sub in q.queries]
+        return CompiledDismax(terms, q.tie_breaker, boost)
+    raise NotImplementedError(f"query type {type(q).__name__}")
+
+
+class Searcher:
+    """Point-in-time searcher over an index directory (manifest snapshot)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.cfg = IndexConfig.from_json_dict(self.manifest["config"])
+        self.total_docs = int(self.manifest["total_docs"])
+        self.total_tokens = int(self.manifest["total_tokens"])
+        self.params = Bm25Params(self.cfg.k1, self.cfg.b)
+
+    # -- table access -------------------------------------------------------
+    def docmap(self, with_terms: bool = False) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        if not with_terms:
+            df = df.drop("terms", "positions")
+        return df
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def pruned_postings(self, terms: list[str]) -> DataFrame:
+        """Partition-pruned + stats-pruned scan for exactly these terms."""
+        buckets = sorted({term_bucket_py(t, self.cfg.n_term_buckets) for t in terms})
+        return (
+            self.postings()
+            .filter(F.col("tbucket").isin(buckets))
+            .filter(F.col("term").isin(list(set(terms))))
+        )
+
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Global per-term doc freq — one tiny pruned aggregation job (the
+        EnableScoring::Enabled stats pass, searcher.rs:133-146)."""
+        if not terms:
+            return {}
+        rows = (
+            self.pruned_postings(terms)
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("df"))
+            .collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: int(r["df"]) for r in rows})
+        return out
+
+    def avg_fieldnorm(self) -> float:
+        return float(_F32(_F32(self.total_tokens) / _F32(self.total_docs)))
+
+    def weight_for(self, term_df: int, boost: float = 1.0) -> Bm25Weight | None:
+        if term_df <= 0:
+            return None
+        w = Bm25Weight.for_one_term(
+            term_df, self.total_docs, _F32(self.avg_fieldnorm()), self.params
+        )
+        return w.boost_by(boost)
+
+    # -- collectors -----------------------------------------------------------
+    def count(self, query: L.Query) -> int:
+        """Count collector; doc_freq fast path for single terms
+        (weight.rs count default + term_weight.rs override)."""
+        if isinstance(query, L.TermQuery):
+            return self.doc_freqs([query.term])[query.term]
+        df = self.top_docs_frame(query, k=None, mode="taat64")
+        return df.count()
+
+    def search(self, query: L.Query, k: int = 10, mode: str = "daat",
+               fetch_keys: bool = True) -> DataFrame:
+        """Top-k by (score desc, segment_ord asc, doc_id asc)."""
+        topk = self.top_docs_frame(query, k=k, mode=mode)
+        if not fetch_keys:
+            return topk
+        key_cols = list(self.cfg.key_cols)
+        dm = self.docmap().select("segment_ord", "doc_id", *key_cols)
+        # the top-k side is tiny (<= k rows) — broadcast it so doc fetch is a
+        # map-side join against the docmap scan, no shuffle of the big side
+        return dm.join(F.broadcast(topk), ["segment_ord", "doc_id"], "inner").orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        )
+
+    # -- execution paths ------------------------------------------------------
+    def top_docs_frame(self, query: L.Query, k: int | None, mode: str = "daat") -> DataFrame:
+        if isinstance(query, L.AllQuery):
+            return (
+                self.docmap()
+                .select("segment_ord", "doc_id", F.lit(1.0).cast("float").alias("score"))
+                .orderBy("segment_ord", "doc_id")
+                .limit(k or self.total_docs)
+            )
+        if isinstance(query, L.EmptyQuery):
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score float"
+            )
+        spec = compile_query(query)
+        if mode == "daat":
+            if k is None:
+                raise ValueError("daat mode needs a finite k (use taat64 for scans)")
+            return self._daat(spec, k)
+        elif mode == "taat64":
+            if isinstance(spec, CompiledDismax):
+                raise NotImplementedError("dismax only on the daat path")
+            return self._taat64(spec, k)
+        raise ValueError(f"unknown mode {mode}")
+
+    # DAAT: per-segment f32 kernel, global merge
+    def _daat(self, spec: CompiledBoolean | CompiledDismax, k: int) -> DataFrame:
+        if isinstance(spec, CompiledDismax):
+            term_boosts = {t: b for t, b in spec.terms}
+        else:
+            term_boosts = {t: b for _, t, b in spec.clauses}
+        terms = sorted(term_boosts)
+        dfs = self.doc_freqs(terms)
+        weights = {
+            (t, b): self.weight_for(dfs[t], b)
+            for t, b in set(
+                (t, b)
+                for t, b in (
+                    spec.terms if isinstance(spec, CompiledDismax)
+                    else [(t, b) for _, t, b in spec.clauses]
+                )
+            )
+        }
+        is_dismax = isinstance(spec, CompiledDismax)
+        clause_spec = (
+            spec.terms if is_dismax else [(o, t, b) for o, t, b in spec.clauses]
+        )
+        min_should = 0 if is_dismax else spec.minimum_should_match
+        const_score = None if is_dismax else spec.const_score
+        tie_breaker = spec.tie_breaker if is_dismax else 0.0
+        dismax_boost = spec.boost if is_dismax else 1.0
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {
+                r["term"]: K.TermPostings.from_row(r)
+                for _, r in pdf.iterrows()
+            }
+            if is_dismax:
+                cl = [
+                    K.Clause("should", t, weights[(t, b)], tp.get(t))
+                    for t, b in clause_spec
+                ]
+                docs, scores = K.segment_topk_dismax(cl, tie_breaker, k)
+                if dismax_boost != 1.0:
+                    scores = (scores * _F32(dismax_boost)).astype(_F32)
+            else:
+                cl = [
+                    K.Clause(o, t, weights[(t, b)], tp.get(t))
+                    for o, t, b in clause_spec
+                ]
+                docs, scores = K.segment_topk(cl, k, min_should, const_score)
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(terms)
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
+
+    # TAAT: float64 DataFrame plan (Catalyst end to end)
+    def _taat64(self, spec: CompiledBoolean, k: int | None) -> DataFrame:
+        terms = sorted({t for _, t, _ in spec.clauses})
+        dfs = self.doc_freqs(terms)
+        N = self.total_docs
+        avgdl = self.total_tokens / N
+        k1, b = self.cfg.k1, self.cfg.b
+
+        flat = self.flat_postings(terms)
+
+        import math
+
+        wrows = []
+        for occur, t, boost in spec.clauses:
+            df_t = dfs[t]
+            if df_t <= 0 and occur != "must_not":
+                if occur == "must":
+                    return self.spark.createDataFrame(
+                        [], "segment_ord int, doc_id int, score double"
+                    )
+                continue
+            w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
+            wrows.append((t, occur, float(w)))
+        if not wrows:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score double"
+            )
+        wdf = self.spark.createDataFrame(wrows, "term string, occur string, weight double")
+
+        norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+        scored = (
+            flat.join(F.broadcast(wdf), "term")
+            .withColumn("dl", F.element_at(norm_arr, F.col("fieldnorm_id") + 1).cast("double"))
+            .withColumn(
+                "clause_score",
+                F.col("weight")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        n_musts = sum(1 for o, _, _ in spec.clauses if o == "must")
+        agg = scored.groupBy("segment_ord", "doc_id").agg(
+            F.sum(F.when(F.col("occur") != "must_not", F.col("clause_score")).otherwise(0.0)).alias("score"),
+            F.sum(F.when(F.col("occur") == "must", 1).otherwise(0)).alias("n_must"),
+            F.sum(F.when(F.col("occur") == "should", 1).otherwise(0)).alias("n_should"),
+            F.max(F.when(F.col("occur") == "must_not", 1).otherwise(0)).alias("excluded"),
+        )
+        cond = (F.col("excluded") == 0) & (F.col("n_must") == n_musts)
+        if spec.minimum_should_match > 0:
+            cond = cond & (F.col("n_should") >= spec.minimum_should_match)
+        out = agg.filter(cond).select("segment_ord", "doc_id", "score")
+        if spec.const_score is not None:
+            out = out.withColumn("score", F.lit(float(spec.const_score)))
+        out = out.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        if k is not None:
+            out = out.limit(k)
+        return out
+
+    def flat_postings(self, terms: list[str]) -> DataFrame:
+        """Decode pruned postings to (term, segment_ord, doc_id, tf,
+        fieldnorm_id) rows — vectorized block decode in mapInPandas."""
+        pruned = self.pruned_postings(terms).select(
+            "term", "segment_ord", "doc_freq", "doc_enc", "tf_enc", "fnorm_enc",
+            "block_last", "block_doc_off", "block_tf_off", "bm_norm_id", "bm_tf",
+        )
+
+        def decode_rows(it):
+            from tantivy_spark.operators.kernel import TermPostings
+
+            for pdf in it:
+                outs = []
+                for _, r in pdf.iterrows():
+                    tp = TermPostings.from_row(r)
+                    docs, tfs, fns = tp.decode_all()
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r["term"],
+                                "segment_ord": np.int32(r["segment_ord"]),
+                                "doc_id": docs.astype(np.int32),
+                                "tf": tfs.astype(np.int64),
+                                "fieldnorm_id": fns.astype(np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return pruned.mapInPandas(
+            decode_rows,
+            schema="term string, segment_ord int, doc_id int, tf long, fieldnorm_id int",
+        )
+
+
+# IndexConfig helper used above
+def _from_json_dict(d: dict) -> IndexConfig:
+    d = dict(d)
+    d["key_cols"] = tuple(d["key_cols"])
+    return IndexConfig(**d)
+
+
+IndexConfig.from_json_dict = staticmethod(_from_json_dict)  # type: ignore[attr-defined]

@@ -1,0 +1,140 @@
+"""Logical query tree — the analogue of tantivy's Query objects.
+
+Reference: /root/reference/src/query/ (term_query.rs, boolean_query.rs:119-132,
+boost_query.rs, const_score_query.rs, disjunction_max_query.rs:64-83).
+Occur semantics are Lucene's: Must intersects and scores, Should unions and
+scores, MustNot excludes and never scores; the score of a matching doc is
+the sum over matching scoring clauses, with `minimum_should_match`
+thresholding the number of matching Should clauses
+(boolean_query.rs:119-121, boolean_weight.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Occur(Enum):
+    MUST = "must"
+    SHOULD = "should"
+    MUST_NOT = "must_not"
+
+
+class Query:
+    """Marker base class."""
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    """Docs containing `term`, BM25-scored (src/query/term_query/term_query.rs:61)."""
+
+    term: str
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class AllQuery(Query):
+    """Matches all docs with score 1.0 (src/query/all_query.rs:12)."""
+
+
+@dataclass(frozen=True)
+class EmptyQuery(Query):
+    """Matches nothing (src/query/empty_query.rs:13)."""
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """(Occur, subquery) clauses (src/query/boolean_query/boolean_query.rs:132).
+
+    v1 restriction: subqueries must be TermQuery (nested booleans are
+    flattened by the caller / parser where semantics allow).
+    """
+
+    clauses: tuple[tuple[Occur, Query], ...]
+    minimum_should_match: int = 0  # with_minimum_required_clauses
+
+    @staticmethod
+    def new(clauses: list[tuple[Occur, Query]], minimum_should_match: int = 0) -> "BooleanQuery":
+        return BooleanQuery(tuple(clauses), minimum_should_match)
+
+    @staticmethod
+    def union(terms: list[str]) -> "BooleanQuery":
+        return BooleanQuery(tuple((Occur.SHOULD, TermQuery(t)) for t in terms))
+
+    @staticmethod
+    def intersection(terms: list[str]) -> "BooleanQuery":
+        return BooleanQuery(tuple((Occur.MUST, TermQuery(t)) for t in terms))
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for _, q in self.clauses:
+            out.extend(q.terms())
+        return out
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Multiplies the inner query's scores by `boost`
+    (src/query/boost_query.rs:15, Bm25Weight::boost_by bm25.rs:95-106)."""
+
+    query: Query
+    boost: float
+
+    def terms(self) -> list[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class ConstScoreQuery(Query):
+    """Uniform score for every match (src/query/const_score_query.rs:13)."""
+
+    query: Query
+    score: float
+
+    def terms(self) -> list[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(clause scores) + tie_breaker * (sum - max)
+    (src/query/disjunction_max_query.rs:64-83)."""
+
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.queries:
+            out.extend(q.terms())
+        return out
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Terms at consecutive (or <= slop-displaced) positions, scored like a
+    single term with summed idf (src/query/phrase_query/phrase_query.rs:24,
+    bm25.rs:136-142). Requires an index built with positions=True."""
+
+    phrase_terms: tuple[str, ...]
+    slop: int = 0
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+
+@dataclass(frozen=True)
+class TermSetQuery(Query):
+    """Doc matches any term in the set — constant score 1.0 like tantivy's
+    (scoring-free) TermSetQuery (src/query/term_set_query/term_set_query.rs:307)."""
+
+    set_terms: tuple[str, ...]
+
+    def terms(self) -> list[str]:
+        return list(self.set_terms)

@@ -1,0 +1,90 @@
+"""Tokenizer parity vectors (reference: src/tokenizer/simple_tokenizer.rs,
+remove_long.rs, lower_caser.rs, ARCHITECTURE.md:198-205)."""
+
+import pandas as pd
+
+from tantivy_spark.functions.analysis import (
+    analyze_series,
+    token_count_series,
+    tokenize_default,
+    tokenize_raw,
+    tokenize_whitespace,
+)
+
+
+def test_basic_vector():
+    terms, pos = tokenize_default("Hello, happy tax payer!")
+    assert terms == ["hello", "happy", "tax", "payer"]
+    assert pos == [0, 1, 2, 3]
+
+
+def test_punctuation_compound_splits():
+    terms, pos = tokenize_default("foo-bar")
+    assert terms == ["foo", "bar"]
+    assert pos == [0, 1]
+
+
+def test_long_token_dropped_by_bytes_with_position_gap():
+    # 39 bytes kept, 40 bytes dropped (remove_long.rs: keep iff len < 40)
+    t39 = "a" * 39
+    t40 = "b" * 40
+    terms, pos = tokenize_default(f"start {t39} {t40} end")
+    assert terms == ["start", t39, "end"]
+    assert pos == [0, 1, 3]  # dropped token leaves a position gap
+
+
+def test_long_limit_counts_utf8_bytes_not_chars():
+    # 14 chars x 3 bytes = 42 bytes >= 40 -> dropped
+    tok = "東" * 14
+    terms, _ = tokenize_default(f"x {tok} y")
+    assert terms == ["x", "y"]
+    # 13 chars x 3 = 39 bytes -> kept
+    tok13 = "東" * 13
+    terms, _ = tokenize_default(f"x {tok13} y")
+    assert terms == ["x", tok13, "y"]
+
+
+def test_unicode_lowercase_no_final_sigma():
+    # Rust LowerCaser skips the Greek final-sigma context rule
+    terms, _ = tokenize_default("ΣΊΣΥΦΟΣ")
+    assert terms == ["σίσυφοσ"]  # NOT σίσυφος
+    terms, _ = tokenize_default("Grüße HÉLLO")
+    assert terms == ["grüße", "héllo"]
+
+
+def test_numbers_and_mixed():
+    terms, _ = tokenize_default("AB12 34cd, 5.6")
+    assert terms == ["ab12", "34cd", "5", "6"]
+
+
+def test_cjk_tokens():
+    terms, _ = tokenize_default("東京 rocks")
+    assert terms == ["東京", "rocks"]
+
+
+def test_empty_and_punct_only():
+    assert tokenize_default("") == ([], [])
+    assert tokenize_default("!!! --- ???") == ([], [])
+
+
+def test_raw_tokenizer():
+    assert tokenize_raw("Hello, World!") == (["Hello, World!"], [0])
+    assert tokenize_raw("") == ([], [])
+
+
+def test_whitespace_tokenizer_no_filters():
+    # bare WhitespaceTokenizer: no lowercase, no length filter
+    long_tok = "X" * 50
+    terms, pos = tokenize_whitespace(f"Hello, {long_tok}")
+    assert terms == ["Hello,", long_tok]
+    assert pos == [0, 1]
+
+
+def test_series_api():
+    s = pd.Series(["Hello, tax!", None, ""])
+    out = analyze_series(s)
+    assert out.iloc[0] == ["hello", "tax"]
+    assert out.iloc[1] == []
+    assert out.iloc[2] == []
+    counts = token_count_series(s)
+    assert counts.tolist() == [2, 0, 0]
