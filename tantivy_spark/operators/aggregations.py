@@ -1,0 +1,273 @@
+"""Elasticsearch-style aggregations, compiled to Catalyst plans.
+
+Reference: /root/reference/src/aggregation/ — request enum
+`AggregationVariants` (agg_req.rs:185-239), two-phase execution
+(segment results -> IntermediateAggregationResults -> merge_fruits,
+collector.rs:83-118, intermediate_agg_result.rs:213).
+
+Spark mapping: Catalyst's partial/final aggregation IS the reference's
+intermediate-merge shape, so every aggregation below compiles to a plain
+``groupBy(...).agg(...)`` plan — whole-stage-codegen'd, map-side partially
+aggregated, shuffled once on the bucket key.  Nothing here drops to Python.
+
+Scale note: bucket aggs shuffle on the bucket expression; cardinality of the
+bucket key bounds reducer fan-in.  `terms` with `size=k` still computes full
+counts before the final limit (exact counts, same as the reference's
+`shard_size`-exhaustive mode); at 100 TB the groupBy is the single shuffle
+and AQE coalesces post-shuffle partitions.
+
+Supported (reference file in parens):
+
+* buckets: terms (bucket/term_agg), histogram / date_histogram
+  (bucket/histogram/), range (bucket/range.rs), filter (bucket/filter.rs),
+  composite (bucket/composite/), missing-term (bucket/term_missing_agg.rs)
+* metrics: avg/sum/min/max/count/value_count (metric/*.rs), stats /
+  extended_stats (metric/stats.rs, extended_stats.rs), percentiles
+  (metric/percentiles.rs — we offer exact `percentile` and approximate
+  `percentile_approx`), cardinality (metric/cardinality.rs — exact
+  `count_distinct` and HLL++ `approx_count_distinct`; the reference uses an
+  Apache DataSketches HLL at lg_k=11 ≈ 2.3% err — same sketch class,
+  different constants), top_hits (metric/top_hits.rs — window row_number).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# metric sub-aggregations -> list of Column aggregate expressions
+# --------------------------------------------------------------------------
+
+def _metric_exprs(name: str, spec: dict) -> list:
+    kind, body = next(iter(spec.items()))
+    field = body.get("field")
+    c = F.col(field) if field else None
+    if kind == "avg":
+        return [F.avg(c).alias(name)]
+    if kind == "sum":
+        return [F.sum(c).alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind in ("count", "doc_count"):
+        return [F.count(F.lit(1)).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.sum(c).alias(f"{name}_sum"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+        ]
+    if kind == "extended_stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.sum(c).alias(f"{name}_sum"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c * c).alias(f"{name}_sum_of_squares"),
+            F.var_pop(c).alias(f"{name}_variance"),
+            F.stddev_pop(c).alias(f"{name}_std_deviation"),
+        ]
+    if kind == "percentiles":
+        pcts = body.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+        exact = body.get("exact", True)
+        out = []
+        for p in pcts:
+            col_name = f"{name}_p{str(p).replace('.', '_')}"
+            if exact:
+                out.append(F.percentile(c, F.lit(p / 100.0)).alias(col_name))
+            else:
+                out.append(
+                    F.percentile_approx(c, F.lit(p / 100.0)).alias(col_name)
+                )
+        return out
+    if kind == "cardinality":
+        if body.get("exact", False):
+            return [F.count_distinct(c).alias(name)]
+        # HLL++ (the reference's DataSketches HLL analogue); rsd 0.023 ~ lg_k=11
+        return [
+            F.approx_count_distinct(c, rsd=body.get("rsd", 0.023)).alias(name)
+        ]
+    raise ValueError(f"unsupported metric aggregation {kind!r}")
+
+
+def _sub_metric_exprs(sub_aggs: dict | None) -> list:
+    exprs = [F.count(F.lit(1)).alias("doc_count")]
+    for name, spec in (sub_aggs or {}).items():
+        exprs.extend(_metric_exprs(name, spec))
+    return exprs
+
+
+# --------------------------------------------------------------------------
+# bucket aggregations
+# --------------------------------------------------------------------------
+
+def terms_agg(df: DataFrame, field: str, size: int = 10,
+              order_by: str = "count", missing=None,
+              sub_aggs: dict | None = None) -> DataFrame:
+    """Terms bucket: exact counts, order by count desc then key asc (the
+    reference's default order, bucket/term_agg), top `size` buckets."""
+    key = F.col(field)
+    if missing is not None:
+        key = F.coalesce(key, F.lit(missing))
+    g = df.groupBy(key.alias("key")).agg(*_sub_metric_exprs(sub_aggs))
+    if order_by == "count":
+        g = g.orderBy(F.desc("doc_count"), F.asc("key"))
+    else:
+        g = g.orderBy(F.asc("key"))
+    return g.limit(size)
+
+
+def histogram_agg(df: DataFrame, field: str, interval: float,
+                  sub_aggs: dict | None = None) -> DataFrame:
+    """Fixed-width histogram: bucket key = floor(value/interval)*interval
+    (bucket/histogram/histogram.rs bucket_key semantics)."""
+    key = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias("key")
+    return df.groupBy(key).agg(*_sub_metric_exprs(sub_aggs)).orderBy("key")
+
+
+def date_histogram_agg(df: DataFrame, field: str, interval: str,
+                       sub_aggs: dict | None = None) -> DataFrame:
+    """Calendar-interval date histogram (bucket/histogram/date_histogram.rs)
+    = date_trunc + groupBy; interval in {year,month,week,day,hour,minute}."""
+    key = F.date_trunc(interval, F.col(field)).alias("key")
+    return df.groupBy(key).agg(*_sub_metric_exprs(sub_aggs)).orderBy("key")
+
+
+def range_agg(df: DataFrame, field: str, ranges: list[dict],
+              sub_aggs: dict | None = None) -> DataFrame:
+    """Range buckets [from, to) — the reference's half-open semantics
+    (bucket/range.rs).  Each range is {"key": str, "from": x?, "to": y?}."""
+    c = F.col(field)
+    expr = F.lit(None).cast("string")
+    for r in reversed(ranges):
+        cond = F.lit(True)
+        if r.get("from") is not None:
+            cond = cond & (c >= F.lit(r["from"]))
+        if r.get("to") is not None:
+            cond = cond & (c < F.lit(r["to"]))
+        lo = r.get("from", "*")
+        hi = r.get("to", "*")
+        expr = F.when(cond, F.lit(r.get("key", f"{lo}-{hi}"))).otherwise(expr)
+    return (
+        df.withColumn("key", expr)
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(*_sub_metric_exprs(sub_aggs))
+        .orderBy("key")
+    )
+
+
+def filter_agg(df: DataFrame, condition, sub_aggs: dict | None = None) -> DataFrame:
+    """Filter bucket (bucket/filter.rs): metrics over the matching subset."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return df.filter(cond).agg(*_sub_metric_exprs(sub_aggs))
+
+
+def composite_agg(df: DataFrame, sources: list[str], size: int = 10,
+                  after: tuple | None = None,
+                  sub_aggs: dict | None = None) -> DataFrame:
+    """Composite bucket with keyset pagination (bucket/composite/): buckets
+    ordered by the source tuple; `after` resumes past the given key tuple."""
+    g = df.groupBy(*[F.col(s) for s in sources]).agg(*_sub_metric_exprs(sub_aggs))
+    if after is not None:
+        # keyset predicate: (s0, s1, ...) > after, lexicographically
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for s, a in zip(sources, after):
+            pred = pred | (eq & (F.col(s) > F.lit(a)))
+            eq = eq & (F.col(s) == F.lit(a))
+        g = g.filter(pred)
+    return g.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def missing_agg(df: DataFrame, field: str,
+                sub_aggs: dict | None = None) -> DataFrame:
+    """Missing-term bucket (bucket/term_missing_agg.rs): docs with no value."""
+    return df.filter(F.col(field).isNull()).agg(*_sub_metric_exprs(sub_aggs))
+
+
+def top_hits_agg(df: DataFrame, group_field: str, size: int,
+                 sort_field: str, ascending: bool = False,
+                 select_cols: list[str] | None = None) -> DataFrame:
+    """TopHits per bucket (metric/top_hits.rs) = window row_number <= size.
+
+    Deterministic tie-break on the full sort (sort_field, then remaining
+    columns) mirrors the reference's stable DocAddress ordering.
+    """
+    order = [F.asc(sort_field) if ascending else F.desc(sort_field)]
+    extra = [c for c in (select_cols or df.columns) if c not in (sort_field, group_field)]
+    order += [F.asc(c) for c in extra]
+    w = Window.partitionBy(group_field).orderBy(*order)
+    out_cols = select_cols or df.columns
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .select(group_field, *[c for c in out_cols if c != group_field])
+    )
+
+
+def global_stats_agg(df: DataFrame, sub_aggs: dict) -> DataFrame:
+    """Top-level (bucketless) metric aggregations — the reference's metric
+    aggs at the request root."""
+    return df.agg(*_sub_metric_exprs(sub_aggs))
+
+
+# --------------------------------------------------------------------------
+# ES-style request dispatcher (one top-level named agg per call)
+# --------------------------------------------------------------------------
+
+_BUCKET_KINDS = {
+    "terms", "histogram", "date_histogram", "range", "filter", "composite",
+    "missing", "top_hits",
+}
+
+
+def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
+    """Execute one named aggregation request (ES JSON shape):
+
+        {"terms": {"field": "event_type", "size": 10},
+         "aggs": {"avg_value": {"avg": {"field": "value"}}}}
+
+    Returns a flat DataFrame: bucket key column(s) + doc_count + one column
+    per sub-metric (stats/extended_stats/percentiles expand to several).
+    """
+    sub = request.get("aggs")
+    kinds = [k for k in request if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError("request must contain exactly one aggregation kind")
+    kind = kinds[0]
+    body = request[kind]
+    if kind == "terms":
+        return terms_agg(df, body["field"], body.get("size", 10),
+                         body.get("order", "count"), body.get("missing"), sub)
+    if kind == "histogram":
+        return histogram_agg(df, body["field"], body["interval"], sub)
+    if kind == "date_histogram":
+        return date_histogram_agg(
+            df, body["field"],
+            body.get("calendar_interval", body.get("interval", "day")), sub)
+    if kind == "range":
+        return range_agg(df, body["field"], body["ranges"], sub)
+    if kind == "filter":
+        return filter_agg(df, body["condition"], sub)
+    if kind == "composite":
+        return composite_agg(df, body["sources"], body.get("size", 10),
+                             tuple(body["after"]) if body.get("after") else None,
+                             sub)
+    if kind == "missing":
+        return missing_agg(df, body["field"], sub)
+    if kind == "top_hits":
+        return top_hits_agg(df, body["group_field"], body.get("size", 3),
+                            body["sort_field"], body.get("ascending", False),
+                            body.get("select"))
+    # bucketless metric at the root
+    return global_stats_agg(df, {kind: {kind: body}})
+

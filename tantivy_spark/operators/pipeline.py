@@ -1,0 +1,492 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own surface (it is a search library), a 100 TB
+corpus pipeline needs dedup / similarity / text-quality operators.  All of
+them follow the same Spark-first rules as the engine: built-in column
+functions where possible, Arrow-vectorized pandas UDFs where not, shuffles
+only on bounded keys (shingle hash, LSH band, bucket id) — never all-pairs.
+
+Scale notes per operator are inline.  Deterministic by construction: all
+hashing is seeded arithmetic (crc32 / splitmix64-style mixing), no
+Date.now / Math.random anywhere.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization helpers (Spark-side, JVM-only — no Python)
+# ---------------------------------------------------------------------------
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text"):
+    """lowercased alphanumeric tokens as array<string> — pure Catalyst."""
+    arr = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+    return F.filter(arr, lambda t: (t != "") & (F.length(t) < 40))
+
+
+# ---------------------------------------------------------------------------
+# exact deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup summary: (n_docs, n_distinct, n_dup_docs).
+
+    Scale: one map-side-combined groupBy on md5(text) — the canonical
+    hash-groupBy dedup; no row ever carries the full text through the
+    shuffle twice (hash first, count, then aggregate counts).
+    """
+    h = df.select(F.md5(F.col(text_col)).alias("h"))
+    per = h.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") - 1).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the smallest key per text hash —
+    deterministic survivor selection (window min over hash groups)."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("_keep", F.min(key_col).over(w))
+        .filter(F.col("_keep") == F.col(key_col))
+        .drop("_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard (the small-scale oracle for MinHash)
+# ---------------------------------------------------------------------------
+
+def shingles_df(df: DataFrame, key_col: str, text_col: str = "text",
+                n: int = 3) -> DataFrame:
+    """(key, shingle) rows: distinct n-token shingles per doc — Catalyst
+    transform over the token array, then explode.  The shingle string is
+    the join key downstream, so we emit its hash, not the text."""
+    toks = tokens_col(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(key_col).alias("key"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, key_col: str, text_col: str = "text",
+                        n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (key_a < key_b, jaccard >= thr).
+
+    Plan: shingle-explode -> self-join **on shingle** (co-occurrence join,
+    never an all-pairs cross join) -> count common shingles -> jaccard from
+    per-doc shingle counts.  Scale: the join key is the shingle, so cost is
+    sum over shingles of c^2 where c = docs sharing that shingle; hot
+    (stopword-ish) shingles should be pre-filtered at 100 TB (df-cap), and
+    the MinHash/LSH variant below replaces this entirely beyond ~10^7 docs.
+    """
+    sh = shingles_df(df, key_col, text_col, n).cache()
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup detection
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
+    if len(tokens) < n:
+        shingles = {" ".join(tokens)} if tokens else set()
+    else:
+        shingles = {" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in shingles),
+        dtype=np.uint64, count=len(shingles),
+    )
+
+
+def minhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
+                       num_perm: int = 64, n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(key, sig array<long>) MinHash signatures — one Arrow batch at a
+    time, numpy (num_perm x n_shingles) min-reduce per doc.
+
+    Scale: embarrassingly parallel map; signature is num_perm*8 bytes per
+    doc regardless of text size — the shuffle payload reducer that makes
+    near-dup feasible at 10^12 docs.
+    """
+    a, b = _minhash_params(num_perm, seed)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys = pdf[key_col].tolist()
+            sigs = []
+            for toks in pdf["_toks"]:
+                h = _shingle_hashes(list(toks), n)
+                if len(h) == 0:
+                    sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64).tolist())
+                    continue
+                # (a*h + b) mod p, min over shingles, vectorized
+                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"key": keys, "sig": sigs})
+
+    prepped = df.select(
+        F.col(key_col).alias(key_col), tokens_col(text_col).alias("_toks")
+    )
+    ktype = dict(df.dtypes)[key_col]
+    return prepped.mapInPandas(batches, schema=f"key {ktype}, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, n: int = 3,
+                      threshold: float = 0.6, seed: int = 42) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    Plan: signatures -> explode into `bands` band-hash keys -> self-join on
+    (band, band_hash) buckets (bounded fan-out, never all-pairs) -> distinct
+    candidate pairs -> exact shingle-Jaccard verification join.
+
+    Scale: rows shuffled = docs * bands; bucket join cost is sum of c^2 per
+    bucket — with r = num_perm/bands rows per band, collision probability
+    for dissimilar docs is ~s^r, keeping buckets tiny.  Hot buckets (boiler-
+    plate text) are exact-dup groups — handle via exact_dedup first.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, key_col, text_col, num_perm, n, seed)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "key",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(
+                        F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
+                    ))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("key", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.key") < F.col("y.key"))
+        .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
+        .distinct()
+    )
+    # exact verification on the candidates only
+    sh = shingles_df(df, key_col, text_col, n)
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = cand.join(sh.withColumnRenamed("key", "key_a"), "key_a")
+    inter = (
+        pa.join(
+            sh.select(F.col("key").alias("key_b"), F.col("shingle")),
+            ["key_b", "shingle"],
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))), "key_a")
+        .join(F.broadcast(sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))), "key_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
+                       bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token crc32 hashes — vectorized sign-sum of
+    hash bit columns per doc."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights_shift = np.arange(bits, dtype=np.uint64)
+        for pdf in it:
+            out = []
+            for toks in pdf["_toks"]:
+                toks = list(toks)
+                if not toks:
+                    out.append(0)
+                    continue
+                h32 = np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64, count=len(toks),
+                )
+                # widen to 64 bits with a splitmix64-style mix (deterministic)
+                h = (h32 * np.uint64(0x9E3779B97F4A7C15))
+                h ^= h >> np.uint64(31)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(27)
+                bitmat = (h[:, None] >> weights_shift[None, :]) & np.uint64(1)
+                score = bitmat.astype(np.int64).sum(axis=0) * 2 - len(toks)
+                sig = np.uint64(0)
+                for i in range(bits):
+                    if score[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                out.append(int(np.int64(sig)))  # store as signed i64
+            yield pd.DataFrame({"key": pdf[key_col].tolist(), "sig": out})
+
+    prepped = df.select(F.col(key_col), tokens_col(text_col).alias("_toks"))
+    ktype = dict(df.dtypes)[key_col]
+    return prepped.mapInPandas(batches, schema=f"key {ktype}, sig long")
+
+
+def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
+    hamming<=3 shares at least one exact chunk), join per chunk, then
+    verify the full distance — never an all-pairs product.
+    """
+    sigs = simhash_signatures(df, key_col, text_col).cache()
+    chunks = sigs.select(
+        "key", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("key", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .filter(F.col("x.key") < F.col("y.key"))
+        .select(
+            F.col("x.key").alias("key_a"), F.col("x.sig").alias("sig_a"),
+            F.col("y.key").alias("key_b"), F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search
+# ---------------------------------------------------------------------------
+
+def cosine_col(vec_col: str, qvec: list[float]):
+    """cosine(vec, literal query) as a Catalyst expression: zip_with dot
+    product + aggregate norms — JVM-side, codegen'd, no Python."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.aggregate(F.transform(v, lambda a: a * a),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return dot / (F.sqrt(nv) * F.lit(nq))
+
+
+def brute_force_topk(df: DataFrame, key_col: str, vec_col: str,
+                     qvec: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k: one scan, per-partition TopK (Catalyst
+    TakeOrderedAndProject), driver merge — the flat-index baseline
+    (the reference's flat vector search, src/vector/collector.rs:48)."""
+    return (
+        df.select(F.col(key_col), cosine_col(vec_col, qvec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_topk(df: DataFrame, key_col: str, vec_col: str,
+                    qvec: list[float], k: int = 10, n_planes: int = 8,
+                    n_probe_bits: int = 1, seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Bucket = sign pattern over `n_planes` hyperplanes (computed as a
+    Catalyst dot-product expression per plane — no Python).  The query
+    probes its own bucket plus all buckets within `n_probe_bits` bit flips
+    (multi-probe), then exact-reranks candidates.
+
+    Scale: at 10^12 vectors the bucketed table is written partitioned by
+    bucket id; a query prunes to (1 + n_planes choose probe) partitions —
+    the IVF analogue of the reference's clustered vector index
+    (src/vector/, ivf variant).
+    """
+    dim = len(qvec)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def bucket_expr(vcol):
+        v = F.transform(F.col(vcol), lambda x: x.cast("double"))
+        acc = F.lit(0)
+        for i, p in enumerate(planes):
+            parr = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(F.zip_with(v, parr, lambda a, b: a * b),
+                              F.lit(0.0), lambda a, x: a + x)
+            acc = acc + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return acc
+
+    qsigns = (planes @ np.asarray(qvec, dtype=np.float64)) >= 0
+    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
+    probe = {qbucket}
+    if n_probe_bits >= 1:
+        for i in range(n_planes):
+            probe.add(qbucket ^ (1 << i))
+    bucketed = df.withColumn("_bucket", bucket_expr(vec_col))
+    cands = bucketed.filter(F.col("_bucket").isin(sorted(probe)))
+    return brute_force_topk(cands, key_col, vec_col, qvec, k)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language id, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def language_id(df: DataFrame, key_col: str, text_col: str = "text",
+                threshold: float = 0.02) -> DataFrame:
+    """N-gram-free heuristic language ID: English stopword token ratio.
+
+    (A real model is a per-language char-n-gram profile; the Spark shape —
+    tokenize, ratio features, argmax — is identical.)  Pure Catalyst.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    ratio = F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(key_col),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, type-token ratio, mean token
+    length, alnum character ratio — the standard cheap quality filters."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    distinct_n = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    text_len = F.length(F.col(text_col))
+    return df.select(
+        F.col(key_col),
+        n.alias("n_tokens"),
+        distinct_n.alias("n_distinct"),
+        F.round(F.when(n > 0, distinct_n.cast("double") / n).otherwise(0.0), 6).alias("ttr"),
+        F.round(F.when(n > 0, tok_chars.cast("double") / n).otherwise(0.0), 6).alias("mean_token_len"),
+        F.round(F.when(text_len > 0, tok_chars.cast("double") / text_len).otherwise(0.0), 6).alias("alnum_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens vs analyzer tokens vs a BPE-ish subword estimate
+    (ceil(chars/4) — the common 'tokens ~ chars/4' planning heuristic)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    alnum = F.size(tokens_col(text_col))
+    bpe_est = F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long")
+    return df.select(
+        F.col(key_col),
+        ws.alias("ws_tokens"),
+        alnum.alias("alnum_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 over the normalized token stream
+    (token-exact dedup key, robust to whitespace/punctuation variance)."""
+    canon = F.concat_ws(" ", tokens_col(text_col))
+    return df.select(F.col(key_col), F.md5(canon).alias("fingerprint"))
+
+
+def rolling_fingerprints(df: DataFrame, key_col: str, text_col: str = "text",
+                         window: int = 8) -> DataFrame:
+    """Rabin-Karp rolling hashes of token windows — the winnowing primitive
+    for partial-overlap detection.  (key, min rolling hash) per doc; the
+    min-hash of windows is a cheap containment sketch."""
+    base = 1099511628211
+    mask = (1 << 64) - 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mins = []
+            for toks in pdf["_toks"]:
+                toks = list(toks)
+                if len(toks) < window:
+                    window_toks = [toks] if toks else []
+                else:
+                    window_toks = [toks[i:i + window] for i in range(len(toks) - window + 1)]
+                if not window_toks:
+                    mins.append(0)
+                    continue
+                hs = []
+                for wt in window_toks:
+                    h = 14695981039346656037
+                    for t in wt:
+                        h = ((h * base) & mask) ^ zlib.crc32(t.encode("utf-8"))
+                    hs.append(h - (1 << 64) if h >= (1 << 63) else h)  # as i64
+                mins.append(min(hs))
+            yield pd.DataFrame({"key": pdf[key_col].tolist(), "min_rolling_hash": mins})
+
+    prepped = df.select(F.col(key_col), tokens_col(text_col).alias("_toks"))
+    ktype = dict(df.dtypes)[key_col]
+    return prepped.mapInPandas(batches, schema=f"key {ktype}, min_rolling_hash long")

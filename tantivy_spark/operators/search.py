@@ -190,7 +190,7 @@ class Searcher:
             return self._daat(spec, k)
         elif mode == "taat64":
             if isinstance(spec, CompiledDismax):
-                raise NotImplementedError("dismax only on the daat path")
+                return self._taat64_dismax(spec, k)
             return self._taat64(spec, k)
         raise ValueError(f"unknown mode {mode}")
 
@@ -314,6 +314,59 @@ class Searcher:
         if spec.const_score is not None:
             out = out.withColumn("score", F.lit(float(spec.const_score)))
         out = out.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        if k is not None:
+            out = out.limit(k)
+        return out
+
+    def _taat64_dismax(self, spec: CompiledDismax, k: int | None) -> DataFrame:
+        """DisjunctionMax in the float64 DataFrame plan:
+        score = max(clause) + tie_breaker * (sum - max)
+        (src/query/disjunction_max_query.rs:64-83)."""
+        import math
+
+        terms = sorted({t for t, _ in spec.terms})
+        dfs = self.doc_freqs(terms)
+        N = self.total_docs
+        avgdl = self.total_tokens / N
+        k1, b = self.cfg.k1, self.cfg.b
+        wrows = []
+        for t, boost in spec.terms:
+            df_t = dfs[t]
+            if df_t <= 0:
+                continue
+            w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
+            wrows.append((t, float(w)))
+        if not wrows:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score double"
+            )
+        wdf = self.spark.createDataFrame(wrows, "term string, weight double")
+        flat = self.flat_postings(terms)
+        norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+        scored = (
+            flat.join(F.broadcast(wdf), "term")
+            .withColumn("dl", F.element_at(norm_arr, F.col("fieldnorm_id") + 1).cast("double"))
+            .withColumn(
+                "clause_score",
+                F.col("weight")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        agg = scored.groupBy("segment_ord", "doc_id").agg(
+            F.max("clause_score").alias("mx"),
+            F.sum("clause_score").alias("sm"),
+        )
+        out = agg.select(
+            "segment_ord", "doc_id",
+            (
+                (F.col("mx") + F.lit(spec.tie_breaker) * (F.col("sm") - F.col("mx")))
+                * F.lit(float(spec.boost))
+            ).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out
