@@ -53,7 +53,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Build (once per sf_dir per process) and open the fulltext index."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v3")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -61,6 +61,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             segment_col="ext_id",
             n_segments=4,
             n_term_buckets=8,
+            positions=True,
         )
         try:
             load_manifest(index_dir)
@@ -167,6 +168,51 @@ def _bool_topk_sql(clauses, k: int, msm: int = 0, ids_only: bool = False,
     )
 
 
+def _phrase_sql(phrase_terms: list[str], k: int, ids_only: bool = False) -> str:
+    """Exact-phrase BM25: tf = count of consecutive-position matches,
+    weight = (sum of idfs) * (1 + k1) — mirrors search.py _taat64_phrase."""
+    chain = []
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        chain.append(
+            f"JOIN tpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.term = '{t}' AND p{i}.pos = p0.pos + {i}"
+        )
+    idf_terms = " + ".join(
+        f"ln(1.0 + (s.n_docs - df{i}.df + 0.5) / (df{i}.df + 0.5))"
+        for i in range(len(phrase_terms))
+    )
+    df_joins = " ".join(
+        f"CROSS JOIN (SELECT df FROM df WHERE term = '{t}') df{i}"
+        for i, t in enumerate(phrase_terms)
+    )
+    select = "SELECT doc_id" if ids_only else "SELECT doc_id, round(score, 5) AS score"
+    return f"""{_BM25_PRELUDE},
+tpos AS (
+  SELECT d.doc_id, tk[i] AS term, i - 1 AS pos
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                                   t -> t <> '' AND length(t) < 40) AS tk
+        FROM documents) d,
+       unnest(range(1, len(tk) + 1)) r(i)
+),
+ph AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS tf
+  FROM tpos p0 {' '.join(chain)}
+  WHERE p0.term = '{phrase_terms[0]}'
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT ph.doc_id,
+         (({idf_terms}) * (1.0 + {K1!r}) * 1.0)
+           * ph.tf / (ph.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           AS score
+  FROM ph
+  JOIN dlq ON ph.doc_id = dlq.doc_id
+  CROSS JOIN stats s
+  {df_joins}
+)
+{select} FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -221,6 +267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["ft_daat_and_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.intersection(["fast", "slow"]), 10,
         mode="daat", ids_only=True)
+
+    Q["ft_phrase_top10"] = lambda s, d: _topk(
+        s, d, L.PhraseQuery(("fast", "table")), 10, mode="taat64")
+    Q["ft_phrase_daat_top10"] = lambda s, d: _topk(
+        s, d, L.PhraseQuery(("the", "table")), 10, mode="daat", ids_only=True)
 
     def _term_set(s, d):
         # TermSetQuery: scoring-free match set (term IN (...))
@@ -404,6 +455,8 @@ FROM per_clause ORDER BY score DESC, doc_id ASC LIMIT 10"""
         10, ids_only=True)
     O["ft_daat_and_top10"] = _bool_topk_sql(
         [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
+    O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
+    O["ft_phrase_daat_top10"] = _phrase_sql(["the", "table"], 10, ids_only=True)
     O["ft_term_set"] = (
         _BM25_PRELUDE
         + "SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup') "

@@ -1,0 +1,171 @@
+"""Benchmark — indexing + query throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "indexing": {...}, "scaling": {...}}
+
+Workloads:
+  * transcripts indexing (the north-rule metric): synthesize the
+    deterministic multi-turn transcripts table (FIXTURES.md §1) sized by
+    sf, build the full inverted index, report turns/sec.  Run at TWO
+    parallelism levels (local[cpus/4] and local[cpus]) on the SAME input
+    -> scaling efficiency (the in-sandbox stand-in for N vs 4N executors;
+    see BENCH.md).
+  * documents index build + the headline query set from __spark_entry__
+    (BM25 term/bool/dismax DAAT + TAAT, aggregations, dedup, ANN).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_SKIP_SCALING=1 to skip the second parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1"
+
+# transcripts corpus size: ~2M turns at sf=0.1 would take minutes in a
+# sandbox bench; scale conv count so the bench stays ~2-4 min total.
+_N_CONVS = {"0.001": 300, "0.01": 3000, "0.1": 30000}.get(SF, 30000)
+
+
+def _fresh_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # new JVM isn't spawned per session, but local[k] parallelism is
+        # fixed per context — must fully stop before re-creating
+        time.sleep(1)
+    from tantivy_spark.session import get_spark
+
+    s = get_spark(app, cores=cores, shuffle_partitions=max(cores, 8))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _index_transcripts(cores: int, run_tag: str) -> dict:
+    """Generate transcripts + build the full index at `cores` parallelism."""
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index
+    from tantivy_spark.sources.transcripts import transcripts_df
+
+    spark = _fresh_spark(cores, f"bench_idx_{run_tag}")
+    idx_dir = f"/tmp/tantivy_spark_bench/transcripts-{run_tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    src = transcripts_df(spark, _N_CONVS, partitions=max(cores * 2, 8))
+    src = src.persist()
+    n_turns = src.count()  # materialize generation outside the timed build
+
+    cfg = IndexConfig(n_segments=max(cores, 8), n_term_buckets=16)
+    t0 = time.time()
+    manifest = build_index(spark, src, idx_dir, cfg)
+    dt = time.time() - t0
+    src.unpersist()
+    return {
+        "cores": cores,
+        "n_turns": n_turns,
+        "total_tokens": manifest["total_tokens"],
+        "index_sec": round(dt, 3),
+        "turns_per_sec": round(n_turns / dt, 1),
+        "index_dir": idx_dir,
+    }
+
+
+def _query_workload(spark, sf_dir: str) -> dict[str, float]:
+    """Headline queries through the driver contract (documents corpus)."""
+    import __spark_entry__ as E
+    from tantivy_spark.plans import logical as L
+
+    s = E._searcher(spark, sf_dir)
+    times: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    run("q_term_daat", lambda: s.search(L.TermQuery("table"), 10, "daat").collect())
+    run("q_or3_daat", lambda: s.search(
+        L.BooleanQuery.union(["table", "value", "spark"]), 10, "daat").collect())
+    run("q_and2_daat", lambda: s.search(
+        L.BooleanQuery.intersection(["fast", "slow"]), 10, "daat").collect())
+    run("q_or3_taat", lambda: s.search(
+        L.BooleanQuery.union(["table", "value", "spark"]), 10, "taat64").collect())
+    run("q_dismax", lambda: s.search(
+        L.DisjunctionMaxQuery((L.TermQuery("spark"), L.TermQuery("value")), 0.3),
+        10, "daat").collect())
+    run("q_count", lambda: s.count(L.TermQuery("dup")))
+
+    qs = E.queries()
+    for name in (
+        "agg_terms_event_type", "agg_date_histogram", "agg_percentiles_value",
+        "agg_top_hits", "dedup_exact_stats", "dedup_minhash_lsh",
+        "ann_cosine_top10", "text_quality", "text_fingerprint",
+    ):
+        run(name, lambda n=name: qs[n](spark, sf_dir).collect())
+    return times
+
+
+def main() -> None:
+    out: dict = {"sf": SF, "unit": "sec"}
+    t_all = time.time()
+
+    # ---- transcripts indexing at two parallelism levels ------------------
+    low = max(CPUS // 4, 2)
+    scaling: dict = {}
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        r_low = _index_transcripts(low, f"c{low}")
+        scaling["low"] = r_low
+    r_high = _index_transcripts(CPUS, f"c{CPUS}")
+    scaling["high"] = r_high
+    if "low" in scaling:
+        eff = (scaling["high"]["turns_per_sec"] / scaling["low"]["turns_per_sec"]) / (
+            CPUS / low
+        )
+        scaling["efficiency_low_to_high"] = round(eff, 3)
+    out["indexing"] = {
+        "n_turns": r_high["n_turns"],
+        "turns_per_sec": r_high["turns_per_sec"],
+        "index_sec": r_high["index_sec"],
+    }
+    out["scaling"] = {
+        k: (v if not isinstance(v, dict) else {
+            kk: vv for kk, vv in v.items() if kk != "index_dir"})
+        for k, v in scaling.items()
+    }
+
+    # ---- documents index build + query workload --------------------------
+    spark = _fresh_spark(CPUS, "bench_query")
+    shutil.rmtree(f"/tmp/tantivy_spark_index/docs-sf{SF}", ignore_errors=True)
+    t0 = time.time()
+    import __spark_entry__ as E
+
+    E._SEARCHERS.clear()
+    E._searcher(spark, SF_DIR)
+    out["docs_index_sec"] = round(time.time() - t0, 3)
+    out["queries"] = _query_workload(spark, SF_DIR)
+
+    out["value"] = round(time.time() - t_all, 3)
+    out["metric"] = (
+        "bench wall sec (indexing: transcripts turns/sec at 2 parallelism "
+        "levels + scaling efficiency; queries: BM25 DAAT/TAAT + aggs + "
+        "pipeline at sf)"
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

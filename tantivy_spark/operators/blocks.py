@@ -174,6 +174,42 @@ def encode_postings(
     }
 
 
+def encode_positions(positions_per_posting: list) -> tuple[bytes, np.ndarray]:
+    """Positions stream for one term: per posting, delta-encoded LEB128
+    varints of the sorted in-doc positions (the reference's positions file
+    shape, /root/reference/src/positions/mod.rs:8-26 — delta blocks; we use
+    the vint form uniformly).  Returns (pos_enc, pos_off int32[n]) where
+    posting i's positions start at byte pos_off[i]; the count equals tf_i.
+    """
+    parts: list[bytes] = []
+    offs = np.empty(len(positions_per_posting), dtype=np.int32)
+    off = 0
+    for i, ps in enumerate(positions_per_posting):
+        offs[i] = off
+        arr = np.sort(np.asarray(ps, dtype=np.int64))
+        deltas = np.diff(arr, prepend=0)
+        deltas[0] = arr[0] if len(arr) else 0
+        b = vint_encode(deltas)
+        parts.append(b)
+        off += len(b)
+    return b"".join(parts), offs
+
+
+def decode_positions(
+    pos_enc: bytes, pos_off: np.ndarray, tfs: np.ndarray,
+    posting_indices: np.ndarray,
+) -> list[np.ndarray]:
+    """Positions arrays for the given posting ordinals; `tfs` is aligned
+    with `posting_indices` (tf = number of positions of that posting)."""
+    out = []
+    mv = memoryview(pos_enc)
+    for i, pi in enumerate(np.asarray(posting_indices, dtype=np.int64)):
+        n = int(tfs[i])
+        deltas, _ = vint_decode(mv[int(pos_off[pi]):], n)
+        out.append(np.cumsum(deltas.astype(np.int64)))
+    return out
+
+
 def decode_block(
     doc_enc: bytes,
     tf_enc: bytes,

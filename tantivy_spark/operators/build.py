@@ -72,6 +72,8 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_tf_off", T.ArrayType(T.IntegerType())),
         T.StructField("bm_norm_id", T.ArrayType(T.IntegerType())),
         T.StructField("bm_tf", T.ArrayType(T.IntegerType())),
+        T.StructField("pos_enc", T.BinaryType(), nullable=True),
+        T.StructField("pos_off", T.ArrayType(T.IntegerType()), nullable=True),
         T.StructField("tbucket", T.IntegerType()),
     ]
 )
@@ -162,12 +164,14 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig) -> Da
 # stage 2: postings (explode -> tf agg -> block encode, skew-sharded)
 # --------------------------------------------------------------------------
 
-def _encode_group(pdf: pd.DataFrame, n_term_buckets: int) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, n_term_buckets: int,
+                  positions: bool = False) -> pd.DataFrame:
     """Block-encode every term of one (segment_ord, shard) group.
 
-    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf).  The pandas
-    groupby below is the in-memory 'arena' analogue (indexing_context.rs) —
-    Spark's shuffle already grouped a bounded slice of one segment here.
+    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf[, positions]).
+    The pandas groupby below is the in-memory 'arena' analogue
+    (indexing_context.rs) — Spark's shuffle already grouped a bounded slice
+    of one segment here.
     """
     import zlib
 
@@ -179,6 +183,10 @@ def _encode_group(pdf: pd.DataFrame, n_term_buckets: int) -> pd.DataFrame:
         tfs = g["tf"].to_numpy(np.int64)
         fns = g["fieldnorm_id"].to_numpy(np.int64).astype(np.uint8)
         e = blocks.encode_postings(doc_ids, tfs, fns)
+        if positions:
+            pos_enc, pos_off = blocks.encode_positions(list(g["positions"]))
+        else:
+            pos_enc, pos_off = None, None
         out_rows.append(
             {
                 "term": term,
@@ -194,6 +202,8 @@ def _encode_group(pdf: pd.DataFrame, n_term_buckets: int) -> pd.DataFrame:
                 "block_tf_off": e["block_tf_off"].tolist(),
                 "bm_norm_id": e["bm_norm_id"].tolist(),
                 "bm_tf": e["bm_tf"].tolist(),
+                "pos_enc": pos_enc,
+                "pos_off": pos_off.tolist() if pos_off is not None else None,
                 "tbucket": zlib.crc32(term.encode("utf-8")) % n_term_buckets,
             }
         )
@@ -210,24 +220,47 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
     if n_shards is None:
         n_shards = max(cfg.n_segments * 4, 32)
 
-    flat = (
-        docmap.select(
-            "segment_ord",
-            "doc_id",
-            "fieldnorm_id",
-            F.explode("terms").alias("term"),
+    if cfg.positions:
+        # zip terms with their analyzer positions; shuffle carries one row
+        # per distinct (segment, term, doc) with the position list attached
+        flat = (
+            docmap.select(
+                "segment_ord",
+                "doc_id",
+                "fieldnorm_id",
+                F.explode(F.arrays_zip("terms", "positions")).alias("tp"),
+            )
+            .select(
+                "segment_ord", "doc_id", "fieldnorm_id",
+                F.col("tp.terms").alias("term"),
+                F.col("tp.positions").alias("pos"),
+            )
+            .groupBy("segment_ord", "term", "doc_id", "fieldnorm_id")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
         )
-        .groupBy("segment_ord", "term", "doc_id", "fieldnorm_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    else:
+        flat = (
+            docmap.select(
+                "segment_ord",
+                "doc_id",
+                "fieldnorm_id",
+                F.explode("terms").alias("term"),
+            )
+            .groupBy("segment_ord", "term", "doc_id", "fieldnorm_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     sharded = flat.withColumn(
         "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("int")
     )
     nb = cfg.n_term_buckets
+    with_pos = cfg.positions
     return (
         sharded.groupBy("segment_ord", "shard")
         .applyInPandas(
-            lambda pdf: _encode_group(pdf, nb), schema=POSTINGS_SCHEMA
+            lambda pdf: _encode_group(pdf, nb, with_pos), schema=POSTINGS_SCHEMA
         )
     )
 

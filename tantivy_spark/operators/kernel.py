@@ -53,9 +53,12 @@ class TermPostings:
     block_tf_off: np.ndarray
     bm_norm_id: np.ndarray
     bm_tf: np.ndarray
+    pos_enc: bytes | None = None
+    pos_off: np.ndarray | None = None
 
     @staticmethod
     def from_row(row) -> "TermPostings":
+        has_pos = "pos_enc" in row and isinstance(row["pos_enc"], (bytes, bytearray))
         return TermPostings(
             term=row["term"],
             doc_freq=int(row["doc_freq"]),
@@ -67,6 +70,17 @@ class TermPostings:
             block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int32),
             bm_norm_id=np.asarray(row["bm_norm_id"], dtype=np.int64),
             bm_tf=np.asarray(row["bm_tf"], dtype=np.int64),
+            pos_enc=bytes(row["pos_enc"]) if has_pos else None,
+            pos_off=np.asarray(row["pos_off"], dtype=np.int32) if has_pos else None,
+        )
+
+    def positions_for(self, posting_indices: np.ndarray,
+                      tfs_aligned: np.ndarray) -> list[np.ndarray]:
+        """In-doc position arrays for the given posting ordinals."""
+        if self.pos_enc is None:
+            raise ValueError(f"index has no positions for term {self.term!r}")
+        return blocks.decode_positions(
+            self.pos_enc, self.pos_off, tfs_aligned, posting_indices
         )
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -189,10 +203,13 @@ def segment_topk(
             [c.postings.max_block_score(c.weight) for c in live], dtype=_F32
         )
         # θ seed: true scores of the highest-impact term give a lower bound
-        # on the final k-th score (their totals can only be larger).
+        # on the final k-th score (their totals can only be larger).  Only
+        # valid when no doc can be *removed* later: must_not exclusion or a
+        # minimum_should_match bar could evict seed docs, making θ an
+        # overestimate and the prune unsafe.
         theta = _F32(0.0)
         seed_full: dict[int, tuple] = {}
-        if minimum_should_match <= 1 and len(live) > 1:
+        if minimum_should_match <= 1 and not must_nots and len(live) > 1:
             si = int(np.argmax(ubs))
             sd, st, sf = live[si].postings.decode_all()
             seed_full[si] = (sd, st, sf)
@@ -270,6 +287,70 @@ def segment_topk(
     kk = min(k, len(candidates))
     order = np.lexsort((candidates, -scores.astype(np.float64)))[:kk]
     return candidates[order], scores[order]
+
+
+def segment_topk_phrase(
+    term_postings: list[TermPostings | None],
+    weight: Bm25Weight,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase top-k for one segment.
+
+    Semantics (src/query/phrase_query/phrase_scorer.rs): doc matches when
+    the terms occur at consecutive positions; tf = number of phrase
+    occurrences (phrase_count, :405-437); score = weight.score(fieldnorm,
+    phrase_count) with the multi-term summed-idf weight (:578-582,
+    bm25.rs:136-142).  Duplicate terms in the phrase share one posting
+    list.  Candidates = conjunction of all term docsets, then a per-doc
+    vectorized position-chain intersection.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
+    if any(tp is None for tp in term_postings):
+        return empty
+
+    uniq: dict[int, tuple] = {}
+    for tp in term_postings:
+        if id(tp) not in uniq:
+            uniq[id(tp)] = tp.decode_all()
+
+    cand = None
+    for tp in term_postings:
+        docs = uniq[id(tp)][0]
+        cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+    if cand is None or len(cand) == 0:
+        return empty
+
+    # positions per phrase slot, aligned to candidates
+    slot_positions: list[list[np.ndarray]] = []
+    pos_cache: dict[int, list[np.ndarray]] = {}
+    for tp in term_postings:
+        if id(tp) not in pos_cache:
+            docs, tfs, _ = uniq[id(tp)]
+            idx = np.searchsorted(docs, cand)
+            pos_cache[id(tp)] = tp.positions_for(idx, tfs[idx])
+        slot_positions.append(pos_cache[id(tp)])
+
+    docs0, _, fns0 = uniq[id(term_postings[0])]
+    idx0 = np.searchsorted(docs0, cand)
+    fns = fns0[idx0].astype(np.int64)
+
+    counts = np.zeros(len(cand), dtype=np.int64)
+    for i in range(len(cand)):
+        starts = slot_positions[0][i]
+        for t in range(1, len(term_postings)):
+            if len(starts) == 0:
+                break
+            starts = starts[np.isin(starts + t, slot_positions[t][i], assume_unique=True)]
+        counts[i] = len(starts)
+
+    keep = counts > 0
+    cand, counts, fns = cand[keep], counts[keep], fns[keep]
+    if len(cand) == 0:
+        return empty
+    scores = weight.score(fns, counts)
+    kk = min(k, len(cand))
+    order = np.lexsort((cand, -scores.astype(np.float64)))[:kk]
+    return cand[order], scores[order]
 
 
 def segment_topk_dismax(

@@ -183,6 +183,20 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score float"
             )
+        # phrase (possibly boosted) takes its own path: multi-term weight
+        phrase, phrase_boost = query, 1.0
+        while isinstance(phrase, L.BoostQuery):
+            phrase_boost *= phrase.boost
+            phrase = phrase.query
+        if isinstance(phrase, L.PhraseQuery):
+            if phrase.slop != 0:
+                raise NotImplementedError("phrase slop not supported yet")
+            if k is None:
+                raise ValueError("phrase query needs a finite k")
+            if mode == "daat":
+                return self._daat_phrase(phrase, phrase_boost, k)
+            return self._taat64_phrase(phrase, phrase_boost, k)
+
         spec = compile_query(query)
         if mode == "daat":
             if k is None:
@@ -256,6 +270,108 @@ class Searcher:
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
         ).limit(k)
+
+    def _phrase_weight(self, phrase: L.PhraseQuery, boost: float) -> Bm25Weight | None:
+        """Multi-term weight: idfs summed over the phrase terms in order
+        (bm25.rs:136-142); None if any term is absent from the corpus."""
+        dfs = self.doc_freqs(sorted(set(phrase.phrase_terms)))
+        if any(dfs[t] <= 0 for t in phrase.phrase_terms):
+            return None
+        w = Bm25Weight.for_terms(
+            [dfs[t] for t in phrase.phrase_terms],
+            self.total_docs, self.total_tokens, self.params,
+        )
+        return w.boost_by(boost)
+
+    def _daat_phrase(self, phrase: L.PhraseQuery, boost: float, k: int) -> DataFrame:
+        weight = self._phrase_weight(phrase, boost)
+        if weight is None:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score float"
+            )
+        slots = list(phrase.phrase_terms)
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            docs, scores = K.segment_topk_phrase(
+                [tp.get(t) for t in slots], weight, k
+            )
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(sorted(set(slots)))
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
+
+    def _taat64_phrase(self, phrase: L.PhraseQuery, boost: float, k: int) -> DataFrame:
+        """Phrase in the float64 DataFrame plan: positions explode + chained
+        equi-joins on (doc, start_position), phrase tf = count of starts."""
+        import math
+
+        terms = sorted(set(phrase.phrase_terms))
+        dfs = self.doc_freqs(terms)
+        empty = self.spark.createDataFrame(
+            [], "segment_ord int, doc_id int, score double"
+        )
+        if any(dfs[t] <= 0 for t in phrase.phrase_terms):
+            return empty
+        N = self.total_docs
+        avgdl = self.total_tokens / N
+        k1, b = self.cfg.k1, self.cfg.b
+        idf_sum = sum(
+            math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in phrase.phrase_terms
+        )
+        weight = idf_sum * (1.0 + k1) * boost
+
+        flat = self.flat_postings(terms, with_positions=True)
+        pos = flat.select(
+            "term", "segment_ord", "doc_id", "fieldnorm_id",
+            F.explode("positions").alias("p"),
+        ).cache()
+        starts = None
+        for i, t in enumerate(phrase.phrase_terms):
+            side = pos.filter(F.col("term") == t).select(
+                "segment_ord", "doc_id",
+                *([ "fieldnorm_id"] if i == 0 else []),
+                (F.col("p") - F.lit(i)).alias("start"),
+            )
+            starts = side if starts is None else starts.join(
+                side, ["segment_ord", "doc_id", "start"], "inner"
+            )
+        counted = starts.groupBy("segment_ord", "doc_id", "fieldnorm_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+        out = (
+            counted.withColumn(
+                "dl", F.element_at(norm_arr, F.col("fieldnorm_id") + 1).cast("double")
+            )
+            .select(
+                "segment_ord", "doc_id",
+                (
+                    F.lit(weight) * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return out
 
     # TAAT: float64 DataFrame plan (Catalyst end to end)
     def _taat64(self, spec: CompiledBoolean, k: int | None) -> DataFrame:
@@ -371,13 +487,17 @@ class Searcher:
             out = out.limit(k)
         return out
 
-    def flat_postings(self, terms: list[str]) -> DataFrame:
+    def flat_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         """Decode pruned postings to (term, segment_ord, doc_id, tf,
-        fieldnorm_id) rows — vectorized block decode in mapInPandas."""
-        pruned = self.pruned_postings(terms).select(
+        fieldnorm_id[, positions]) rows — vectorized block decode in
+        mapInPandas."""
+        cols = [
             "term", "segment_ord", "doc_freq", "doc_enc", "tf_enc", "fnorm_enc",
             "block_last", "block_doc_off", "block_tf_off", "bm_norm_id", "bm_tf",
-        )
+        ]
+        if with_positions:
+            cols += ["pos_enc", "pos_off"]
+        pruned = self.pruned_postings(terms).select(*cols)
 
         def decode_rows(it):
             from tantivy_spark.operators.kernel import TermPostings
@@ -387,24 +507,26 @@ class Searcher:
                 for _, r in pdf.iterrows():
                     tp = TermPostings.from_row(r)
                     docs, tfs, fns = tp.decode_all()
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "term": r["term"],
-                                "segment_ord": np.int32(r["segment_ord"]),
-                                "doc_id": docs.astype(np.int32),
-                                "tf": tfs.astype(np.int64),
-                                "fieldnorm_id": fns.astype(np.int32),
-                            }
-                        )
-                    )
+                    d = {
+                        "term": r["term"],
+                        "segment_ord": np.int32(r["segment_ord"]),
+                        "doc_id": docs.astype(np.int32),
+                        "tf": tfs.astype(np.int64),
+                        "fieldnorm_id": fns.astype(np.int32),
+                    }
+                    if with_positions:
+                        idx = np.arange(len(docs))
+                        d["positions"] = [
+                            p.tolist() for p in tp.positions_for(idx, tfs)
+                        ]
+                    outs.append(pd.DataFrame(d))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        return pruned.mapInPandas(
-            decode_rows,
-            schema="term string, segment_ord int, doc_id int, tf long, fieldnorm_id int",
-        )
+        schema = "term string, segment_ord int, doc_id int, tf long, fieldnorm_id int"
+        if with_positions:
+            schema += ", positions array<int>"
+        return pruned.mapInPandas(decode_rows, schema=schema)
 
 
 # IndexConfig helper used above

@@ -1,0 +1,131 @@
+"""ES-style aggregation compilation tests (reference: src/aggregation/)."""
+
+import pandas as pd
+import pytest
+
+from tantivy_spark.operators import aggregations as A
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    pdf = pd.DataFrame(
+        {
+            "etype": ["a", "a", "a", "b", "b", "c", "c", "c", "c", None],
+            "val": [1.0, 2.0, 3.0, 10.0, 20.0, 5.0, 5.0, 7.0, 100.0, 4.0],
+            "uid": [1, 1, 2, 3, 3, 4, 5, 6, 6, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-02 09:00",
+                 "2024-01-02 10:00", "2024-01-03 00:00", "2024-01-03 12:00",
+                 "2024-01-03 13:00", "2024-01-04 01:00", "2024-01-04 02:00",
+                 "2024-01-04 03:00"]),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_terms_order_and_size(events):
+    out = A.run_aggregation(events, {"terms": {"field": "etype", "size": 2}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("c", 4), ("a", 3)]
+
+
+def test_terms_missing_bucket(events):
+    out = A.run_aggregation(
+        events, {"terms": {"field": "etype", "size": 10, "missing": "N/A"}}
+    ).collect()
+    assert ("N/A", 1) in [(r["key"], r["doc_count"]) for r in out]
+
+
+def test_terms_with_sub_metrics(events):
+    out = {r["key"]: r for r in A.run_aggregation(
+        events,
+        {"terms": {"field": "etype", "size": 10},
+         "aggs": {"v": {"stats": {"field": "val"}}}},
+    ).collect()}
+    assert out["a"]["v_sum"] == 6.0 and out["a"]["v_avg"] == 2.0
+    assert out["b"]["v_min"] == 10.0 and out["b"]["v_max"] == 20.0
+
+
+def test_histogram(events):
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"histogram": {"field": "val", "interval": 10.0}}).collect()}
+    assert out == {0.0: 7, 10.0: 1, 20.0: 1, 100.0: 1}
+
+
+def test_date_histogram(events):
+    out = A.run_aggregation(
+        events, {"date_histogram": {"field": "ts", "calendar_interval": "day"}}
+    ).collect()
+    assert [r["doc_count"] for r in out] == [2, 2, 3, 3]
+
+
+def test_range(events):
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"range": {"field": "val", "ranges": [
+            {"key": "lo", "to": 5.0},
+            {"key": "mid", "from": 5.0, "to": 20.0},
+            {"key": "hi", "from": 20.0},
+        ]}}).collect()}
+    # half-open [from, to): 5.0 falls in mid, 20.0 in hi
+    assert out == {"lo": 4, "mid": 4, "hi": 2}
+
+
+def test_filter_bucket(events):
+    r = A.run_aggregation(
+        events,
+        {"filter": {"condition": "val >= 10"},
+         "aggs": {"m": {"max": {"field": "val"}}}},
+    ).collect()[0]
+    assert r["doc_count"] == 3 and r["m"] == 100.0
+
+
+def test_composite_pagination(events):
+    page1 = A.run_aggregation(
+        events.fillna({"etype": "zz"}),
+        {"composite": {"sources": ["etype", "uid"], "size": 3}}).collect()
+    assert len(page1) == 3
+    last = (page1[-1]["etype"], page1[-1]["uid"])
+    page2 = A.run_aggregation(
+        events.fillna({"etype": "zz"}),
+        {"composite": {"sources": ["etype", "uid"], "size": 3,
+                       "after": list(last)}}).collect()
+    keys1 = [(r["etype"], r["uid"]) for r in page1]
+    keys2 = [(r["etype"], r["uid"]) for r in page2]
+    assert not set(keys1) & set(keys2)
+    assert all(k > last for k in keys2)
+
+
+def test_percentiles_exact(events):
+    r = A.run_aggregation(
+        events, {"terms": {"field": "etype", "size": 1},
+                 "aggs": {"p": {"percentiles": {"field": "val",
+                                                "percents": [50.0],
+                                                "exact": True}}}}).collect()[0]
+    assert r["key"] == "c" and r["p_p50_0"] == 6.0  # median of 5,5,7,100
+
+
+def test_cardinality(events):
+    r = A.run_aggregation(
+        events, {"terms": {"field": "etype", "size": 10},
+                 "aggs": {"u": {"cardinality": {"field": "uid", "exact": True}}}}
+    ).collect()
+    d = {x["key"]: x["u"] for x in r}
+    assert d["a"] == 2 and d["b"] == 1 and d["c"] == 3
+
+
+def test_top_hits(events):
+    out = A.run_aggregation(
+        events.fillna({"etype": "zz"}),
+        {"top_hits": {"group_field": "etype", "size": 1, "sort_field": "val",
+                      "select": ["etype", "uid", "val"]}}).collect()
+    best = {r["etype"]: r["val"] for r in out}
+    assert best["c"] == 100.0 and best["b"] == 20.0
+
+
+def test_missing_agg(events):
+    r = A.run_aggregation(events, {"missing": {"field": "etype"}}).collect()[0]
+    assert r["doc_count"] == 1
+
+
+def test_global_metric_root(events):
+    r = A.run_aggregation(events, {"avg": {"field": "val"}}).collect()[0]
+    assert r["avg"] == pytest.approx(15.7)

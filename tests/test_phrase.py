@@ -1,0 +1,127 @@
+"""Phrase query + positions codec tests.
+
+Mirrors the reference's phrase semantics tests
+(/root/reference/src/query/phrase_query/mod.rs): doc matches iff terms
+occur at consecutive positions; tf = number of phrase occurrences; scored
+like a single term with summed idf (phrase_scorer.rs:578-582).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.functions.bm25 import Bm25Params, Bm25Weight
+from tantivy_spark.operators import blocks
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.kernel import TermPostings, segment_topk_phrase
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 300
+    doc_ids = np.sort(rng.choice(100_000, size=n, replace=False))
+    positions = [
+        np.sort(rng.choice(500, size=rng.integers(1, 8), replace=False))
+        for _ in range(n)
+    ]
+    tfs = np.array([len(p) for p in positions], dtype=np.int64)
+    pos_enc, pos_off = blocks.encode_positions(positions)
+    got = blocks.decode_positions(pos_enc, pos_off, tfs, np.arange(n))
+    for g, p in zip(got, positions):
+        assert np.array_equal(g, p)
+    # subset decode
+    sub = np.array([0, 5, n - 1])
+    got2 = blocks.decode_positions(pos_enc, pos_off, tfs[sub], sub)
+    for g, i in zip(got2, sub):
+        assert np.array_equal(g, positions[i])
+
+
+def _postings_with_positions(doc_positions: dict[int, list[int]]) -> TermPostings:
+    doc_ids = np.array(sorted(doc_positions), dtype=np.int64)
+    pos = [np.array(doc_positions[d]) for d in doc_ids]
+    tfs = np.array([len(p) for p in pos], dtype=np.int64)
+    fns = np.full(len(doc_ids), 10, dtype=np.uint8)
+    e = blocks.encode_postings(doc_ids, tfs, fns)
+    pos_enc, pos_off = blocks.encode_positions(pos)
+    return TermPostings(
+        term="t", doc_freq=len(doc_ids), doc_enc=e["doc_enc"],
+        tf_enc=e["tf_enc"], fnorm_enc=e["fnorm_enc"],
+        block_last=e["block_last"], block_doc_off=e["block_doc_off"],
+        block_tf_off=e["block_tf_off"], bm_norm_id=e["bm_norm_id"],
+        bm_tf=e["bm_tf"], pos_enc=pos_enc, pos_off=pos_off,
+    )
+
+
+def test_phrase_kernel_consecutive_only():
+    # doc 0: "a b" at (0,1) -> match; doc 1: "a .. b" gap -> no match;
+    # doc 2: "b a" -> no match; doc 3: two occurrences
+    tp_a = _postings_with_positions({0: [0], 1: [0], 2: [5], 3: [2, 7]})
+    tp_b = _postings_with_positions({0: [1], 1: [4], 2: [4], 3: [3, 8]})
+    w = Bm25Weight.for_terms([4, 4], 10, 100, Bm25Params())
+    docs, scores = segment_topk_phrase([tp_a, tp_b], w, k=10)
+    assert docs.tolist() == [3, 0]  # doc 3 has tf=2 -> higher score
+    assert scores[0] > scores[1]
+
+
+def test_phrase_kernel_duplicate_term():
+    # phrase "a a": doc 0 has a at 0,1 (match), doc 1 at 0,2 (no match)
+    tp_a = _postings_with_positions({0: [0, 1], 1: [0, 2]})
+    w = Bm25Weight.for_terms([2, 2], 10, 100, Bm25Params())
+    docs, _ = segment_topk_phrase([tp_a, tp_a], w, k=10)
+    assert docs.tolist() == [0]
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": [0] * 6,
+            "text": [
+                "the quick brown fox",
+                "quick brown shoes",
+                "brown quick reversal",
+                "the quick brown quick brown fox",
+                "unrelated words here",
+                "quick stop then brown later",
+            ],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_segments=2, n_term_buckets=4, positions=True)
+    idx = f"{tmp_root}/phrase_idx"
+    build_index(spark, src, idx, cfg)
+    return Searcher(spark, idx)
+
+
+def test_phrase_e2e_daat_vs_taat(phrase_index):
+    q = L.PhraseQuery(("quick", "brown"))
+    daat = phrase_index.search(q, k=10, mode="daat").collect()
+    taat = phrase_index.search(q, k=10, mode="taat64").collect()
+    got_daat = [(r["conv_id"], r["turn_idx"]) for r in daat]
+    got_taat = [(r["conv_id"], r["turn_idx"]) for r in taat]
+    assert got_daat == got_taat
+    matched = {c for c, _ in got_daat}
+    assert matched == {"c0", "c1", "c3"}  # c5 has a gap: "quick stop then brown"
+    # doc with two occurrences scores highest
+    assert got_daat[0][0] == "c3"
+    # f32 vs f64 agreement to f32 precision
+    for rd, rt in zip(daat, taat):
+        assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
+
+
+def test_phrase_absent_term(phrase_index):
+    q = L.PhraseQuery(("quick", "zzz"))
+    assert phrase_index.search(q, k=10, mode="daat").count() == 0
+    assert phrase_index.search(q, k=10, mode="taat64").count() == 0
+
+
+def test_phrase_boost(phrase_index):
+    q = L.PhraseQuery(("quick", "brown"))
+    base = phrase_index.search(q, k=10, mode="daat").collect()
+    boosted = phrase_index.search(L.BoostQuery(q, 2.0), k=10, mode="daat").collect()
+    for rb, r in zip(boosted, base):
+        assert rb["score"] == pytest.approx(2.0 * r["score"], rel=1e-6)

@@ -1,0 +1,142 @@
+"""Training-data pipeline operator tests (dedup / similarity / quality)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": list(range(8)),
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",      # 0
+                "alpha beta gamma delta epsilon zeta eta theta",      # 1 exact dup of 0
+                "alpha beta gamma delta epsilon zeta eta iota",       # 2 near dup of 0
+                "completely different words in this document here",   # 3
+                "the quick brown fox jumps over the lazy dog",        # 4
+                "the quick brown fox jumps over a lazy cat",          # 5 near dup of 4
+                "numbers 123 456 789 mixed with words",               # 6
+                "short text",                                         # 7
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_stats(docs):
+    r = P.exact_dedup_stats(docs).collect()[0]
+    assert r["n_docs"] == 8
+    assert r["n_distinct"] == 7
+    assert r["n_dup_docs"] == 1
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = P.exact_dedup_keep_first(docs, "id")
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5, 6, 7]  # id 1 dropped (dup of 0, min id wins)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in P.ngram_jaccard_pairs(docs, "id", threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in P.minhash_lsh_pairs(docs, "id", threshold=0.4).collect()
+    }
+    # exact dups always collide in every band; near-dups at j>0.5 should
+    # be found with 16 bands of 4 rows with overwhelming probability
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+
+
+def test_minhash_vs_exact_jaccard_accuracy(docs):
+    sigs = {r["key"]: np.array(r["sig"]) for r in
+            P.minhash_signatures(docs, "id", num_perm=256).collect()}
+    est01 = float((sigs[0] == sigs[1]).mean())
+    est02 = float((sigs[0] == sigs[2]).mean())
+    est03 = float((sigs[0] == sigs[3]).mean())
+    assert est01 == 1.0
+    assert abs(est02 - 0.714) < 0.2  # true j(0,2) = 5/7 on 3-shingles
+    assert est03 < 0.2
+
+
+def test_simhash_near_dups(docs):
+    sigs = {r["key"]: r["sig"] for r in P.simhash_signatures(docs, "id").collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical simhash
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham03 = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"]
+             for r in P.simhash_pairs(docs, "id", max_hamming=0).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    base[7] = base[0] + 0.01 * rng.standard_normal(16)  # near-neighbor of 0
+    pdf = pd.DataFrame({
+        "vid": list(range(20)),
+        "v": [row.astype(np.float32).tolist() for row in base],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_brute_force_topk(vecs):
+    q = [float(x) for x in vecs.filter(F.col("vid") == 0).first()["v"]]
+    top = P.brute_force_topk(vecs.filter(F.col("vid") != 0), "vid", "v", q, k=3).collect()
+    assert top[0]["vid"] == 7
+    assert top[0]["cosine"] > 0.99
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_contains_strong_neighbor(vecs):
+    q = [float(x) for x in vecs.filter(F.col("vid") == 0).first()["v"]]
+    top = P.lsh_bucket_topk(
+        vecs.filter(F.col("vid") != 0), "vid", "v", q, k=3, n_planes=6
+    ).collect()
+    # the near-identical vector lands in the query's own bucket
+    assert any(r["vid"] == 7 for r in top)
+
+
+def test_quality_and_counts(docs):
+    q = {r["id"]: r for r in P.quality_score(docs, "id").collect()}
+    assert q[7]["n_tokens"] == 2
+    assert q[4]["n_tokens"] == 9
+    assert q[4]["n_distinct"] == 8  # 'the' twice
+    assert q[4]["ttr"] == pytest.approx(8 / 9, abs=1e-6)
+    t = {r["id"]: r for r in P.token_counts(docs, "id").collect()}
+    assert t[6]["ws_tokens"] == 7 and t[6]["alnum_tokens"] == 7
+
+
+def test_fingerprint_normalization(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1],
+        "text": ["Hello,  World! 42", "hello world 42"],
+    })
+    # different spacing/punct/case -> same normalized token fingerprint
+    df = spark.createDataFrame(pdf).withColumn("text", F.lower(F.col("text")))
+    fps = [r["fingerprint"] for r in P.fingerprint(df, "id").collect()]
+    assert fps[0] == fps[1]
+
+
+def test_language_id(docs):
+    r = {x["id"]: x for x in P.language_id(docs, "id").collect()}
+    assert r[4]["pred_lang"] == "en"  # two 'the' + 'over'... stopword-rich
+    assert r[0]["pred_lang"] == "unk"  # greek-letter salad, no stopwords
