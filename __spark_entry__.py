@@ -268,6 +268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, L.BooleanQuery.intersection(["fast", "slow"]), 10,
         mode="daat", ids_only=True)
 
+    Q["ft_fuzzy"] = lambda s, d: _topk(
+        s, d, L.FuzzyTermQuery("tabl", distance=1), 1000)
+    Q["ft_regex"] = lambda s, d: _topk(
+        s, d, L.RegexQuery("val.*"), 1000)
+    Q["ft_more_like_this"] = lambda s, d: _topk(
+        s, d,
+        L.MoreLikeThisQuery(
+            doc_text=_doc_text(s, d, 0),
+            min_doc_frequency=5, min_term_frequency=2, max_query_terms=10,
+        ), 10)  # f32 term-selection boosts — no SQL oracle (pytest-covered)
     Q["ft_phrase_top10"] = lambda s, d: _topk(
         s, d, L.PhraseQuery(("fast", "table")), 10, mode="taat64")
     Q["ft_phrase_daat_top10"] = lambda s, d: _topk(
@@ -408,6 +418,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return Q
 
 
+_DOC_TEXT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _doc_text(spark: SparkSession, sf_dir: str, doc_id: int) -> str:
+    key = (sf_dir, doc_id)
+    if key not in _DOC_TEXT_CACHE:
+        row = (
+            _tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") == doc_id).select("text").first()
+        )
+        _DOC_TEXT_CACHE[key] = row["text"]
+    return _DOC_TEXT_CACHE[key]
+
+
 _QVEC_CACHE: dict[str, list[float]] = {}
 
 
@@ -455,6 +479,28 @@ FROM per_clause ORDER BY score DESC, doc_id ASC LIMIT 10"""
         10, ids_only=True)
     O["ft_daat_and_top10"] = _bool_topk_sql(
         [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
+    O["ft_fuzzy"] = (
+        _BM25_PRELUDE
+        + """,
+matched AS (SELECT term FROM df WHERE damerau_levenshtein(term, 'tabl') <= 1),
+sc AS (
+  SELECT tf.doc_id, (count(*) * 1.0)::DOUBLE AS score
+  FROM tf JOIN matched ON tf.term = matched.term GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 5) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 1000"""
+    )
+    O["ft_regex"] = (
+        _BM25_PRELUDE
+        + """,
+matched AS (SELECT term FROM df WHERE regexp_full_match(term, 'val.*')),
+sc AS (
+  SELECT tf.doc_id, (count(*) * 1.0)::DOUBLE AS score
+  FROM tf JOIN matched ON tf.term = matched.term GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 5) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 1000"""
+    )
     O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
     O["ft_phrase_daat_top10"] = _phrase_sql(["the", "table"], 10, ids_only=True)
     O["ft_term_set"] = (

@@ -35,11 +35,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1"
 
 # transcripts corpus size: ~2M turns at sf=0.1 would take minutes in a
-# sandbox bench; scale conv count so the bench stays ~2-4 min total.
-_N_CONVS = {"0.001": 300, "0.01": 3000, "0.1": 30000}.get(SF, 30000)
+# sandbox bench; scale conv count so the bench stays ~3-5 min total while
+# keeping the scaling runs compute-dominated (fixed job overhead <10%).
+_N_CONVS = {"0.001": 300, "0.01": 3000, "0.1": 40000}.get(SF, 40000)
 
 
-def _fresh_spark(cores: int, app: str):
+def _fresh_spark(cores: int, app: str, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -50,26 +51,33 @@ def _fresh_spark(cores: int, app: str):
         time.sleep(1)
     from tantivy_spark.session import get_spark
 
-    s = get_spark(app, cores=cores, shuffle_partitions=max(cores, 8))
+    s = get_spark(app, cores=cores,
+                  shuffle_partitions=shuffle_partitions or max(cores, 8))
     s.sparkContext.setLogLevel("ERROR")
     return s
 
 
 def _index_transcripts(cores: int, run_tag: str) -> dict:
-    """Generate transcripts + build the full index at `cores` parallelism."""
+    """Generate transcripts + build the full index at `cores` parallelism.
+
+    The config (segments, buckets, shuffle partitions, generator
+    partitioning) is IDENTICAL across parallelism levels — only the core
+    count differs, so the scaling ratio isolates executor parallelism
+    (the N vs 4N executor experiment of the north rule).
+    """
     from tantivy_spark.config import IndexConfig
     from tantivy_spark.operators.build import build_index
     from tantivy_spark.sources.transcripts import transcripts_df
 
-    spark = _fresh_spark(cores, f"bench_idx_{run_tag}")
+    spark = _fresh_spark(cores, f"bench_idx_{run_tag}", shuffle_partitions=64)
     idx_dir = f"/tmp/tantivy_spark_bench/transcripts-{run_tag}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    src = transcripts_df(spark, _N_CONVS, partitions=max(cores * 2, 8))
+    src = transcripts_df(spark, _N_CONVS, partitions=64)
     src = src.persist()
     n_turns = src.count()  # materialize generation outside the timed build
 
-    cfg = IndexConfig(n_segments=max(cores, 8), n_term_buckets=16)
+    cfg = IndexConfig(n_segments=32, n_term_buckets=16)
     t0 = time.time()
     manifest = build_index(spark, src, idx_dir, cfg)
     dt = time.time() - t0

@@ -303,8 +303,13 @@ def build_index(
     if not (resume and _stage_done(index_dir, "postings")):
         t = time.time()
         postings = build_postings(docmap_df, cfg)
+        # range-partition on (tbucket, term): write parallelism scales with
+        # the cluster (not capped at n_term_buckets), and each output file
+        # covers a contiguous term range inside its bucket — parquet min/max
+        # term stats then act as the term-dict FST for scan pruning
+        n_write = max(cfg.n_term_buckets, spark.sparkContext.defaultParallelism)
         (
-            postings.repartition(max(cfg.n_term_buckets, 8), "tbucket")
+            postings.repartitionByRange(n_write, "tbucket", "term")
             .sortWithinPartitions("tbucket", "term", "segment_ord")
             .write.mode("overwrite")
             .partitionBy("tbucket")

@@ -37,6 +37,33 @@ from tantivy_spark.plans import logical as L
 _F32 = np.float32
 
 
+def _fuzzy_match(q: str, t: str, d: int, transposition_cost_one: bool,
+                 prefix: bool) -> bool:
+    """Levenshtein (or OSA with transpositions) distance <= d; with
+    `prefix`, accept if any prefix of `t` is within distance d of `q` —
+    the prefix-automaton acceptance rule (fuzzy_query.rs prefix variant)."""
+    m, n = len(q), len(t)
+    if not prefix and abs(m - n) > d:
+        return False
+    prev2 = None
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cost = 0 if q[i - 1] == t[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transposition_cost_one
+                and i > 1 and j > 1
+                and q[i - 1] == t[j - 2] and q[i - 2] == t[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    if prefix:
+        return min(prev) <= d
+    return prev[n] <= d
+
+
 class CompiledBoolean:
     def __init__(self, clauses, minimum_should_match, const_score):
         self.clauses = clauses  # list[(occur:str, term:str, boost:float)]
@@ -136,6 +163,89 @@ class Searcher:
         out.update({r["term"]: int(r["df"]) for r in rows})
         return out
 
+    def term_dict(self) -> DataFrame:
+        """Global term dictionary (term, df) — the FST analogue, derived by
+        aggregating per-segment doc_freqs.  One shuffle on term, already
+        term-bucket partitioned so the agg is near-local."""
+        return self.postings().groupBy("term").agg(F.sum("doc_freq").alias("df"))
+
+    def expand_regex(self, pattern: str) -> list[str]:
+        """Terms matching an anchored regex (the reference's regex automaton
+        over the term dict, src/query/regex_query.rs:57; tantivy anchors the
+        automaton to the full term)."""
+        anchored = f"^(?:{pattern})$"
+        rows = self.term_dict().filter(F.col("term").rlike(anchored)).collect()
+        return sorted(r["term"] for r in rows)
+
+    def expand_fuzzy(self, term: str, distance: int = 1,
+                     transposition_cost_one: bool = True,
+                     prefix: bool = False) -> list[str]:
+        """Terms within Levenshtein (or OSA, when transpositions cost 1)
+        distance — the Levenshtein-automaton ∩ term-dict walk of
+        src/query/fuzzy_query.rs:80-106, run as a vectorized filter over the
+        term dictionary (length-pruned, then exact DP per candidate)."""
+        q = term
+        d = distance
+        cands = self.term_dict().select("term")
+        if not prefix:
+            cands = cands.filter(
+                (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+            )
+        else:
+            cands = cands.filter(F.length("term") >= len(q) - d)
+
+        def match_batches(it):
+            for pdf in it:
+                keep = [
+                    t for t in pdf["term"]
+                    if _fuzzy_match(q, t, d, transposition_cost_one, prefix)
+                ]
+                yield pd.DataFrame({"term": keep})
+
+        rows = cands.mapInPandas(match_batches, schema="term string").collect()
+        return sorted(r["term"] for r in rows)
+
+    def more_like_this_query(self, q: "L.MoreLikeThisQuery") -> L.Query:
+        """Salient-term extraction (src/query/more_like_this/
+        more_like_this.rs:298-365): score = tf_in_doc * idf (f32), top
+        max_query_terms, clauses boosted by score * boost_factor / best."""
+        from collections import Counter
+
+        from tantivy_spark.functions.analysis import get_analyzer
+        from tantivy_spark.functions.bm25 import idf as idf_f32
+
+        toks, _ = get_analyzer(self.cfg.tokenizer)(q.doc_text)
+        tf = Counter(toks)
+        cand = [
+            t for t, c in tf.items()
+            if c >= q.min_term_frequency
+            and len(t) >= q.min_word_length
+            and (q.max_word_length is None or len(t) <= q.max_word_length)
+        ]
+        if not cand:
+            return L.EmptyQuery()
+        dfs = self.doc_freqs(sorted(cand))
+        scored = []
+        for t in cand:
+            df_t = dfs[t]
+            if df_t < q.min_doc_frequency or df_t == 0:
+                continue
+            if q.max_doc_frequency is not None and df_t > q.max_doc_frequency:
+                continue
+            s = _F32(_F32(tf[t]) * idf_f32(df_t, self.total_docs))
+            scored.append((float(s), t))
+        if not scored:
+            return L.EmptyQuery()
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        scored = scored[: q.max_query_terms]
+        best = scored[0][0] or 1.0
+        clauses = [
+            (L.Occur.SHOULD,
+             L.BoostQuery(L.TermQuery(t), s * q.boost_factor / best))
+            for s, t in scored
+        ]
+        return L.BooleanQuery.new(clauses)
+
     def avg_fieldnorm(self) -> float:
         return float(_F32(_F32(self.total_tokens) / _F32(self.total_docs)))
 
@@ -183,11 +293,25 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score float"
             )
-        # phrase (possibly boosted) takes its own path: multi-term weight
+        # expansion / phrase queries (possibly boosted) take their own path
         phrase, phrase_boost = query, 1.0
         while isinstance(phrase, L.BoostQuery):
             phrase_boost *= phrase.boost
             phrase = phrase.query
+        if isinstance(phrase, L.FuzzyTermQuery):
+            terms = self.expand_fuzzy(
+                phrase.term, phrase.distance,
+                phrase.transposition_cost_one, phrase.prefix,
+            )
+            return self._const_union(terms, phrase_boost, k)
+        if isinstance(phrase, L.RegexQuery):
+            terms = self.expand_regex(phrase.pattern)
+            return self._const_union(terms, phrase_boost, k)
+        if isinstance(phrase, L.MoreLikeThisQuery):
+            expanded = self.more_like_this_query(phrase)
+            if phrase_boost != 1.0:
+                expanded = L.BoostQuery(expanded, phrase_boost)
+            return self.top_docs_frame(expanded, k, mode)
         if isinstance(phrase, L.PhraseQuery):
             if phrase.slop != 0:
                 raise NotImplementedError("phrase slop not supported yet")
@@ -270,6 +394,25 @@ class Searcher:
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
         ).limit(k)
+
+    def _const_union(self, terms: list[str], boost: float, k: int | None) -> DataFrame:
+        """Union of const-scorers with sum combining: score = boost * number
+        of matched expanded terms containing the doc — the reference's
+        automaton execution (automaton_weight.rs:90-104: ConstScorer per
+        term, BufferedUnionScorer + SumCombiner)."""
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score double"
+            )
+        flat = self.flat_postings(sorted(set(terms)))
+        out = (
+            flat.groupBy("segment_ord", "doc_id")
+            .agg((F.count(F.lit(1)) * F.lit(float(boost))).alias("score"))
+            .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        )
+        if k is not None:
+            out = out.limit(k)
+        return out
 
     def _phrase_weight(self, phrase: L.PhraseQuery, boost: float) -> Bm25Weight | None:
         """Multi-term weight: idfs summed over the phrase terms in order

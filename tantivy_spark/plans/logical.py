@@ -130,6 +130,50 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class FuzzyTermQuery(Query):
+    """Docs containing a term within Levenshtein distance of `term`
+    (src/query/fuzzy_query.rs:80-106).  `prefix=True` matches terms the
+    automaton accepts as prefixes.  Matching docs score
+    boost * (number of matched expanded terms in doc) — the reference
+    unions ConstScorers with a SumCombiner (automaton_weight.rs:90-104)."""
+
+    term: str
+    distance: int = 1
+    transposition_cost_one: bool = True
+    prefix: bool = False
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class RegexQuery(Query):
+    """Docs containing a term matching the regex, const-scored like Fuzzy
+    (src/query/regex_query.rs:57, automaton_weight.rs)."""
+
+    pattern: str
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class MoreLikeThisQuery(Query):
+    """Extract salient terms from a reference document, then run the
+    resulting disjunction (src/query/more_like_this/more_like_this.rs:70-76;
+    defaults min_doc_frequency=5, min_term_frequency=2, max_query_terms=25)."""
+
+    doc_text: str
+    min_doc_frequency: int = 5
+    max_doc_frequency: int | None = None
+    min_term_frequency: int = 2
+    max_query_terms: int = 25
+    min_word_length: int = 0
+    max_word_length: int | None = None
+    boost_factor: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermSetQuery(Query):
     """Doc matches any term in the set — constant score 1.0 like tantivy's
     (scoring-free) TermSetQuery (src/query/term_set_query/term_set_query.rs:307)."""

@@ -1,0 +1,114 @@
+"""Fuzzy / regex / more-like-this term-dict expansion queries."""
+
+import pandas as pd
+import pytest
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.search import Searcher, _fuzzy_match
+from tantivy_spark.plans import logical as L
+
+
+def test_fuzzy_match_basic():
+    assert _fuzzy_match("table", "table", 0, True, False)
+    assert _fuzzy_match("tabel", "table", 1, True, False)   # transposition
+    assert not _fuzzy_match("tabel", "table", 1, False, False)  # costs 2 classic
+    assert _fuzzy_match("tabel", "table", 2, False, False)
+    assert _fuzzy_match("tabl", "table", 1, True, False)    # insertion
+    assert _fuzzy_match("tble", "table", 1, True, False)    # deletion
+    assert not _fuzzy_match("tango", "table", 2, True, False)
+
+
+def test_fuzzy_match_prefix():
+    # prefix mode: some prefix of the candidate within distance
+    assert _fuzzy_match("tab", "tables", 0, True, True)
+    assert _fuzzy_match("tap", "tables", 1, True, True)
+    assert not _fuzzy_match("xyz", "tables", 1, True, True)
+
+
+@pytest.fixture(scope="module")
+def exp_index(spark, tmp_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(5)],
+            "turn_idx": [0] * 5,
+            "text": [
+                "wizard lizard blizzard",
+                "wizard wisard",
+                "gizzard",
+                "unrelated tokens entirely",
+                "wizard of oz",
+            ],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    idx = f"{tmp_root}/exp_idx"
+    build_index(spark, src, idx, IndexConfig(n_segments=2, n_term_buckets=4))
+    return Searcher(spark, idx)
+
+
+def test_expand_fuzzy(exp_index):
+    # distance 1 from 'wizard': wizard, wisard, lizard; gizzard is d=2
+    assert exp_index.expand_fuzzy("wizard", 1) == ["lizard", "wisard", "wizard"]
+    assert "gizzard" in exp_index.expand_fuzzy("wizard", 2)
+
+
+def test_expand_regex(exp_index):
+    assert exp_index.expand_regex(".*izzard") == ["blizzard", "gizzard"]
+    assert exp_index.expand_regex("w.*") == ["wisard", "wizard", "words"] or \
+        exp_index.expand_regex("w.*") == ["wisard", "wizard"]
+
+
+def test_fuzzy_query_scores_by_matched_term_count(exp_index):
+    # c1 contains both 'wizard' and 'wisard' -> score 2; c0 has wizard+lizard
+    out = exp_index.search(L.FuzzyTermQuery("wizard", 1), k=10).collect()
+    scores = {r["conv_id"]: r["score"] for r in out}
+    assert scores["c0"] == 2.0  # wizard + lizard
+    assert scores["c1"] == 2.0  # wizard + wisard
+    assert scores["c4"] == 1.0
+    assert "c3" not in scores
+
+
+def test_regex_query(exp_index):
+    out = exp_index.search(L.RegexQuery(".*izzard"), k=10).collect()
+    got = {r["conv_id"] for r in out}
+    assert got == {"c0", "c2"}
+
+
+def test_boosted_fuzzy(exp_index):
+    out = exp_index.search(
+        L.BoostQuery(L.FuzzyTermQuery("wizard", 1), 3.0), k=10).collect()
+    assert max(r["score"] for r in out) == 6.0
+
+
+def test_more_like_this(exp_index):
+    q = L.MoreLikeThisQuery(
+        doc_text="wizard wizard lizard lizard",
+        min_doc_frequency=1, min_term_frequency=2, max_query_terms=5,
+    )
+    out = exp_index.search(q, k=10, mode="taat64").collect()
+    got = {r["conv_id"] for r in out}
+    # docs sharing wizard/lizard terms
+    assert got == {"c0", "c1", "c4"}
+    # expansion shape: boosted term disjunction
+    expanded = exp_index.more_like_this_query(q)
+    assert isinstance(expanded, L.BooleanQuery)
+    boosts = {c.query.term: c.boost for _, c in expanded.clauses}
+    assert set(boosts) == {"wizard", "lizard"}
+    # rarer term (lizard, df=1) gets the top boost 1.0
+    assert boosts["lizard"] == 1.0
+    assert 0 < boosts["wizard"] < 1.0
+
+
+def test_more_like_this_filters(exp_index):
+    # min_term_frequency=2 excludes single-occurrence terms
+    q = L.MoreLikeThisQuery(
+        doc_text="wizard lizard lizard",
+        min_doc_frequency=1, min_term_frequency=2,
+    )
+    expanded = exp_index.more_like_this_query(q)
+    assert [c.query.term for _, c in expanded.clauses] == ["lizard"]
+    # no qualifying terms -> EmptyQuery
+    q2 = L.MoreLikeThisQuery(doc_text="wizard", min_term_frequency=5,
+                             min_doc_frequency=1)
+    assert isinstance(exp_index.more_like_this_query(q2), L.EmptyQuery)
