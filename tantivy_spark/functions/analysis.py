@@ -98,6 +98,134 @@ def tokenize_en_stem(text: str) -> tuple[list[str], list[int]]:
     return [stem(t) for t in terms], positions
 
 
+# ---------------------------------------------------------------------------
+# composable pipeline builder — the TextAnalyzer::builder analogue
+# (src/tokenizer/tokenizer.rs: Tokenizer + TokenFilter chain)
+# ---------------------------------------------------------------------------
+
+# Lucene's English stopword list, as used by the reference
+# (src/tokenizer/stop_word_filter/mod.rs:42-50, Apache-licensed list).
+LUCENE_ENGLISH_STOPWORDS = frozenset([
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will",
+    "with",
+])
+
+
+def tokenize_simple(text: str) -> tuple[list[str], list[int]]:
+    """Bare SimpleTokenizer: alphanumeric runs, no filters
+    (src/tokenizer/simple_tokenizer.rs:41-55)."""
+    terms = _TOKEN_RE.findall(text)
+    return terms, list(range(len(terms)))
+
+
+def tokenize_ngram(text: str, min_gram: int = 2, max_gram: int = 3,
+                   prefix_only: bool = False) -> tuple[list[str], list[int]]:
+    """Char n-grams of the whole input (src/tokenizer/ngram_tokenizer.rs):
+    all [min_gram, max_gram] grams, or only those anchored at offset 0 when
+    `prefix_only`.  Position = the gram's start offset (the reference keeps
+    byte offsets; 0-based start ordinal here)."""
+    terms: list[str] = []
+    positions: list[int] = []
+    n = len(text)
+    starts = [0] if prefix_only else range(n)
+    for i in starts:
+        for g in range(min_gram, max_gram + 1):
+            if i + g <= n:
+                terms.append(text[i: i + g])
+                positions.append(i)
+    return terms, positions
+
+
+def tokenize_regex(text: str, pattern: str) -> tuple[list[str], list[int]]:
+    """Tokens = regex matches (src/tokenizer/regex_tokenizer.rs)."""
+    terms = re.findall(pattern, text)
+    return terms, list(range(len(terms)))
+
+
+def tokenize_facet(path: str) -> tuple[list[str], list[int]]:
+    """FacetTokenizer: emit every ancestor path of a facet, e.g.
+    "/a/b/c" -> "/a", "/a/b", "/a/b/c" (src/tokenizer/facet_tokenizer.rs);
+    all at position 0 (facets carry no positions)."""
+    parts = [p for p in path.split("/") if p]
+    terms = ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+    return terms, [0] * len(terms)
+
+
+def _ascii_fold(tok: str) -> str:
+    """Fold diacritics to ASCII via NFKD + combining-mark strip — the
+    practical core of AsciiFoldingFilter (the reference ships an explicit
+    mapping table, src/tokenizer/ascii_folding_filter.rs; NFKD covers the
+    diacritic rows, not the ligature/symbol special cases)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", tok)
+        if not unicodedata.combining(c)
+    )
+
+
+def build_analyzer(tokenizer: str = "simple",
+                   filters: list[tuple] | None = None,
+                   **tok_kwargs) -> Callable[[str], tuple[list[str], list[int]]]:
+    """Compose tokenizer + filter chain; register with register_analyzer.
+
+    tokenizer: simple | whitespace | raw | ngram | regex | facet
+    filters (applied in order, each a tuple (name, *args)):
+      ("remove_long", limit)  drop tokens with utf-8 byte length >= limit
+      ("lowercase",)          per-char Unicode lowercase, no final sigma
+      ("stopword", words)     drop members (words iterable or "en")
+      ("stemmer",)            Porter2 English
+      ("alphanum_only",)      drop tokens with any non-alphanumeric char
+                              (src/tokenizer/alphanum_only.rs)
+      ("ascii_folding",)      fold diacritics to ASCII
+    """
+    base = {
+        "simple": tokenize_simple,
+        "whitespace": lambda t: (_WS_RE.findall(t), list(range(len(_WS_RE.findall(t))))),
+        "raw": tokenize_raw,
+        "ngram": lambda t: tokenize_ngram(t, **tok_kwargs),
+        "regex": lambda t: tokenize_regex(t, **tok_kwargs),
+        "facet": tokenize_facet,
+    }[tokenizer]
+    steps = []
+    for f in filters or []:
+        name, *args = f
+        if name == "remove_long":
+            limit = args[0] if args else DEFAULT_LONG_LIMIT
+            steps.append(lambda tp, L_=limit: [
+                (t, p) for t, p in tp if len(t.encode("utf-8")) < L_])
+        elif name == "lowercase":
+            steps.append(lambda tp: [(_lower_no_final_sigma(t), p) for t, p in tp])
+        elif name == "stopword":
+            words = args[0] if args else "en"
+            wset = LUCENE_ENGLISH_STOPWORDS if words == "en" else frozenset(words)
+            steps.append(lambda tp, W=wset: [(t, p) for t, p in tp if t not in W])
+        elif name == "stemmer":
+            from tantivy_spark.functions.porter2 import stem
+
+            steps.append(lambda tp: [(stem(t), p) for t, p in tp])
+        elif name == "alphanum_only":
+            steps.append(lambda tp: [(t, p) for t, p in tp if t.isalnum()])
+        elif name == "ascii_folding":
+            steps.append(lambda tp: [(_ascii_fold(t), p) for t, p in tp])
+        else:
+            raise KeyError(f"unknown token filter {name!r}")
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        terms, positions = base(text)
+        tp = list(zip(terms, positions))
+        for s in steps:
+            tp = s(tp)
+        if not tp:
+            return [], []
+        ts, ps = zip(*tp)
+        return list(ts), list(ps)
+
+    return analyze
+
+
 ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "default": tokenize_default,
     "raw": tokenize_raw,

@@ -109,13 +109,18 @@ def _mark_done(index_dir: str, stage: str) -> None:
 # stage 1: docmap (tokenize + dense per-segment doc ids + fieldnorms)
 # --------------------------------------------------------------------------
 
-def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig) -> DataFrame:
+def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
+                 fixed_segment_ord: int | None = None) -> DataFrame:
     """Tokenized corpus with stable per-segment dense doc ids.
 
     Doc identity: tantivy assigns dense u32 doc ids in insertion order per
     segment (ARCHITECTURE.md:68-72); we assign them by the deterministic
     stable sort on key_cols within a deterministic hash-assigned segment, so
     two builds (at any parallelism) produce identical ids.
+
+    `fixed_segment_ord` pins every doc to one segment — the incremental
+    path (one segment per streaming micro-batch / commit, the reference's
+    add_document -> commit -> new segment lifecycle).
     """
     tokenizer = cfg.tokenizer
     positions = cfg.positions
@@ -144,8 +149,14 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig) -> Da
             out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
             yield out
 
-    seg = F.pmod(F.xxhash64(F.col(cfg.segment_col)), F.lit(cfg.n_segments)).cast("int")
-    base = source.select(*cfg.key_cols, F.col(text_col), seg.alias("segment_ord"))
+    if fixed_segment_ord is not None:
+        seg = F.lit(int(fixed_segment_ord)).cast("int")
+    else:
+        seg = F.pmod(F.xxhash64(F.col(cfg.segment_col)), F.lit(cfg.n_segments)).cast("int")
+    # keep ALL non-text source columns: the docmap doubles as the fast-field
+    # column store (parquet is already columnar+bitpacked — the reference's
+    # .fast file role, ARCHITECTURE.md:161-166)
+    base = source.withColumn("segment_ord", seg)
 
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -210,8 +221,126 @@ def _encode_group(pdf: pd.DataFrame, n_term_buckets: int,
     return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
 
+def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
+                    positions: bool) -> pd.DataFrame:
+    """Encode ALL postings of one segment in one vectorized pass.
+
+    This is the segment-local posting construction of the reference
+    (SegmentWriter + PostingsSerializer, segment_writer.rs:221-330,
+    postings_writer.rs:49-120) as a numpy kernel: flatten the token
+    stream, factorize terms, lexsort (term, doc), run-length-encode the
+    (term, doc) runs into tfs, then block-encode each term's list.
+    """
+    import zlib
+
+    pdf = pdf.sort_values("doc_id", kind="stable")
+    seg = int(pdf["segment_ord"].iloc[0])
+    counts = pdf["terms"].map(len).to_numpy(np.int64)
+    if counts.sum() == 0:
+        return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    tokens = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+    doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
+    fn_rep = np.repeat(pdf["fieldnorm_id"].to_numpy(np.int64), counts)
+    if positions:
+        pos_flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+        )
+    codes, uniq_terms = pd.factorize(pd.Series(tokens), sort=True)
+
+    order = np.lexsort((doc_rep, codes))  # stable: positions stay in doc order
+    c_s, d_s, f_s = codes[order], doc_rep[order], fn_rep[order]
+    if positions:
+        p_s = pos_flat[order]
+
+    # run boundaries of equal (term, doc) -> tf per posting
+    new_run = np.empty(len(c_s), dtype=bool)
+    new_run[0] = True
+    np.not_equal(c_s[1:], c_s[:-1], out=new_run[1:])
+    new_run[1:] |= d_s[1:] != d_s[:-1]
+    run_starts = np.flatnonzero(new_run)
+    tfs_all = np.diff(np.append(run_starts, len(c_s)))
+    term_of_run = c_s[run_starts]
+    doc_of_run = d_s[run_starts]
+    fn_of_run = f_s[run_starts]
+
+    # per-term slices over the run arrays (runs are term-sorted)
+    term_boundary = np.flatnonzero(
+        np.diff(term_of_run, prepend=term_of_run[0] - 1)
+    )
+    term_ends = np.append(term_boundary[1:], len(term_of_run))
+
+    out_rows = []
+    for ti, (lo, hi) in enumerate(zip(term_boundary, term_ends)):
+        term = str(uniq_terms[term_of_run[lo]])
+        doc_ids = doc_of_run[lo:hi]
+        tfs = tfs_all[lo:hi]
+        fns = fn_of_run[lo:hi].astype(np.uint8)
+        e = blocks.encode_postings(doc_ids, tfs, fns)
+        if positions:
+            pstart = run_starts[lo]
+            pos_lists = np.split(
+                p_s[pstart: pstart + int(tfs.sum())],
+                np.cumsum(tfs)[:-1],
+            )
+            pos_enc, pos_off = blocks.encode_positions(pos_lists)
+        else:
+            pos_enc, pos_off = None, None
+        out_rows.append(
+            {
+                "term": term,
+                "segment_ord": seg,
+                "doc_freq": int(e["doc_freq"]),
+                "sum_tf": int(tfs.sum()),
+                "max_tf": int(tfs.max()),
+                "doc_enc": e["doc_enc"],
+                "tf_enc": e["tf_enc"],
+                "fnorm_enc": e["fnorm_enc"],
+                "block_last": e["block_last"].tolist(),
+                "block_doc_off": e["block_doc_off"].tolist(),
+                "block_tf_off": e["block_tf_off"].tolist(),
+                "bm_norm_id": e["bm_norm_id"].tolist(),
+                "bm_tf": e["bm_tf"].tolist(),
+                "pos_enc": pos_enc,
+                "pos_off": pos_off.tolist() if pos_off is not None else None,
+                "tbucket": zlib.crc32(term.encode("utf-8")) % n_term_buckets,
+            }
+        )
+    return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+
+def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Segment-local posting construction (the default, tantivy's shape).
+
+    One task per segment builds that segment's complete postings in RAM
+    (the reference's per-thread SegmentWriter arena), so the only shuffles
+    are (a) docmap rows grouped to their segment (~docs, not tokens) and
+    (b) the already-COMPRESSED posting rows moved into term-bucket layout.
+    Shuffling compressed blocks instead of the raw token stream is what
+    keeps the term shuffle ~20-50x smaller at 100 TB; hot terms are
+    naturally salted because each segment emits at most one row per term.
+
+    Memory bound: one segment's docmap batch must fit the task (size
+    segments via cfg.n_segments; ~1-2M docs/segment at production scale).
+    """
+    nb = cfg.n_term_buckets
+    with_pos = cfg.positions
+    cols = ["segment_ord", "doc_id", "fieldnorm_id", "terms"]
+    if with_pos:
+        cols.append("positions")
+    return (
+        docmap.select(*cols)
+        .groupBy("segment_ord")
+        .applyInPandas(
+            lambda pdf: _encode_segment(pdf, nb, with_pos),
+            schema=POSTINGS_SCHEMA,
+        )
+    )
+
+
 def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = None) -> DataFrame:
-    """Flat (term, doc, tf) aggregation + per-term block encoding.
+    """Flat (term, doc, tf) aggregation + per-term block encoding — the
+    shuffle-by-term variant (kept for segments too large for one task; the
+    default build uses build_postings_local).
 
     The groupBy below does map-side partial aggregation (Catalyst), so the
     shuffle carries one row per distinct (segment, term, doc) — not one row
@@ -288,9 +417,12 @@ def build_index(
     if not (resume and _stage_done(index_dir, "docmap")):
         t = time.time()
         docmap = build_docmap(spark, source, cfg)
+        # the window already shuffled by segment_ord (into
+        # spark.sql.shuffle.partitions tasks); write directly from that
+        # partitioning — re-repartitioning to exactly n_segments would be a
+        # balls-in-bins hash with straggler partitions holding 2+ segments
         (
-            docmap.repartition(cfg.n_segments, "segment_ord")
-            .sortWithinPartitions("segment_ord", "doc_id")
+            docmap.sortWithinPartitions("segment_ord", "doc_id")
             .write.mode("overwrite")
             .partitionBy("segment_ord")
             .parquet(docmap_path)
@@ -302,14 +434,21 @@ def build_index(
 
     if not (resume and _stage_done(index_dir, "postings")):
         t = time.time()
+        # Salted-term-shuffle encode (the default): fine-grained
+        # (segment, term-shard) tasks keep every core busy and bound any
+        # hot term's postings by the segment size (segments are the salt).
+        # The segment-local variant (build_postings_local) encodes whole
+        # segments in one task each — fewer/larger tasks, measured slower
+        # at high parallelism (stragglers), so it serves the incremental
+        # streaming path where batches are small.
         postings = build_postings(docmap_df, cfg)
-        # range-partition on (tbucket, term): write parallelism scales with
-        # the cluster (not capped at n_term_buckets), and each output file
-        # covers a contiguous term range inside its bucket — parquet min/max
-        # term stats then act as the term-dict FST for scan pruning
+        # hash-partition the write on (tbucket, term) — NOT
+        # repartitionByRange, whose sampling pass would re-run the whole
+        # encode pipeline.  Files stay term-sorted within each task, so
+        # parquet row-group term stats still prune exact-term scans.
         n_write = max(cfg.n_term_buckets, spark.sparkContext.defaultParallelism)
         (
-            postings.repartitionByRange(n_write, "tbucket", "term")
+            postings.repartition(n_write, "tbucket", "term")
             .sortWithinPartitions("tbucket", "term", "segment_ord")
             .write.mode("overwrite")
             .partitionBy("tbucket")

@@ -1,0 +1,131 @@
+"""Collectors — what to do with the matched/scored doc set.
+
+Reference: /root/reference/src/collector/ — TopDocs (top_score_collector.rs),
+Count (count_collector.rs), DocSetCollector (docset_collector.rs),
+HistogramCollector (histogram_collector.rs), FacetCollector
+(facet_collector.rs), FilterCollector (filter_collector_wrapper.rs),
+MultiCollector (multi_collector.rs).
+
+Spark mapping: a collector is a transformation over the engine's scored
+frame `(segment_ord, doc_id, score)` joined with the docmap's fast-field
+columns.  The scored frame comes from the TAAT64 path with no limit (full
+match set) or the DAAT top-k path when only ranks are needed; collectors
+compose as DataFrame ops, so MultiCollector = cache the scored frame once
+and derive every sub-collector from it (one matching pass, like the
+reference's single collect walk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+
+
+def scored_frame(searcher: Searcher, query: L.Query,
+                 fast_fields: list[str] | None = None) -> DataFrame:
+    """Full match set with scores (+ requested docmap fast-field columns).
+
+    The docmap join is the columnar fast-field access of the reference
+    (collectors read doc values from the column store, never the inverted
+    index — src/aggregation/agg_data.rs shape).
+    """
+    scored = searcher.top_docs_frame(query, k=None, mode="taat64")
+    if not fast_fields:
+        return scored
+    dm = searcher.docmap().select("segment_ord", "doc_id", *fast_fields)
+    return scored.join(dm, ["segment_ord", "doc_id"], "inner")
+
+
+def top_docs(searcher: Searcher, query: L.Query, limit: int, offset: int = 0,
+             order_by_field: str | None = None,
+             ascending: bool = False) -> DataFrame:
+    """TopDocs with offset, by score (default) or by a fast field
+    (TopDocs::order_by_u64_field / order_by_fast_field,
+    top_score_collector.rs:63-470).  Tie-break ascending DocAddress."""
+    if order_by_field is None:
+        out = searcher.top_docs_frame(query, k=limit + offset, mode="taat64")
+    else:
+        scored = scored_frame(searcher, query, [order_by_field])
+        direction = F.asc(order_by_field) if ascending else F.desc(order_by_field)
+        out = scored.orderBy(
+            direction, F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(limit + offset)
+    rows = out.collect()[offset: offset + limit]
+    return searcher.spark.createDataFrame(rows, out.schema) if rows else out.limit(0)
+
+
+def count(searcher: Searcher, query: L.Query) -> int:
+    """Count collector (count_collector.rs:37) — doc_freq fast path inside."""
+    return searcher.count(query)
+
+
+def doc_set(searcher: Searcher, query: L.Query) -> DataFrame:
+    """DocSetCollector (docset_collector.rs:9): all matching DocAddresses."""
+    return (
+        searcher.top_docs_frame(query, k=None, mode="taat64")
+        .select("segment_ord", "doc_id")
+    )
+
+
+def histogram(searcher: Searcher, query: L.Query, field: str,
+              min_value: float, bucket_width: float,
+              num_buckets: int) -> DataFrame:
+    """HistogramCollector (histogram_collector.rs:27): fixed-width buckets
+    over a fast field of the matching docs; values outside
+    [min, min + width*num_buckets) are dropped (reference semantics)."""
+    sf = scored_frame(searcher, query, [field])
+    bucket = F.floor((F.col(field) - F.lit(min_value)) / F.lit(bucket_width))
+    return (
+        sf.withColumn("bucket", bucket)
+        .filter((F.col("bucket") >= 0) & (F.col("bucket") < num_buckets))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def facet_counts(searcher: Searcher, query: L.Query, field: str,
+                 root: str = "/") -> DataFrame:
+    """FacetCollector (facet_collector.rs:55-183): counts of the direct
+    children of `root` over a hierarchical path column ("/a/b/c")."""
+    sf = scored_frame(searcher, query, [field])
+    root = root.rstrip("/")
+    depth = len([p for p in root.split("/") if p]) + 2  # split produces ['',...]
+    child = F.concat_ws("/", F.slice(F.split(F.col(field), "/"), 1, depth))
+    prefixed = sf.filter(
+        F.col(field).startswith(root + "/") if root else F.lit(True)
+    )
+    return (
+        prefixed.withColumn("facet", F.concat(F.lit("/"), F.regexp_replace(child, "^/", "")))
+        .groupBy("facet")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("facet")
+    )
+
+
+def filtered(searcher: Searcher, query: L.Query, predicate,
+             inner):
+    """FilterCollector (filter_collector_wrapper.rs:70): fast-field
+    predicate wrapped around an inner collector callable(scored_df)."""
+    def wrapper(sf: DataFrame) -> DataFrame:
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return inner(sf.filter(cond))
+
+    return wrapper
+
+
+def multi(searcher: Searcher, query: L.Query, fast_fields: list[str],
+          collectors: dict) -> dict:
+    """MultiCollector (multi_collector.rs:171): one matching pass, several
+    collectors.  `collectors` maps name -> callable(scored_df) -> DataFrame;
+    the scored frame is cached, every collector materializes from that one
+    pass, and the results are returned as collected row lists (the
+    reference's merged 'fruits')."""
+    sf = scored_frame(searcher, query, fast_fields).cache()
+    try:
+        return {name: fn(sf).collect() for name, fn in collectors.items()}
+    finally:
+        sf.unpersist()

@@ -289,10 +289,34 @@ def segment_topk(
     return candidates[order], scores[order]
 
 
+def _slop_count(left: np.ndarray, right: np.ndarray, slop: int) -> int:
+    """Greedy slop-window match count over offset-adjusted position lists —
+    the two-pointer walk of phrase_scorer.rs intersection_count_with_slop
+    (:145-191): a pair matches when |l - r| <= slop; on a match, advance
+    the left pointer past any better (larger, still <= r) candidate."""
+    li = ri = count = 0
+    ll, rl = len(left), len(right)
+    while li < ll and ri < rl:
+        lv, rv = int(left[li]), int(right[ri])
+        if abs(lv - rv) <= slop:
+            while li + 1 < ll and left[li + 1] <= rv:
+                li += 1
+            count += 1
+            li += 1
+            ri += 1
+        elif lv < rv:
+            li += 1
+        else:
+            ri += 1
+    return count
+
+
 def segment_topk_phrase(
     term_postings: list[TermPostings | None],
     weight: Bm25Weight,
     k: int,
+    slop: int = 0,
+    last_alternatives: list[TermPostings] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact-phrase top-k for one segment.
 
@@ -303,41 +327,90 @@ def segment_topk_phrase(
     bm25.rs:136-142).  Duplicate terms in the phrase share one posting
     list.  Candidates = conjunction of all term docsets, then a per-doc
     vectorized position-chain intersection.
+
+    `slop` > 0 uses the reference's greedy slop-window count (2-term
+    phrases, phrase_scorer.rs:145-191); `last_alternatives` replaces the
+    final slot with a union of posting lists — the PhrasePrefix expansion
+    (src/query/phrase_prefix_query/phrase_prefix_scorer.rs).
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
-    if any(tp is None for tp in term_postings):
+    if slop > 0 and len(term_postings) > 2:
+        raise NotImplementedError("slop is supported for 2-term phrases")
+    fixed = term_postings if last_alternatives is None else term_postings[:-1]
+    if any(tp is None for tp in fixed):
+        return empty
+    alts = [tp for tp in (last_alternatives or []) if tp is not None]
+    if last_alternatives is not None and not alts:
         return empty
 
     uniq: dict[int, tuple] = {}
-    for tp in term_postings:
+    for tp in fixed + alts:
         if id(tp) not in uniq:
             uniq[id(tp)] = tp.decode_all()
 
     cand = None
-    for tp in term_postings:
+    for tp in fixed:
         docs = uniq[id(tp)][0]
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+    if alts:
+        alt_union = np.unique(np.concatenate([uniq[id(tp)][0] for tp in alts]))
+        cand = alt_union if cand is None else cand[np.isin(cand, alt_union, assume_unique=True)]
     if cand is None or len(cand) == 0:
         return empty
 
     # positions per phrase slot, aligned to candidates
-    slot_positions: list[list[np.ndarray]] = []
     pos_cache: dict[int, list[np.ndarray]] = {}
-    for tp in term_postings:
+
+    def positions_of(tp: TermPostings) -> list[np.ndarray]:
         if id(tp) not in pos_cache:
             docs, tfs, _ = uniq[id(tp)]
             idx = np.searchsorted(docs, cand)
-            pos_cache[id(tp)] = tp.positions_for(idx, tfs[idx])
-        slot_positions.append(pos_cache[id(tp)])
+            present = (idx < len(docs))
+            idx = np.clip(idx, 0, max(len(docs) - 1, 0))
+            hit = present & (docs[idx] == cand)
+            plists = [np.empty(0, dtype=np.int64)] * len(cand)
+            if hit.any():
+                got = tp.positions_for(idx[hit], tfs[idx[hit]])
+                for slot, arr in zip(np.flatnonzero(hit), got):
+                    plists[slot] = arr
+            pos_cache[id(tp)] = plists
+        return pos_cache[id(tp)]
 
-    docs0, _, fns0 = uniq[id(term_postings[0])]
+    slot_positions = [positions_of(tp) for tp in fixed]
+    if alts:
+        alt_pos = [positions_of(tp) for tp in alts]
+        merged = [
+            np.unique(np.concatenate([ap[i] for ap in alt_pos]))
+            for i in range(len(cand))
+        ]
+        slot_positions.append(merged)
+
+    anchor = fixed[0] if fixed else alts[0]
+    docs0, _, fns0 = uniq[id(anchor)]
     idx0 = np.searchsorted(docs0, cand)
-    fns = fns0[idx0].astype(np.int64)
+    fns = fns0[np.clip(idx0, 0, len(docs0) - 1)].astype(np.int64)
+    if not fixed:  # single-slot prefix phrase: fieldnorms via any alt hit
+        fns = np.zeros(len(cand), dtype=np.int64)
+        for tp in alts:
+            docs_a, _, fns_a = uniq[id(tp)]
+            ia = np.searchsorted(docs_a, cand)
+            ok = (ia < len(docs_a))
+            ia = np.clip(ia, 0, max(len(docs_a) - 1, 0))
+            hit = ok & (docs_a[ia] == cand)
+            fns[hit] = fns_a[ia[hit]]
 
     counts = np.zeros(len(cand), dtype=np.int64)
+    n_slots = len(slot_positions)
     for i in range(len(cand)):
+        if slop > 0 and n_slots == 2:
+            counts[i] = _slop_count(
+                slot_positions[0][i].astype(np.int64),
+                slot_positions[1][i].astype(np.int64) - 1,
+                slop,
+            )
+            continue
         starts = slot_positions[0][i]
-        for t in range(1, len(term_postings)):
+        for t in range(1, n_slots):
             if len(starts) == 0:
                 break
             starts = starts[np.isin(starts + t, slot_positions[t][i], assume_unique=True)]

@@ -1,0 +1,230 @@
+"""Log-structured segment merging + delete tombstones.
+
+Reference:
+* `IndexMerger` (/root/reference/src/indexer/merger.rs:515-546) — k-way
+  merges segments: remaps doc ids, unions fieldnorms, drops deleted docs.
+* `LogMergePolicy` (/root/reference/src/indexer/log_merge_policy.rs:9-16)
+  — groups segments into exponential size layers; merges a layer when it
+  holds >= min_num_segments; defaults: level_log_size 0.75, min_layer_size
+  10_000, min_num_segments 8, max_docs_before_merge 10_000_000,
+  del_docs_ratio_before_merge 1.0.
+* Deletes (/root/reference/src/indexer/index_writer.rs:732,
+  src/fastfield/alive_bitset.rs) — `delete_term` tombstones every doc
+  containing the term; queries see an alive bitset; merges physically drop
+  dead docs.
+
+Spark-first mapping: a merge is a job over the docmap partitions of the
+input segments — re-sort by the stable key, assign new dense doc ids,
+re-encode postings for the merged segment, swap the segment set in the
+manifest (written last = the atomic commit).  Tombstones are a tiny
+parquet of terms; the deleted-doc set is resolved by a pruned postings
+scan and anti-joined (TAAT) or numpy-excluded (DAAT kernel) at query
+time, exactly the alive-bitset role.
+
+Scale: one merge touches only its input segments' partitions (partition
+pruning on segment_ord); concurrent merges of disjoint layers are
+independent jobs.  The merged segment's postings re-encode is the same
+stage-2 dataflow as the build, bounded by the merged doc count
+(max_docs_before_merge caps it at 10M docs — int32 doc-id-safe).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import (
+    MANIFEST_NAME,
+    build_postings,
+    load_manifest,
+)
+
+TOMBSTONES_DIR = "tombstones"
+
+
+# --------------------------------------------------------------------------
+# LogMergePolicy (log_merge_policy.rs arithmetic)
+# --------------------------------------------------------------------------
+
+class LogMergePolicy:
+    def __init__(self, min_num_segments: int = 8,
+                 max_docs_before_merge: int = 10_000_000,
+                 min_layer_size: int = 10_000,
+                 level_log_size: float = 0.75,
+                 del_docs_ratio_before_merge: float = 1.0):
+        self.min_num_segments = min_num_segments
+        self.max_docs_before_merge = max_docs_before_merge
+        self.min_layer_size = min_layer_size
+        self.level_log_size = level_log_size
+        self.del_docs_ratio_before_merge = del_docs_ratio_before_merge
+
+    def compute_merge_candidates(self, segments: list[dict]) -> list[list[int]]:
+        """segments: manifest dicts with segment_ord, n_docs (+ n_deleted).
+        Returns lists of segment_ords to merge (one list per candidate) —
+        the layer-grouping walk of log_merge_policy.rs compute_merge_candidates."""
+        eligible = sorted(
+            (s for s in segments if s["n_docs"] <= self.max_docs_before_merge),
+            key=lambda s: -s["n_docs"],
+        )
+        if not eligible:
+            return []
+        # chunk_by on a rolling log2 level (log_merge_policy.rs:110-122):
+        # a segment starts a new level when its (clipped) log2 size drops
+        # more than level_log_size below the current level's anchor
+        current_max_log_size = float("inf")
+        levels: list[list[dict]] = []
+        for s in eligible:
+            log_size = math.log2(max(self.min_layer_size, s["n_docs"], 1))
+            if log_size < current_max_log_size - self.level_log_size:
+                current_max_log_size = log_size
+                levels.append([])
+            levels[-1].append(s)
+        out = []
+        for level in levels:
+            high_deletes = any(
+                s.get("n_deleted", 0) / max(s["n_docs"], 1)
+                > self.del_docs_ratio_before_merge
+                for s in level
+            )
+            if len(level) >= self.min_num_segments or high_deletes:
+                out.append([s["segment_ord"] for s in level])
+        return out
+
+
+# --------------------------------------------------------------------------
+# tombstone deletes
+# --------------------------------------------------------------------------
+
+def delete_term(spark: SparkSession, index_dir: str, term: str) -> None:
+    """Tombstone every doc containing `term` (index_writer.rs:732 shape:
+    the tombstone is by-term; materialization happens at query/merge)."""
+    path = os.path.join(index_dir, TOMBSTONES_DIR)
+    df = spark.createDataFrame([(term, time.time())], "term string, ts double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def tombstoned_terms(spark: SparkSession, index_dir: str) -> list[str]:
+    path = os.path.join(index_dir, TOMBSTONES_DIR)
+    if not os.path.exists(path):
+        return []
+    return [r["term"] for r in spark.read.parquet(path).select("term").distinct().collect()]
+
+
+# --------------------------------------------------------------------------
+# segment merging
+# --------------------------------------------------------------------------
+
+def merge_segments(spark: SparkSession, index_dir: str,
+                   segment_ords: list[int] | None = None,
+                   drop_deleted: bool = True) -> dict:
+    """Merge the given segments (default: all) into one new segment.
+
+    The merged segment gets ord = max(existing)+1; docs re-sorted by the
+    stable key (the index-sorting invariant), dense ids reassigned, deleted
+    docs physically dropped (merger.rs drop-deleted semantics), postings
+    re-encoded.  Manifest rewritten LAST (atomic commit protocol).
+    """
+    from tantivy_spark.operators.search import Searcher
+
+    manifest = load_manifest(index_dir)
+    cfg = IndexConfig.from_json_dict(manifest["config"])
+    all_ords = [s["segment_ord"] for s in manifest["segments"]]
+    if segment_ords is None:
+        segment_ords = all_ords
+    new_ord = max(all_ords) + 1
+
+    docmap_path = os.path.join(index_dir, "docmap")
+    postings_path = os.path.join(index_dir, "postings")
+
+    dm = spark.read.parquet(docmap_path).filter(
+        F.col("segment_ord").isin(segment_ords)
+    )
+
+    # physically drop tombstoned docs
+    dead_terms = tombstoned_terms(spark, index_dir) if drop_deleted else []
+    if dead_terms:
+        searcher = Searcher(spark, index_dir)
+        dead = (
+            searcher.flat_postings(dead_terms)
+            .select("segment_ord", "doc_id")
+            .distinct()
+        )
+        dm = dm.join(dead, ["segment_ord", "doc_id"], "left_anti")
+
+    # re-assign dense doc ids in stable key order within the merged segment
+    w = Window.partitionBy().orderBy(*[F.col(c) for c in cfg.key_cols])
+    merged = (
+        dm.drop("segment_ord", "doc_id")
+        .withColumn("segment_ord", F.lit(new_ord).cast("int"))
+        .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+    )
+
+    # write new docmap partition, new postings partitions (append)
+    merged.sortWithinPartitions("doc_id").write.mode("append").partitionBy(
+        "segment_ord"
+    ).parquet(docmap_path)
+
+    merged_dm = spark.read.parquet(docmap_path).filter(
+        F.col("segment_ord") == new_ord
+    )
+    new_postings = build_postings(merged_dm, cfg)
+    n_write = max(cfg.n_term_buckets, spark.sparkContext.defaultParallelism)
+    (
+        new_postings.repartition(n_write, "tbucket", "term")
+        .sortWithinPartitions("tbucket", "term", "segment_ord")
+        .write.mode("append")
+        .partitionBy("tbucket")
+        .parquet(postings_path)
+    )
+
+    stats = merged_dm.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens")
+    ).collect()[0]
+    pstats = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("segment_ord") == new_ord)
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("doc_freq").alias("n_postings"))
+        .collect()[0]
+    )
+
+    # swap the segment set; manifest written last = commit (end_merge)
+    kept = [s for s in manifest["segments"] if s["segment_ord"] not in segment_ords]
+    kept.append(
+        {
+            "segment_ord": new_ord,
+            "n_docs": int(stats["n_docs"]),
+            "n_tokens": int(stats["n_tokens"] or 0),
+            "n_terms": int(pstats["n_terms"] or 0),
+            "n_postings": int(pstats["n_postings"] or 0),
+            "merged_from": sorted(segment_ords),
+        }
+    )
+    manifest["segments"] = sorted(kept, key=lambda s: s["segment_ord"])
+    manifest["total_docs"] = int(sum(s["n_docs"] for s in manifest["segments"]))
+    manifest["total_tokens"] = int(sum(s["n_tokens"] for s in manifest["segments"]))
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+
+    # old segment files are now orphans (GC'able, like segment_updater's
+    # garbage_collect_files); leave them — readers pin the manifest
+    return manifest
+
+
+def maybe_merge(spark: SparkSession, index_dir: str,
+                policy: LogMergePolicy | None = None) -> list[list[int]]:
+    """Run the merge policy over the manifest and execute each candidate —
+    the consider_merge_options / end_merge loop (segment_updater.rs:756,805)."""
+    policy = policy or LogMergePolicy()
+    manifest = load_manifest(index_dir)
+    candidates = policy.compute_merge_candidates(manifest["segments"])
+    for ords in candidates:
+        merge_segments(spark, index_dir, ords)
+    return candidates

@@ -128,16 +128,36 @@ class Searcher:
         self.total_docs = int(self.manifest["total_docs"])
         self.total_tokens = int(self.manifest["total_tokens"])
         self.params = Bm25Params(self.cfg.k1, self.cfg.b)
+        self._tombstones: list[str] | None = None
+        self._live_segments = {
+            int(s["segment_ord"]) for s in self.manifest["segments"]
+        }
+
+    def tombstones(self) -> list[str]:
+        """Pending delete-term tombstones (alive-bitset role; applied as
+        injected must_not clauses — exactly tantivy's 'docs containing the
+        deleted term are dead' semantics, index_writer.rs:732)."""
+        if self._tombstones is None:
+            from tantivy_spark.operators.merge import tombstoned_terms
+
+            self._tombstones = tombstoned_terms(self.spark, self.index_dir)
+        return self._tombstones
 
     # -- table access -------------------------------------------------------
     def docmap(self, with_terms: bool = False) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
         if not with_terms:
             df = df.drop("terms", "positions")
-        return df
+        return df.filter(
+            F.col("segment_ord").isin(sorted(self._live_segments))
+        )
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        # live-segment filter: merged-away segments' files are orphans until
+        # GC; the manifest snapshot decides visibility (searcher pinning)
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings")
+        ).filter(F.col("segment_ord").isin(sorted(self._live_segments)))
 
     def pruned_postings(self, terms: list[str]) -> DataFrame:
         """Partition-pruned + stats-pruned scan for exactly these terms."""
@@ -259,9 +279,10 @@ class Searcher:
 
     # -- collectors -----------------------------------------------------------
     def count(self, query: L.Query) -> int:
-        """Count collector; doc_freq fast path for single terms
-        (weight.rs count default + term_weight.rs override)."""
-        if isinstance(query, L.TermQuery):
+        """Count collector; doc_freq fast path for single terms — only
+        valid with no pending deletes (the same no-deletes condition as
+        weight.rs count default + term_weight.rs override)."""
+        if isinstance(query, L.TermQuery) and not self.tombstones():
             return self.doc_freqs([query.term])[query.term]
         df = self.top_docs_frame(query, k=None, mode="taat64")
         return df.count()
@@ -312,16 +333,31 @@ class Searcher:
             if phrase_boost != 1.0:
                 expanded = L.BoostQuery(expanded, phrase_boost)
             return self.top_docs_frame(expanded, k, mode)
-        if isinstance(phrase, L.PhraseQuery):
-            if phrase.slop != 0:
-                raise NotImplementedError("phrase slop not supported yet")
+        if isinstance(phrase, L.PhrasePrefixQuery):
             if k is None:
                 raise ValueError("phrase query needs a finite k")
+            return self._daat_phrase_prefix(phrase, phrase_boost, k)
+        if isinstance(phrase, L.PhraseQuery):
+            if k is None:
+                raise ValueError("phrase query needs a finite k")
+            if phrase.slop != 0:
+                # slop matching is a kernel-only path (greedy window count)
+                return self._daat_phrase(phrase, phrase_boost, k)
             if mode == "daat":
                 return self._daat_phrase(phrase, phrase_boost, k)
             return self._taat64_phrase(phrase, phrase_boost, k)
 
         spec = compile_query(query)
+        # pending tombstones = extra must_not clauses (alive bitset)
+        dead = self.tombstones()
+        if dead and isinstance(spec, CompiledBoolean):
+            have_not = {t for o, t, _ in spec.clauses if o == "must_not"}
+            spec = CompiledBoolean(
+                spec.clauses
+                + [("must_not", t, 1.0) for t in dead if t not in have_not],
+                spec.minimum_should_match,
+                spec.const_score,
+            )
         if mode == "daat":
             if k is None:
                 raise ValueError("daat mode needs a finite k (use taat64 for scans)")
@@ -433,12 +469,13 @@ class Searcher:
                 [], "segment_ord int, doc_id int, score float"
             )
         slots = list(phrase.phrase_terms)
+        slop = phrase.slop
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
             docs, scores = K.segment_topk_phrase(
-                [tp.get(t) for t in slots], weight, k
+                [tp.get(t) for t in slots], weight, k, slop=slop
             )
             return pd.DataFrame(
                 {
@@ -449,6 +486,67 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(sorted(set(slots)))
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Term-dict prefix scan, lowest terms first, capped at
+        max_expansions (phrase_prefix_query.rs:140-156 range scan)."""
+        rows = (
+            self.term_dict()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _daat_phrase_prefix(self, q: L.PhrasePrefixQuery, boost: float,
+                            k: int) -> DataFrame:
+        empty = self.spark.createDataFrame(
+            [], "segment_ord int, doc_id int, score float"
+        )
+        fixed_terms = list(q.phrase_terms[:-1])
+        expansions = self.expand_prefix(q.phrase_terms[-1], q.max_expansions)
+        if not expansions:
+            return empty
+        # weight sums idfs of the fixed terms only (phrase_prefix_query.rs:116)
+        dfs = self.doc_freqs(sorted(set(fixed_terms))) if fixed_terms else {}
+        if any(dfs[t] <= 0 for t in fixed_terms):
+            return empty
+        if fixed_terms:
+            weight = Bm25Weight.for_terms(
+                [dfs[t] for t in fixed_terms],
+                self.total_docs, self.total_tokens, self.params,
+            ).boost_by(boost)
+        else:
+            # degenerate single-slot prefix: every expansion scores like a
+            # 1-term phrase; use the union's pseudo weight with df=1
+            weight = Bm25Weight.for_terms(
+                [1], self.total_docs, self.total_tokens, self.params
+            ).boost_by(boost)
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            docs, scores = K.segment_topk_phrase(
+                [tp.get(t) for t in fixed_terms] + [None],
+                weight, k,
+                last_alternatives=[tp[t] for t in expansions if t in tp],
+            )
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(sorted(set(fixed_terms) | set(expansions)))
         per_seg = pruned.groupBy("segment_ord").applyInPandas(
             run_segment, schema="segment_ord int, doc_id int, score float"
         )

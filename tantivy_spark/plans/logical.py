@@ -174,6 +174,21 @@ class MoreLikeThisQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhrasePrefixQuery(Query):
+    """Phrase whose last term is a prefix, expanded against the term dict
+    up to `max_expansions` (src/query/phrase_prefix_query/
+    phrase_prefix_query.rs:26-69; default 50 expansions).  Scored like a
+    PhraseQuery whose weight sums idfs of the FIXED terms only
+    (phrase_prefix_query.rs:110-116)."""
+
+    phrase_terms: tuple[str, ...]  # last element is the prefix
+    max_expansions: int = 50
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms[:-1])
+
+
+@dataclass(frozen=True)
 class TermSetQuery(Query):
     """Doc matches any term in the set — constant score 1.0 like tantivy's
     (scoring-free) TermSetQuery (src/query/term_set_query/term_set_query.rs:307)."""

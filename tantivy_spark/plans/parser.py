@@ -1,0 +1,227 @@
+"""Query-string parser — a subset of tantivy's query language.
+
+Reference: /root/reference/src/query/query_parser/query_parser.rs:131-205
+and the grammar crate query-grammar/src/query_grammar.rs.  Supported here:
+
+* whitespace-separated clauses, **default OR** (the parser default;
+  conjunction-by-default is opt-in, query_parser.rs:286-289)
+* `+term` (Must) / `-term` (MustNot) prefixes
+* `AND` / `OR` infix operators, AND binding tighter than OR
+* `"quoted phrase"` -> PhraseQuery (requires positions), `"…"~N` slop
+* `term^2.5` boost
+* `(` grouped subqueries `)`
+* `*` -> AllQuery
+* `field:term` — validated against the single indexed text field
+* multi-token literal (e.g. `can't` splitting into two tokens) becomes a
+  PhraseQuery when positions are indexed, else the tokens are OR'd —
+  tantivy errors here (`FieldDoesNotHavePositionsIndexed`); we degrade to
+  the disjunction and record a warning, since a search engine returning
+  results beats an exception in a data pipeline.
+
+Out of scope (structured API covers them): ranges, IN sets, fuzzy/regex
+literals, date math.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from tantivy_spark.functions.analysis import get_analyzer
+from tantivy_spark.plans import logical as L
+
+
+class QueryParserError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        \(| \) |
+        "(?:[^"\\]|\\.)*"(?:~\d+|\*)?  |  # quoted phrase, ~slop or * prefix
+        [^\s()]+                        # bare word (may carry +,-,^,field:)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+@dataclass
+class _Clause:
+    occur: L.Occur | None  # None = default
+    query: L.Query
+
+
+class QueryParser:
+    """Parse query strings against one indexed text field.
+
+    `default_conjunction=True` switches the no-operator default to AND
+    (QueryParser::set_conjunction_by_default, query_parser.rs:286-289).
+    """
+
+    def __init__(self, field: str = "text", tokenizer: str = "default",
+                 positions: bool = True, default_conjunction: bool = False):
+        self.field = field
+        self.tokenizer = tokenizer
+        self.positions = positions
+        self.default_conjunction = default_conjunction
+        self.warnings: list[str] = []
+
+    # -- public ------------------------------------------------------------
+    def parse(self, q: str) -> L.Query:
+        self.warnings = []
+        tokens = _lex(q)
+        if not tokens:
+            return L.EmptyQuery()
+        query, rest = self._parse_or(tokens)
+        if rest:
+            raise QueryParserError(f"unbalanced input near {rest[0]!r}")
+        return query
+
+    # -- grammar: or_expr := and_expr (OR and_expr)* ------------------------
+    def _parse_or(self, toks: list[str]) -> tuple[L.Query, list[str]]:
+        left, toks = self._parse_and(toks)
+        parts = [left]
+        while toks and toks[0] == "OR":
+            nxt, toks = self._parse_and(toks[1:])
+            parts.append(nxt)
+        if len(parts) == 1:
+            return parts[0], toks
+        return L.BooleanQuery.new([(L.Occur.SHOULD, p) for p in parts]), toks
+
+    # and_expr := clause_seq (AND clause_seq)*  — AND binds tighter
+    def _parse_and(self, toks: list[str]) -> tuple[L.Query, list[str]]:
+        left, toks = self._parse_clause_seq(toks)
+        parts = [left]
+        while toks and toks[0] == "AND":
+            nxt, toks = self._parse_clause_seq(toks[1:])
+            parts.append(nxt)
+        if len(parts) == 1:
+            return parts[0], toks
+        return L.BooleanQuery.new([(L.Occur.MUST, p) for p in parts]), toks
+
+    # clause_seq := clause+ until OR/AND/) — whitespace juxtaposition
+    def _parse_clause_seq(self, toks: list[str]) -> tuple[L.Query, list[str]]:
+        clauses: list[_Clause] = []
+        consumed = 0
+        while toks and toks[0] not in ("OR", "AND", ")"):
+            c, toks = self._parse_clause(toks)
+            consumed += 1
+            if c is not None:
+                clauses.append(c)
+        if not clauses:
+            if consumed:  # literals analyzed away (e.g. over-long tokens)
+                return L.EmptyQuery(), toks
+            raise QueryParserError("expected a clause")
+        if len(clauses) == 1 and clauses[0].occur is None:
+            return clauses[0].query, toks
+        default = L.Occur.MUST if self.default_conjunction else L.Occur.SHOULD
+        return (
+            L.BooleanQuery.new(
+                [(c.occur or default, c.query) for c in clauses]
+            ),
+            toks,
+        )
+
+    def _parse_clause(self, toks: list[str]) -> tuple[_Clause | None, list[str]]:
+        tok = toks[0]
+        occur = None
+        if tok in ("+", "-") and len(toks) > 1 and toks[1] == "(":
+            occur = L.Occur.MUST if tok == "+" else L.Occur.MUST_NOT
+            toks = toks[1:]
+            tok = toks[0]
+        elif tok.startswith("+") and len(tok) > 1:
+            occur, tok = L.Occur.MUST, tok[1:]
+        elif tok.startswith("-") and len(tok) > 1:
+            occur, tok = L.Occur.MUST_NOT, tok[1:]
+
+        if tok == "(":
+            inner, rest = self._parse_or(toks[1:])
+            if not rest or rest[0] != ")":
+                raise QueryParserError("missing closing paren")
+            boost, rest = self._maybe_group_boost(rest[1:])
+            q = L.BoostQuery(inner, boost) if boost != 1.0 else inner
+            return _Clause(occur, q), rest
+
+        rest = toks[1:]
+        boost = 1.0
+        m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", tok)
+        if m and not tok.startswith('"'):
+            tok, boost = m.group(1), float(m.group(2))
+
+        if tok == "*":
+            q: L.Query = L.AllQuery()
+        elif tok.startswith('"'):
+            q = self._parse_phrase(tok)
+        else:
+            if ":" in tok:
+                field, _, tok = tok.partition(":")
+                if field != self.field:
+                    raise QueryParserError(
+                        f"unknown field {field!r}; indexed text field is {self.field!r}"
+                    )
+                m2 = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", tok)
+                if m2:
+                    tok, boost = m2.group(1), float(m2.group(2))
+            q = self._literal(tok)
+        if q is None:
+            return None, rest
+        if boost != 1.0:
+            q = L.BoostQuery(q, boost)
+        return _Clause(occur, q), rest
+
+    def _maybe_group_boost(self, toks: list[str]) -> tuple[float, list[str]]:
+        if toks and re.match(r"^\^(\d+(?:\.\d+)?)$", toks[0]):
+            return float(toks[0][1:]), toks[1:]
+        return 1.0, toks
+
+    def _parse_phrase(self, tok: str) -> L.Query:
+        slop = 0
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+)|(\*))?$', tok)
+        if not m:
+            raise QueryParserError(f"bad phrase literal {tok!r}")
+        body = m.group(1).replace('\\"', '"')
+        if m.group(2):
+            slop = int(m.group(2))
+        is_prefix = m.group(3) is not None
+        terms, _ = get_analyzer(self.tokenizer)(body)
+        if not terms:
+            return L.EmptyQuery()
+        if not self.positions and (len(terms) > 1 or is_prefix):
+            raise QueryParserError(
+                "phrase query requires an index with positions "
+                "(FieldDoesNotHavePositionsIndexed)"
+            )
+        if is_prefix:
+            return L.PhrasePrefixQuery(tuple(terms))
+        if len(terms) == 1:
+            return L.TermQuery(terms[0])
+        return L.PhraseQuery(tuple(terms), slop=slop)
+
+    def _literal(self, tok: str) -> L.Query | None:
+        """Analyze a bare literal (generate_literals_for_str,
+        query_parser.rs: multi-token literal -> phrase when positions)."""
+        terms, _ = get_analyzer(self.tokenizer)(tok)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return L.TermQuery(terms[0])
+        if self.positions:
+            return L.PhraseQuery(tuple(terms))
+        self.warnings.append(
+            f"literal {tok!r} analyzed to {len(terms)} tokens but the index "
+            "has no positions; degrading to OR of terms"
+        )
+        return L.BooleanQuery.union(terms)

@@ -16,14 +16,26 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # bigger Arrow batches amortize the Python-call overhead of the
+        # vectorized UDF stages (tokenize / encode / kernel)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "65536"),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # SPARK_LOCAL_DIRS overrides shuffle/spill dirs (A/B-measured: tmpfs
+    # shuffle competes with compute for memory bandwidth at 32 cores and
+    # loses to /tmp on this box, so no tmpfs default)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()

@@ -1,0 +1,111 @@
+"""Incremental indexing via Structured Streaming.
+
+The reference has no streaming operators — it is a batch micro-commit
+engine: add_document -> commit -> readers reload (ARCHITECTURE.md:55-66,
+src/reader/mod.rs:21-30).  The Spark-native analogue maps a streaming
+micro-batch to one commit: each `foreachBatch` invocation appends ONE new
+segment (docmap partition + postings rows) and atomically rewrites the
+manifest — the same files-then-meta.json protocol as the batch build.
+Merge pressure from many small segments is handled by the LogMergePolicy
+compaction job (operators/merge.py), tantivy's merge-thread role.
+
+Scale: each micro-batch job is an independent bounded build; segment ords
+grow monotonically; readers pin a manifest snapshot, so concurrent queries
+never see a half-committed batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import (
+    MANIFEST_NAME,
+    build_docmap,
+    build_postings_local,
+    load_manifest,
+)
+
+
+def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
+                    cfg: IndexConfig) -> dict:
+    """Index one micro-batch as a new segment; returns the new manifest."""
+    docmap_path = os.path.join(index_dir, "docmap")
+    postings_path = os.path.join(index_dir, "postings")
+    try:
+        manifest = load_manifest(index_dir)
+        next_ord = max(s["segment_ord"] for s in manifest["segments"]) + 1
+    except FileNotFoundError:
+        os.makedirs(index_dir, exist_ok=True)
+        manifest = {
+            "format_version": 1,
+            "config": json.loads(cfg.to_json()),
+            "total_docs": 0,
+            "total_tokens": 0,
+            "segments": [],
+            "streaming": True,
+        }
+        next_ord = 0
+
+    docmap = build_docmap(spark, batch_df, cfg, fixed_segment_ord=next_ord)
+    docmap.sortWithinPartitions("doc_id").write.mode("append").partitionBy(
+        "segment_ord"
+    ).parquet(docmap_path)
+
+    seg_dm = spark.read.parquet(docmap_path).filter(
+        F.col("segment_ord") == next_ord
+    )
+    postings = build_postings_local(seg_dm, cfg)
+    postings.write.mode("append").partitionBy("tbucket").parquet(postings_path)
+
+    stats = seg_dm.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens")
+    ).collect()[0]
+    manifest["segments"].append(
+        {
+            "segment_ord": next_ord,
+            "n_docs": int(stats["n_docs"] or 0),
+            "n_tokens": int(stats["n_tokens"] or 0),
+            "committed_at": time.time(),
+        }
+    )
+    manifest["total_docs"] = int(sum(s["n_docs"] for s in manifest["segments"]))
+    manifest["total_tokens"] = int(
+        sum(s["n_tokens"] for s in manifest["segments"])
+    )
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))  # atomic commit
+    return manifest
+
+
+def index_stream(stream_df: DataFrame, index_dir: str,
+                 cfg: IndexConfig | None = None,
+                 checkpoint_dir: str | None = None,
+                 available_now: bool = True):
+    """Attach the incremental indexer to a streaming DataFrame.
+
+    Returns the StreamingQuery.  With `available_now` the query drains all
+    currently-available input then stops (the batch-commit lifecycle);
+    otherwise it keeps committing a segment per micro-batch.
+    """
+    cfg = cfg or IndexConfig()
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_checkpoints")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _append_segment(batch_df.sparkSession, batch_df, index_dir, cfg)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,3 +88,58 @@ def test_series_api():
     assert out.iloc[2] == []
     counts = token_count_series(s)
     assert counts.tolist() == [2, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# composable analyzer builder (tokenizer.rs TextAnalyzer chain)
+# ---------------------------------------------------------------------------
+
+def test_ngram_tokenizer():
+    from tantivy_spark.functions.analysis import tokenize_ngram
+
+    terms, pos = tokenize_ngram("abcd", 2, 3)
+    assert terms == ["ab", "abc", "bc", "bcd", "cd"]
+    assert pos == [0, 0, 1, 1, 2]
+    terms_p, _ = tokenize_ngram("abcd", 2, 3, prefix_only=True)
+    assert terms_p == ["ab", "abc"]
+
+
+def test_facet_tokenizer():
+    from tantivy_spark.functions.analysis import tokenize_facet
+
+    terms, _ = tokenize_facet("/cat/sub/leaf")
+    assert terms == ["/cat", "/cat/sub", "/cat/sub/leaf"]
+
+
+def test_builder_stopword_stem_chain():
+    from tantivy_spark.functions.analysis import build_analyzer, register_analyzer, get_analyzer
+
+    an = build_analyzer(
+        "simple",
+        filters=[("remove_long", 40), ("lowercase",), ("stopword", "en"),
+                 ("stemmer",)],
+    )
+    terms, pos = an("The Quick foxes are JUMPING!")
+    # 'the'/'are' dropped by the Lucene stopword list; positions keep gaps
+    assert terms == ["quick", "fox", "jump"]
+    assert pos == [1, 2, 4]
+    register_analyzer("en_stem_stop", an)
+    assert get_analyzer("en_stem_stop") is an
+
+
+def test_builder_ascii_folding_and_alphanum():
+    from tantivy_spark.functions.analysis import build_analyzer
+
+    an = build_analyzer("whitespace", filters=[("ascii_folding",), ("lowercase",)])
+    terms, _ = an("Crème Brûlée naïve")
+    assert terms == ["creme", "brulee", "naive"]
+    an2 = build_analyzer("whitespace", filters=[("alphanum_only",)])
+    terms2, _ = an2("ok not-ok also_bad fine2")
+    assert terms2 == ["ok", "fine2"]
+
+
+def test_builder_regex_tokenizer():
+    from tantivy_spark.functions.analysis import build_analyzer
+
+    an = build_analyzer("regex", pattern=r"[0-9]+")
+    assert an("a1 bb22 c333")[0] == ["1", "22", "333"]

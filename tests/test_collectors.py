@@ -1,0 +1,83 @@
+"""Collector tests (src/collector/ semantics)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators import collectors as C
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:02d}" for i in range(12)],
+            "turn_idx": [0] * 12,
+            "rating": [i % 5 for i in range(12)],
+            "category": [f"/cat/{'ab'[i % 2]}/{'xyz'[i % 3]}" for i in range(12)],
+            "text": [f"apple banana w{i % 3}" for i in range(12)],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    path = f"{tmp_root}/coll_idx"
+    build_index(spark, src, path, IndexConfig(n_segments=3, n_term_buckets=4))
+    return Searcher(spark, path)
+
+
+def test_doc_set_and_count(idx):
+    assert C.count(idx, L.TermQuery("apple")) == 12
+    ds = C.doc_set(idx, L.TermQuery("w1")).collect()
+    assert len(ds) == 4
+
+
+def test_top_docs_offset(idx):
+    full = C.top_docs(idx, L.TermQuery("apple"), limit=12).collect()
+    page = C.top_docs(idx, L.TermQuery("apple"), limit=3, offset=2).collect()
+    assert [(r["segment_ord"], r["doc_id"]) for r in page] == [
+        (r["segment_ord"], r["doc_id"]) for r in full[2:5]
+    ]
+
+
+def test_top_docs_by_fast_field(idx):
+    out = C.top_docs(idx, L.TermQuery("apple"), limit=3,
+                     order_by_field="rating")
+    rows = out.collect()
+    assert [r["rating"] for r in rows] == [4, 4, 3]
+    asc = C.top_docs(idx, L.TermQuery("apple"), limit=3,
+                     order_by_field="rating", ascending=True).collect()
+    assert [r["rating"] for r in asc] == [0, 0, 0]
+
+
+def test_histogram_collector(idx):
+    h = C.histogram(idx, L.TermQuery("apple"), "rating",
+                    min_value=0.0, bucket_width=1.0, num_buckets=4).collect()
+    got = {int(r["bucket"]): r["doc_count"] for r in h}
+    # ratings 0..4 cycling over 12 docs: 0,1 appear 3x; 2,3 appear 2x (4 dropped)
+    assert got == {0: 3, 1: 3, 2: 2, 3: 2}
+    assert 4 not in got  # outside num_buckets -> dropped
+
+
+def test_facet_collector(idx):
+    f = C.facet_counts(idx, L.TermQuery("apple"), "category", root="/cat").collect()
+    got = {r["facet"]: r["doc_count"] for r in f}
+    assert got == {"/cat/a": 6, "/cat/b": 6}
+
+
+def test_filter_collector_and_multi(idx):
+    def count_all(sf):
+        return sf.agg(F.count(F.lit(1)).alias("n"))
+
+    res = C.multi(
+        idx, L.TermQuery("apple"), ["rating"],
+        {
+            "all": count_all,
+            "high_rated": C.filtered(idx, L.TermQuery("apple"),
+                                     "rating >= 3", count_all),
+        },
+    )
+    assert res["all"][0]["n"] == 12
+    assert res["high_rated"][0]["n"] == 4  # ratings 3,4,3,4

@@ -1,0 +1,101 @@
+"""Query-string parser tests (grammar per query_parser.rs:131-205)."""
+
+import pytest
+
+from tantivy_spark.plans import logical as L
+from tantivy_spark.plans.parser import QueryParser, QueryParserError
+
+
+P = QueryParser()
+
+
+def test_single_term():
+    assert P.parse("Hello") == L.TermQuery("hello")
+
+
+def test_default_or():
+    q = P.parse("foo bar")
+    assert q == L.BooleanQuery.new(
+        [(L.Occur.SHOULD, L.TermQuery("foo")), (L.Occur.SHOULD, L.TermQuery("bar"))]
+    )
+
+
+def test_default_and_mode():
+    q = QueryParser(default_conjunction=True).parse("foo bar")
+    assert q == L.BooleanQuery.new(
+        [(L.Occur.MUST, L.TermQuery("foo")), (L.Occur.MUST, L.TermQuery("bar"))]
+    )
+
+
+def test_plus_minus():
+    q = P.parse("+req -banned opt")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("req")),
+        (L.Occur.MUST_NOT, L.TermQuery("banned")),
+        (L.Occur.SHOULD, L.TermQuery("opt")),
+    ])
+
+
+def test_and_binds_tighter_than_or():
+    q = P.parse("a AND b OR c")
+    assert isinstance(q, L.BooleanQuery)
+    occurs = [o for o, _ in q.clauses]
+    assert occurs == [L.Occur.SHOULD, L.Occur.SHOULD]
+    left = q.clauses[0][1]
+    assert left == L.BooleanQuery.new(
+        [(L.Occur.MUST, L.TermQuery("a")), (L.Occur.MUST, L.TermQuery("b"))]
+    )
+    assert q.clauses[1][1] == L.TermQuery("c")
+
+
+def test_phrase_and_slop():
+    assert P.parse('"quick brown"') == L.PhraseQuery(("quick", "brown"))
+    assert P.parse('"quick brown"~2') == L.PhraseQuery(("quick", "brown"), slop=2)
+    # single-token phrase degrades to a term
+    assert P.parse('"quick"') == L.TermQuery("quick")
+
+
+def test_boost():
+    assert P.parse("foo^2") == L.BoostQuery(L.TermQuery("foo"), 2.0)
+    q = P.parse("(a b)^0.5")
+    assert isinstance(q, L.BoostQuery) and q.boost == 0.5
+
+
+def test_field_prefix():
+    assert P.parse("text:foo") == L.TermQuery("foo")
+    with pytest.raises(QueryParserError):
+        P.parse("body:foo")
+
+
+def test_all_and_empty():
+    assert P.parse("*") == L.AllQuery()
+    assert P.parse("") == L.EmptyQuery()
+    assert P.parse("   ") == L.EmptyQuery()
+
+
+def test_parens_grouping():
+    q = P.parse("+(a OR b) -c")
+    assert isinstance(q, L.BooleanQuery)
+    (o1, q1), (o2, q2) = q.clauses
+    assert o1 == L.Occur.MUST and isinstance(q1, L.BooleanQuery)
+    assert o2 == L.Occur.MUST_NOT and q2 == L.TermQuery("c")
+
+
+def test_multi_token_literal_becomes_phrase():
+    # punctuation splits into two analyzer tokens -> phrase (positions on)
+    assert P.parse("foo-bar") == L.PhraseQuery(("foo", "bar"))
+    # without positions: degrade to OR + warning (tantivy raises instead)
+    p2 = QueryParser(positions=False)
+    q = p2.parse("foo-bar")
+    assert q == L.BooleanQuery.union(["foo", "bar"])
+    assert p2.warnings
+
+
+def test_unbalanced_paren():
+    with pytest.raises(QueryParserError):
+        P.parse("(a b")
+
+
+def test_long_token_dropped_by_analyzer():
+    q = P.parse("x" * 45)
+    assert q == L.EmptyQuery() or isinstance(q, L.EmptyQuery)

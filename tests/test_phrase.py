@@ -125,3 +125,56 @@ def test_phrase_boost(phrase_index):
     boosted = phrase_index.search(L.BoostQuery(q, 2.0), k=10, mode="daat").collect()
     for rb, r in zip(boosted, base):
         assert rb["score"] == pytest.approx(2.0 * r["score"], rel=1e-6)
+
+
+def test_slop_count_greedy():
+    from tantivy_spark.operators.kernel import _slop_count
+    import numpy as np
+    # adjacent (adjusted diff 0) matches at slop 0 via phrase path; here the
+    # greedy counter itself: |l - r| <= slop
+    assert _slop_count(np.array([0]), np.array([0]), 0) == 1
+    assert _slop_count(np.array([0]), np.array([2]), 1) == 0
+    assert _slop_count(np.array([0]), np.array([2]), 2) == 1
+    # greedy best-match advance: left 0,3 right 3 -> pairs (3,3) not (0,3)
+    assert _slop_count(np.array([0, 3]), np.array([3]), 3) == 1
+    # left 0 is out of range of 2 at slop 1; greedy pairs 3 with 2 -> one
+    assert _slop_count(np.array([0, 3]), np.array([2, 4]), 1) == 1
+    assert _slop_count(np.array([0, 3]), np.array([1, 4]), 1) == 2
+
+
+def test_phrase_slop_e2e(phrase_index):
+    # "quick brown" with a gap in c5 ("quick stop then brown"): distance
+    # between adjusted positions = 2 -> matched at slop >= 2
+    q2 = L.PhraseQuery(("quick", "brown"), slop=2)
+    out = phrase_index.search(q2, k=10, mode="daat").collect()
+    got = {r["conv_id"] for r in out}
+    assert "c5" in got
+    assert {"c0", "c1", "c3"} <= got
+    # reversed order "brown quick" in c2: adjusted |1 - (0-1)| = 2
+    assert "c2" in {r["conv_id"] for r in
+                    phrase_index.search(L.PhraseQuery(("quick", "brown"), slop=2),
+                                        k=10, mode="daat").collect()}
+    q1 = L.PhraseQuery(("quick", "brown"), slop=1)
+    got1 = {r["conv_id"] for r in phrase_index.search(q1, k=10, mode="daat").collect()}
+    assert "c5" not in got1  # gap of 2 needs slop >= 2
+
+
+def test_phrase_prefix_e2e(phrase_index):
+    # "quick bro"* expands bro -> brown
+    q = L.PhrasePrefixQuery(("quick", "bro"))
+    out = phrase_index.search(q, k=10, mode="daat").collect()
+    assert {r["conv_id"] for r in out} == {"c0", "c1", "c3"}
+    # no expansions -> empty
+    qz = L.PhrasePrefixQuery(("quick", "zzz"))
+    assert phrase_index.search(qz, k=10, mode="daat").count() == 0
+    # expansion set larger than one term
+    q2 = L.PhrasePrefixQuery(("the", "qu"))
+    out2 = phrase_index.search(q2, k=10, mode="daat").collect()
+    assert {r["conv_id"] for r in out2} == {"c0", "c3"}
+
+
+def test_parser_phrase_prefix():
+    from tantivy_spark.plans.parser import QueryParser
+
+    q = QueryParser().parse('"quick bro"*')
+    assert q == L.PhrasePrefixQuery(("quick", "bro"))
