@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 from tantivy_spark.config import IndexConfig
 from tantivy_spark.functions.fieldnorm import FIELD_NORMS_TABLE
 from tantivy_spark.operators import aggregations as A
+from tantivy_spark.operators import collectors as C
+from tantivy_spark.operators import multimodal as M
 from tantivy_spark.operators import pipeline as P
 from tantivy_spark.operators.build import build_index, load_manifest
 from tantivy_spark.operators.search import Searcher
 from tantivy_spark.plans import logical as L
+from tantivy_spark.plans.parser import QueryParser
 
 K1, B = 1.2, 0.75
 _IDX_ROOT = "/tmp/tantivy_spark_index"
@@ -53,7 +56,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Build (once per sf_dir per process) and open the fulltext index."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v3")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v4")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -66,10 +69,12 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
         try:
             load_manifest(index_dir)
         except FileNotFoundError:
-            build_index(
-                spark, _documents(spark, sf_dir).select("ext_id", "text"),
-                index_dir, cfg, resume=True,
+            # non-text columns ride along into the docmap = fast fields
+            # (lang/source/n_chars + a hierarchical facet path)
+            src = _documents(spark, sf_dir).withColumn(
+                "facet", F.concat_ws("/", F.lit(""), F.col("lang"), F.col("source"))
             )
+            build_index(spark, src, index_dir, cfg, resume=True)
         _SEARCHERS[index_dir] = Searcher(spark, index_dir)
     return _SEARCHERS[index_dir]
 
@@ -268,6 +273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, L.BooleanQuery.intersection(["fast", "slow"]), 10,
         mode="daat", ids_only=True)
 
+    # query-string parser -> nested boolean tree -> recursive TAAT
+    Q["ft_parsed_nested"] = lambda s, d: _topk(
+        s, d, QueryParser().parse("table AND value OR spark^2 -dup"), 10)
+    Q["ft_phrase_prefix"] = lambda s, d: _topk(
+        s, d, L.PhrasePrefixQuery(("fast", "tab")), 10, mode="daat",
+        ids_only=True)
     Q["ft_fuzzy"] = lambda s, d: _topk(
         s, d, L.FuzzyTermQuery("tabl", distance=1), 1000)
     Q["ft_regex"] = lambda s, d: _topk(
@@ -313,7 +324,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
     )
 
+    # ---- collectors (SURVEY §2.6) ----------------------------------------
+    def _coll_topdocs_by_field(s, d):
+        sr = _searcher(s, d)
+        sf = C.scored_frame(sr, L.TermQuery("dup"), ["ext_id", "n_chars"])
+        return sf.select(F.col("ext_id").alias("doc_id"), "n_chars")
+
+    Q["coll_topdocs_by_fast_field"] = _coll_topdocs_by_field
+
+    def _coll_facet(s, d):
+        sr = _searcher(s, d)
+        return C.facet_counts(sr, L.TermQuery("dup"), "facet", root="/")
+
+    Q["coll_facet_lang"] = _coll_facet
+
+    def _coll_histogram(s, d):
+        sr = _searcher(s, d)
+        return C.histogram(sr, L.TermQuery("table"), "n_chars",
+                           min_value=0.0, bucket_width=50.0, num_buckets=10)
+
+    Q["coll_histogram_nchars"] = _coll_histogram
+
+    # ---- multimodal binary columns ---------------------------------------
+    def _media(s, d):
+        docs = _tbl(s, d, "documents")
+        magic = (
+            F.when(F.col("source").isin("src0", "src1"),
+                   F.lit(bytes.fromhex("ffd8ff")))
+            .when(F.col("source").isin("src2", "src3"),
+                  F.lit(bytes.fromhex("89504e47")))
+            .otherwise(F.lit(bytes.fromhex("52494646")))
+        )
+        return docs.select(
+            "doc_id", F.concat(magic, F.col("text").cast("binary")).alias("blob")
+        )
+
+    Q["mm_media_metadata"] = lambda s, d: M.media_metadata(
+        _media(s, d), "doc_id", "blob"
+    ).select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "container")
+    Q["mm_frame_sample_counts"] = lambda s, d: (
+        M.sample_frames(_media(s, d), "doc_id", "blob", every_n=10,
+                        deterministic_fake=True)
+        .groupBy("key").agg(F.count(F.lit(1)).alias("n_frames"))
+        .select(F.col("key").alias("doc_id"), "n_frames")
+    )  # stubbed decoder — no SQL oracle (deterministic fake)
+    Q["mm_image_features"] = lambda s, d: M.image_features(
+        M.decode_images(_media(s, d), "doc_id", "blob", deterministic_fake=True)
+    ).select(F.col("key").alias("doc_id"), "height", "width", "channels",
+             "mean_pixel", "std_pixel")  # stubbed decoder — no SQL oracle
+
     # ---- aggregations (SURVEY §2.7) --------------------------------------
+    Q["agg_extended_stats"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"terms": {"field": "event_type", "size": 10},
+         "aggs": {"v": {"extended_stats": {"field": "value"}}}},
+    ).select(
+        "key", "doc_count", "v_count",
+        F.round("v_sum", 4).alias("v_sum"),
+        F.round("v_min", 4).alias("v_min"),
+        F.round("v_max", 4).alias("v_max"),
+        F.round("v_avg", 4).alias("v_avg"),
+        F.round("v_sum_of_squares", 2).alias("v_sum_sq"),
+        F.round("v_variance", 4).alias("v_variance"),
+        F.round("v_std_deviation", 4).alias("v_std"),
+    )
     Q["agg_terms_event_type"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"terms": {"field": "event_type", "size": 10},
@@ -479,6 +553,70 @@ FROM per_clause ORDER BY score DESC, doc_id ASC LIMIT 10"""
         10, ids_only=True)
     O["ft_daat_and_top10"] = _bool_topk_sql(
         [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
+    # parsed "table AND value OR spark^2 -dup":
+    #   SHOULD( MUST(table) MUST(value) ), SHOULD( SHOULD(spark^2) MUST_NOT(dup) )
+    O["ft_parsed_nested"] = (
+        _BM25_PRELUDE
+        + f""",
+per AS (
+  SELECT tf.doc_id, tf.term,
+         (ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {K1!r}))
+           * tf.tf / (tf.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           AS cs
+  FROM tf
+  JOIN dlq ON tf.doc_id = dlq.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats s
+  WHERE tf.term IN ('table', 'value', 'spark')
+),
+sub_a AS (
+  SELECT p1.doc_id, p1.cs + p2.cs AS score
+  FROM (SELECT doc_id, cs FROM per WHERE term = 'table') p1
+  JOIN (SELECT doc_id, cs FROM per WHERE term = 'value') p2 USING (doc_id)
+),
+sub_b AS (
+  SELECT p.doc_id, p.cs * 2.0 AS score
+  FROM (SELECT doc_id, cs FROM per WHERE term = 'spark') p
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+),
+u AS (
+  SELECT doc_id, sum(score) AS score
+  FROM (SELECT * FROM sub_a UNION ALL SELECT * FROM sub_b) GROUP BY doc_id
+)
+SELECT doc_id, round(score, 5) AS score FROM u
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+    O["ft_phrase_prefix"] = (
+        _BM25_PRELUDE
+        + f""",
+tpos AS (
+  SELECT d.doc_id, tk[i] AS term, i - 1 AS pos
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                                   t -> t <> '' AND length(t) < 40) AS tk
+        FROM documents) d,
+       unnest(range(1, len(tk) + 1)) r(i)
+),
+expansions AS (SELECT term FROM df WHERE term LIKE 'tab%' ORDER BY term LIMIT 50),
+ph AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS tf
+  FROM tpos p0
+  JOIN tpos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+              AND p1.term IN (SELECT term FROM expansions)
+  WHERE p0.term = 'fast'
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT ph.doc_id,
+         (ln(1.0 + (s.n_docs - dff.df + 0.5) / (dff.df + 0.5)) * (1.0 + {K1!r}))
+           * ph.tf / (ph.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           AS score
+  FROM ph
+  JOIN dlq ON ph.doc_id = dlq.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM df WHERE term = 'fast') dff
+)
+SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
     O["ft_fuzzy"] = (
         _BM25_PRELUDE
         + """,
@@ -521,7 +659,55 @@ ORDER BY score DESC, doc_id ASC LIMIT 1000"""
         "WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang"
     )
 
+    # ---- collectors ------------------------------------------------------
+    O["coll_topdocs_by_fast_field"] = (
+        _BM25_PRELUDE
+        + """
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')"""
+    )
+    O["coll_facet_lang"] = (
+        _BM25_PRELUDE
+        + """
+SELECT '/' || d.lang AS facet, count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+GROUP BY 1 ORDER BY 1"""
+    )
+    O["coll_histogram_nchars"] = (
+        _BM25_PRELUDE
+        + """
+SELECT floor(d.n_chars / 50.0)::BIGINT AS bucket, count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'table')
+  AND floor(d.n_chars / 50.0) >= 0 AND floor(d.n_chars / 50.0) < 10
+GROUP BY 1 ORDER BY 1"""
+    )
+
+    # ---- multimodal ------------------------------------------------------
+    O["mm_media_metadata"] = """
+WITH blobs AS (
+  SELECT doc_id,
+         (CASE WHEN source IN ('src0', 'src1') THEN from_hex('ffd8ff')
+               WHEN source IN ('src2', 'src3') THEN from_hex('89504e47')
+               ELSE from_hex('52494646') END || text::BLOB) AS blob
+  FROM documents)
+SELECT doc_id, octet_length(blob)::BIGINT AS n_bytes,
+       CASE WHEN substr(hex(blob), 1, 6) = 'FFD8FF' THEN 'jpeg'
+            WHEN substr(hex(blob), 1, 8) = '89504E47' THEN 'png'
+            WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'riff' END AS container
+FROM blobs"""
+
     # ---- aggregations ----------------------------------------------------
+    O["agg_extended_stats"] = """
+SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+       count(value)::BIGINT AS v_count, round(sum(value), 4) AS v_sum,
+       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+       round(avg(value), 4) AS v_avg,
+       round(sum(value * value), 2) AS v_sum_sq,
+       round(var_pop(value), 4) AS v_variance,
+       round(stddev_pop(value), 4) AS v_std
+FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
     O["agg_terms_event_type"] = """
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(avg(value), 5) AS avg_value

@@ -1,0 +1,185 @@
+"""Multimodal column operators — image/audio/video as opaque binary.
+
+A 100 TB training-data pipeline carries media as `binary` columns with
+typed metadata alongside text.  The Spark-side plumbing here is real and
+tested — schemas, partitioning, Arrow batch shapes, mapInPandas
+signatures; the codec work itself (JPEG decode, resampling, frame
+extraction) is stubbed behind `decoder=` hooks because the image/audio
+libraries are not in this container.  Passing `deterministic_fake=True`
+swaps in a seeded fake decoder so the full pipeline is executable and
+assertable end-to-end.
+
+Design rules at scale:
+* media rows are large and skewed -> repartition by byte-size bands
+  before Python stages so one task never holds several 100 MB blobs;
+* metadata extraction is JVM-side (length, crc32, magic sniffing via
+  substring) — no Python for the cheap columns;
+* decode/feature stages are `mapInPandas` with small `maxRecordsPerBatch`
+  relative to blob size (Arrow batches are bytes-bounded by rows).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC_PREFIXES = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"GIF8": "gif",
+    b"RIFF": "riff",  # wav/avi container
+    b"\x1a\x45\xdf\xa3": "mkv",
+    b"ID3": "mp3",
+    b"OggS": "ogg",
+}
+
+
+def media_metadata(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+    """Typed metadata for a binary column — pure Catalyst (no Python):
+    byte length, crc32 content hash, container sniff from magic bytes."""
+    blob = F.col(blob_col)
+    sniff = F.lit(None).cast("string")
+    for magic, name in MAGIC_PREFIXES.items():
+        hexs = magic.hex()
+        sniff = F.when(
+            F.hex(F.substring(blob, 1, len(magic))) == F.lit(hexs.upper()),
+            F.lit(name),
+        ).otherwise(sniff)
+    return df.select(
+        F.col(key_col),
+        F.length(blob).alias("n_bytes"),
+        F.crc32(blob).alias("crc32"),
+        sniff.alias("container"),
+    )
+
+
+def size_banded(df: DataFrame, blob_col: str, band_bytes: int = 1 << 20,
+                partitions: int | None = None) -> DataFrame:
+    """Repartition by (size band, random-ish hash): keeps any one task's
+    total blob bytes bounded — the skew guard for media processing."""
+    banded = df.withColumn(
+        "_size_band", (F.length(F.col(blob_col)) / F.lit(band_bytes)).cast("int")
+    )
+    n = partitions or banded.sparkSession.sparkContext.defaultParallelism * 4
+    return banded.repartition(n, "_size_band", F.crc32(F.col(blob_col))).drop("_size_band")
+
+
+def _fake_image_decoder(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in for a JPEG/PNG decoder: seeded by content
+    hash, shaped 8x8x3 uint8."""
+    rng = np.random.default_rng(zlib.crc32(blob))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def decode_images(df: DataFrame, key_col: str, blob_col: str,
+                  decoder: Callable[[bytes], np.ndarray] | None = None,
+                  deterministic_fake: bool = False,
+                  resize_to: tuple[int, int] | None = None) -> DataFrame:
+    """blob -> (key, height, width, channels, pixels flat array<int>).
+
+    The real `decoder` (e.g. PIL/turbojpeg) is injected; without one this
+    raises NotImplementedError unless `deterministic_fake` — the container
+    has no image libs, the Spark plumbing is the deliverable (STUB).
+    `resize_to` applies nearest-neighbor resampling (pure numpy — real)."""
+    if decoder is None:
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "no image decoder available in this environment; pass "
+                "decoder= or deterministic_fake=True"
+            )
+        decoder = _fake_image_decoder
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, hs, ws, cs, px = [], [], [], [], []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                arr = decoder(bytes(blob))
+                if resize_to is not None:
+                    th, tw = resize_to
+                    yi = (np.arange(th) * arr.shape[0] // th)
+                    xi = (np.arange(tw) * arr.shape[1] // tw)
+                    arr = arr[yi][:, xi]
+                keys.append(key)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(arr.shape[2] if arr.ndim == 3 else 1)
+                px.append(arr.ravel().astype(np.int32).tolist())
+            yield pd.DataFrame({
+                "key": keys, "height": hs, "width": ws, "channels": cs,
+                "pixels": px,
+            })
+
+    ktype = dict(df.dtypes)[key_col]
+    return df.select(key_col, blob_col).mapInPandas(
+        batches,
+        schema=f"key {ktype}, height int, width int, channels int, pixels array<int>",
+    )
+
+
+def image_features(decoded: DataFrame) -> DataFrame:
+    """Cheap image features from decoded pixels — mean/std per image and a
+    16-bin luminance histogram; Catalyst higher-order functions (JVM)."""
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / n
+    return decoded.select(
+        "key", "height", "width", "channels",
+        F.round(mean, 4).alias("mean_pixel"),
+        F.round(
+            F.sqrt(
+                F.aggregate(px, F.lit(0.0), lambda a, x: a + x * x) / n
+                - mean * mean
+            ),
+            4,
+        ).alias("std_pixel"),
+    )
+
+
+def _fake_audio_decoder(blob: bytes) -> np.ndarray:
+    rng = np.random.default_rng(zlib.crc32(blob) ^ 0xA0D10)
+    return rng.standard_normal(1600).astype(np.float32)  # 0.1s @ 16kHz
+
+
+def sample_frames(df: DataFrame, key_col: str, blob_col: str,
+                  every_n: int = 10,
+                  frame_extractor: Callable[[bytes], list[bytes]] | None = None,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """Video -> sampled frame blobs (key, frame_idx, frame binary).
+
+    Real extractor (ffmpeg/pyav) injected; STUBBED here — the fake emits
+    crc-seeded pseudo-frames so partitioning/explode shape is testable."""
+    if frame_extractor is None:
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "no video decoder available; pass frame_extractor= or "
+                "deterministic_fake=True"
+            )
+
+        def frame_extractor(blob: bytes) -> list[bytes]:
+            rng = np.random.default_rng(zlib.crc32(blob) ^ 0xF4A3E5)
+            n_frames = int(rng.integers(20, 40))
+            return [
+                rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+                for _ in range(n_frames)
+            ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, idxs, frames = [], [], []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                all_frames = frame_extractor(bytes(blob))
+                for i in range(0, len(all_frames), every_n):
+                    keys.append(key)
+                    idxs.append(i)
+                    frames.append(all_frames[i])
+            yield pd.DataFrame({"key": keys, "frame_idx": idxs, "frame": frames})
+
+    ktype = dict(df.dtypes)[key_col]
+    return df.select(key_col, blob_col).mapInPandas(
+        batches, schema=f"key {ktype}, frame_idx int, frame binary"
+    )

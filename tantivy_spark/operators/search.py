@@ -347,7 +347,24 @@ class Searcher:
                 return self._daat_phrase(phrase, phrase_boost, k)
             return self._taat64_phrase(phrase, phrase_boost, k)
 
-        spec = compile_query(query)
+        try:
+            spec = compile_query(query)
+        except NotImplementedError:
+            # nested subqueries: recursive float64 tree evaluation (the
+            # general Weight composition); DAAT nesting falls back here too
+            out = self._taat64_nested(query, k)
+            dead = self.tombstones()
+            if dead:
+                dead_docs = (
+                    self.flat_postings(sorted(set(dead)))
+                    .select("segment_ord", "doc_id").distinct()
+                )
+                out = out.join(dead_docs, ["segment_ord", "doc_id"], "left_anti")
+                if k is not None:
+                    out = out.orderBy(
+                        F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+                    ).limit(k)
+            return out
         # pending tombstones = extra must_not clauses (alive bitset)
         dead = self.tombstones()
         if dead and isinstance(spec, CompiledBoolean):
@@ -554,7 +571,8 @@ class Searcher:
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
         ).limit(k)
 
-    def _taat64_phrase(self, phrase: L.PhraseQuery, boost: float, k: int) -> DataFrame:
+    def _taat64_phrase(self, phrase: L.PhraseQuery, boost: float,
+                       k: int | None) -> DataFrame:
         """Phrase in the float64 DataFrame plan: positions explode + chained
         equi-joins on (doc, start_position), phrase tf = count of starts."""
         import math
@@ -610,8 +628,155 @@ class Searcher:
                 ).alias("score"),
             )
             .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
-            .limit(k)
         )
+        if k is not None:
+            out = out.limit(k)
+        return out
+
+    # -- nested query tree evaluation (float64 DataFrame recursion) ---------
+    def _eval_tree(self, q: L.Query) -> DataFrame | None:
+        """Recursive TAAT evaluation of an arbitrary query tree ->
+        (segment_ord, doc_id, score double) frame of ALL matching docs.
+
+        This is the general Query/Weight/Scorer composition of the
+        reference (boolean_weight.rs nesting); each node is a DataFrame
+        combinator, Catalyst fuses the joins/aggregations.  Returns None
+        for a match-nothing subtree.
+        """
+        import math
+
+        if isinstance(q, L.BoostQuery):
+            child = self._eval_tree(q.query)
+            if child is None:
+                return None
+            return child.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        if isinstance(q, L.ConstScoreQuery):
+            child = self._eval_tree(q.query)
+            if child is None:
+                return None
+            return child.withColumn("score", F.lit(float(q.score)))
+        if isinstance(q, L.TermQuery):
+            dfs = self.doc_freqs([q.term])
+            if dfs[q.term] <= 0:
+                return None
+            N = self.total_docs
+            avgdl = self.total_tokens / N
+            k1, b = self.cfg.k1, self.cfg.b
+            w = math.log(1.0 + (N - dfs[q.term] + 0.5) / (dfs[q.term] + 0.5)) * (1.0 + k1)
+            flat = self.flat_postings([q.term])
+            norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+            return flat.select(
+                "segment_ord", "doc_id",
+                (
+                    F.lit(w) * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * F.element_at(norm_arr, F.col("fieldnorm_id") + 1).cast("double")
+                            / F.lit(avgdl)
+                        )
+                    )
+                ).alias("score"),
+            )
+        if isinstance(q, L.AllQuery):
+            return self.docmap().select(
+                "segment_ord", "doc_id", F.lit(1.0).alias("score")
+            )
+        if isinstance(q, L.EmptyQuery):
+            return None
+        if isinstance(q, L.TermSetQuery):
+            terms = [t for t in q.set_terms]
+            if not terms:
+                return None
+            return (
+                self.flat_postings(sorted(set(terms)))
+                .select("segment_ord", "doc_id")
+                .distinct()
+                .withColumn("score", F.lit(1.0))
+            )
+        if isinstance(q, L.PhraseQuery):
+            if q.slop != 0:
+                raise NotImplementedError("slop phrases only on the DAAT path")
+            return self._taat64_phrase(q, 1.0, None)
+        if isinstance(q, L.DisjunctionMaxQuery):
+            frames = [self._eval_tree(sub) for sub in q.queries]
+            frames = [f for f in frames if f is not None]
+            if not frames:
+                return None
+            from functools import reduce
+
+            u = reduce(lambda a, b: a.unionByName(b), frames)
+            agg = u.groupBy("segment_ord", "doc_id").agg(
+                F.max("score").alias("mx"), F.sum("score").alias("sm")
+            )
+            return agg.select(
+                "segment_ord", "doc_id",
+                (F.col("mx") + F.lit(float(q.tie_breaker)) * (F.col("sm") - F.col("mx"))).alias("score"),
+            )
+        if isinstance(q, L.BooleanQuery):
+            return self._eval_bool_tree(q)
+        raise NotImplementedError(f"tree evaluation for {type(q).__name__}")
+
+    def _eval_bool_tree(self, q: L.BooleanQuery) -> DataFrame | None:
+        from functools import reduce
+
+        musts, shoulds, must_nots = [], [], []
+        for occur, sub in q.clauses:
+            frame = self._eval_tree(sub)
+            if occur == L.Occur.MUST:
+                if frame is None:
+                    return None  # a required subtree matches nothing
+                musts.append(frame)
+            elif occur == L.Occur.SHOULD:
+                if frame is not None:
+                    shoulds.append(frame)
+            else:
+                if frame is not None:
+                    must_nots.append(frame)
+        if not musts and not shoulds:
+            return None
+
+        def tag(frames, flag):
+            return [
+                f.select(
+                    "segment_ord", "doc_id", "score",
+                    F.lit(flag).alias("is_must"),
+                )
+                for f in frames
+            ]
+
+        u = reduce(
+            lambda a, b: a.unionByName(b),
+            tag(musts, 1) + tag(shoulds, 0),
+        )
+        agg = u.groupBy("segment_ord", "doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("n_must"),
+            F.sum(F.lit(1) - F.col("is_must")).alias("n_should"),
+        )
+        cond = F.col("n_must") == len(musts)
+        if q.minimum_should_match > 0 and shoulds:
+            cond = cond & (F.col("n_should") >= q.minimum_should_match)
+        out = agg.filter(cond).select("segment_ord", "doc_id", "score")
+        for nf in must_nots:
+            out = out.join(
+                nf.select("segment_ord", "doc_id"),
+                ["segment_ord", "doc_id"], "left_anti",
+            )
+        return out
+
+    def _taat64_nested(self, query: L.Query, k: int | None) -> DataFrame:
+        frame = self._eval_tree(query)
+        if frame is None:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score double"
+            )
+        out = frame.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        if k is not None:
+            out = out.limit(k)
         return out
 
     # TAAT: float64 DataFrame plan (Catalyst end to end)

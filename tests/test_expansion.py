@@ -112,3 +112,59 @@ def test_more_like_this_filters(exp_index):
     q2 = L.MoreLikeThisQuery(doc_text="wizard", min_term_frequency=5,
                              min_doc_frequency=1)
     assert isinstance(exp_index.more_like_this_query(q2), L.EmptyQuery)
+
+
+def test_nested_boolean_tree(exp_index):
+    # (wizard AND lizard) OR gizzard — parser shape, nested boolean
+    from tantivy_spark.plans.parser import QueryParser
+
+    q = QueryParser().parse("wizard AND lizard OR gizzard")
+    out = exp_index.search(q, k=10, mode="taat64").collect()
+    got = {r["conv_id"] for r in out}
+    assert got == {"c0", "c2"}  # c0 has wizard+lizard; c2 has gizzard
+    # scores: c0 = sum of term scores; deterministic ordering
+    assert len(out) == 2
+
+
+def test_nested_boost_and_const(exp_index):
+    q = L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.BoostQuery(
+            L.BooleanQuery.intersection(["wizard", "lizard"]), 2.0)),
+        (L.Occur.SHOULD, L.ConstScoreQuery(L.TermQuery("gizzard"), 0.25)),
+    ])
+    out = {r["conv_id"]: r["score"] for r in
+           exp_index.search(q, k=10, mode="taat64").collect()}
+    assert out["c2"] == 0.25
+    flat = {r["conv_id"]: r["score"] for r in
+            exp_index.search(L.BooleanQuery.intersection(["wizard", "lizard"]),
+                             k=10, mode="taat64").collect()}
+    assert out["c0"] == pytest.approx(2.0 * flat["c0"], rel=1e-12)
+
+
+def test_nested_must_not_subtree(exp_index):
+    # wizard docs except those ALSO matching (lizard OR wisard)
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("wizard")),
+        (L.Occur.MUST_NOT, L.BooleanQuery.union(["lizard", "wisard"])),
+    ])
+    got = {r["conv_id"] for r in exp_index.search(q, k=10, mode="taat64").collect()}
+    assert got == {"c4"}
+
+
+def test_nested_phrase_inside_boolean(spark, tmp_root):
+    import time as _t
+    pdf = pd.DataFrame({
+        "conv_id": ["p0", "p1", "p2"], "turn_idx": [0, 0, 0],
+        "text": ["alpha beta gamma", "alpha gamma beta", "beta alpha delta"],
+    })
+    idx = f"{tmp_root}/nested_idx_{_t.time_ns()}"
+    from tantivy_spark.operators.build import build_index
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(n_segments=2, n_term_buckets=4, positions=True))
+    s = Searcher(spark, idx)
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.PhraseQuery(("alpha", "beta"))),
+        (L.Occur.SHOULD, L.TermQuery("gamma")),
+    ])
+    got = {r["conv_id"] for r in s.search(q, k=10, mode="taat64").collect()}
+    assert got == {"p0"}
