@@ -218,6 +218,55 @@ def merge_segments(spark: SparkSession, index_dir: str,
     return manifest
 
 
+def garbage_collect(spark: SparkSession, index_dir: str,
+                    rewrite_postings: bool = False) -> dict:
+    """Remove files belonging to merged-away segments — the
+    garbage_collect_files role (segment_updater.rs): safe because readers
+    pin the manifest and the manifest no longer references those segments.
+
+    docmap partitions are per-segment directories -> deleted directly.
+    postings files mix segments within a tbucket dir, so reclaiming them
+    requires a rewrite (`rewrite_postings=True`): read live rows, write a
+    fresh table, swap directories.  At scale run this with the compaction
+    cadence, not per-merge.
+    """
+    import shutil as _sh
+
+    manifest = load_manifest(index_dir)
+    live = {int(s["segment_ord"]) for s in manifest["segments"]}
+    removed = []
+    docmap_path = os.path.join(index_dir, "docmap")
+    for name in os.listdir(docmap_path):
+        if name.startswith("segment_ord="):
+            ord_ = int(name.split("=", 1)[1])
+            if ord_ not in live:
+                _sh.rmtree(os.path.join(docmap_path, name), ignore_errors=True)
+                removed.append(ord_)
+
+    rewrote = False
+    postings_path = os.path.join(index_dir, "postings")
+    if rewrite_postings:
+        df = spark.read.parquet(postings_path).filter(
+            F.col("segment_ord").isin(sorted(live))
+        )
+        tmp = postings_path + ".gc"
+        _sh.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition(
+                max(8, spark.sparkContext.defaultParallelism), "tbucket", "term"
+            )
+            .sortWithinPartitions("tbucket", "term", "segment_ord")
+            .write.mode("overwrite").partitionBy("tbucket").parquet(tmp)
+        )
+        old = postings_path + ".old"
+        os.rename(postings_path, old)
+        os.rename(tmp, postings_path)
+        _sh.rmtree(old, ignore_errors=True)
+        rewrote = True
+    return {"removed_docmap_segments": sorted(removed),
+            "postings_rewritten": rewrote}
+
+
 def maybe_merge(spark: SparkSession, index_dir: str,
                 policy: LogMergePolicy | None = None) -> list[list[int]]:
     """Run the merge policy over the manifest and execute each candidate —

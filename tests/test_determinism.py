@@ -1,0 +1,138 @@
+"""E2E correctness protocol (FIXTURES.md §4): determinism across
+parallelism, checkpoint/resume, partition pruning in the physical plan."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import build_index, load_manifest
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+from tantivy_spark.sources.transcripts import transcripts_df
+
+
+CFG = IndexConfig(n_segments=4, n_term_buckets=4)
+
+
+def _postings_fingerprint(spark, idx):
+    """Order-insensitive content hash of the postings table."""
+    df = spark.read.parquet(os.path.join(idx, "postings"))
+    row = (
+        df.select(
+            F.sum(F.crc32(F.concat_ws("|", "term", "segment_ord", "doc_freq",
+                                      F.hex("doc_enc"), F.hex("tf_enc"),
+                                      F.hex("fnorm_enc")))).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_freq").alias("df"),
+        ).collect()[0]
+    )
+    return (int(row["h"]), int(row["n"]), int(row["df"]))
+
+
+def _docmap_fingerprint(spark, idx):
+    df = spark.read.parquet(os.path.join(idx, "docmap"))
+    row = df.select(
+        F.sum(F.crc32(F.concat_ws("|", "conv_id", "turn_idx", "segment_ord",
+                                  "doc_id", "fieldnorm_id"))).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (int(row["h"]), int(row["n"]))
+
+
+def test_build_identical_across_parallelism(spark, tmp_root):
+    """Same corpus at different generator/shuffle partitioning -> identical
+    docmap and postings content (the determinism invariant that makes
+    rank-identical scoring well-defined on any cluster size)."""
+    src_a = transcripts_df(spark, 120, partitions=3)
+    src_b = transcripts_df(spark, 120, partitions=13)
+    ia = f"{tmp_root}/det_a_{time.time_ns()}"
+    ib = f"{tmp_root}/det_b_{time.time_ns()}"
+    build_index(spark, src_a, ia, CFG)
+    build_index(spark, src_b, ib, CFG)
+    assert _docmap_fingerprint(spark, ia) == _docmap_fingerprint(spark, ib)
+    assert _postings_fingerprint(spark, ia) == _postings_fingerprint(spark, ib)
+    ma, mb = load_manifest(ia), load_manifest(ib)
+    assert ma["segments"] == mb["segments"]
+    # and identical top-k on both (f32-exact)
+    sa, sb = Searcher(spark, ia), Searcher(spark, ib)
+    q = L.BooleanQuery.union(["w0", "w5", "w100"])
+    ra = [(r["conv_id"], r["turn_idx"], r["score"])
+          for r in sa.search(q, k=10, mode="daat").collect()]
+    rb = [(r["conv_id"], r["turn_idx"], r["score"])
+          for r in sb.search(q, k=10, mode="daat").collect()]
+    assert ra == rb
+
+
+def test_resume_skips_completed_stages_and_is_identical(spark, tmp_root):
+    """Stage markers make the build resumable; a resumed build leaves
+    byte-identical content and records per-segment lineage metrics."""
+    src = transcripts_df(spark, 80, partitions=4)
+    idx = f"{tmp_root}/resume_{time.time_ns()}"
+    build_index(spark, src, idx, CFG)
+    fp_before = _postings_fingerprint(spark, idx)
+    manifest = load_manifest(idx)
+
+    # lineage/metrics per segment present (docs tokenized, tokens, postings)
+    for seg in manifest["segments"]:
+        assert seg["n_docs"] > 0 and seg["n_tokens"] > 0
+        assert seg["n_terms"] > 0 and seg["n_postings"] > 0
+
+    # simulate a crash after stage 1: drop the postings marker + manifest
+    os.remove(os.path.join(idx, "_done_postings"))
+    os.remove(os.path.join(idx, "manifest.json"))
+    t0 = time.time()
+    build_index(spark, src, idx, CFG, resume=True)
+    resumed_in = time.time() - t0
+    assert _postings_fingerprint(spark, idx) == fp_before
+
+    # full resume (everything done) rebuilds only the manifest — fast path
+    t1 = time.time()
+    m = build_index(spark, src, idx, CFG, resume=True)
+    full_resume_in = time.time() - t1
+    assert m["total_docs"] == manifest["total_docs"]
+    assert full_resume_in < resumed_in  # skipped both heavy stages
+
+
+def test_query_scan_is_partition_pruned(spark, tmp_root):
+    """The pruned postings scan must push the tbucket filter into parquet
+    partition pruning and the term filter into data filters — the explain
+    output is the evidence (the term-dict FST role of the layout)."""
+    src = transcripts_df(spark, 60, partitions=4)
+    idx = f"{tmp_root}/prune_{time.time_ns()}"
+    build_index(spark, src, idx, CFG)
+    s = Searcher(spark, idx)
+    plan = s.pruned_postings(["w0"])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    assert "PushedFilters" in plan or "term" in plan
+    # only 1 of 4 tbucket directories scanned
+    import re
+
+    m = re.search(r"tbucket.*?IN \(([^)]*)\)|tbucket#\d+\s*=\s*(\d+)", plan)
+    assert m is not None
+
+
+def test_stable_turn_order_invariant(spark, tmp_root):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the north-rule per-row invariant: doc ids follow the stable sort."""
+    src = transcripts_df(spark, 50, partitions=5)
+    idx = f"{tmp_root}/order_{time.time_ns()}"
+    build_index(spark, src, idx, CFG)
+    dm = (
+        spark.read.parquet(os.path.join(idx, "docmap"))
+        .select("segment_ord", "doc_id", "conv_id", "turn_idx")
+        .collect()
+    )
+    by_seg: dict[int, list] = {}
+    for r in dm:
+        by_seg.setdefault(r["segment_ord"], []).append(
+            (r["doc_id"], r["conv_id"], r["turn_idx"])
+        )
+    for seg, rows in by_seg.items():
+        rows.sort()
+        ids = [r[0] for r in rows]
+        assert ids == list(range(len(rows)))  # dense, 0-based
+        keys = [(r[1], r[2]) for r in rows]
+        assert keys == sorted(keys)  # doc id order == stable key order

@@ -194,3 +194,25 @@ def test_index_writer_facade(spark, tmp_root):
     s3 = idx.searcher()
     assert s3.total_docs == 2
     assert len(s3.manifest["segments"]) == 1
+
+
+def test_garbage_collect(spark, built):
+    import os
+
+    from tantivy_spark.operators.merge import garbage_collect
+
+    merge_segments(spark, built)  # all 4 segments -> 1 merged
+    docmap = os.path.join(built, "docmap")
+    before = {d for d in os.listdir(docmap) if d.startswith("segment_ord=")}
+    assert len(before) == 5  # 4 old + 1 merged, orphans still on disk
+    out = garbage_collect(spark, built, rewrite_postings=True)
+    assert len(out["removed_docmap_segments"]) == 4
+    after = {d for d in os.listdir(docmap) if d.startswith("segment_ord=")}
+    assert len(after) == 1
+    # index still fully queryable after GC
+    s = Searcher(spark, built)
+    assert s.count(L.TermQuery("common")) == 40
+    segs = {r["segment_ord"] for r in
+            spark.read.parquet(os.path.join(built, "postings"))
+            .select("segment_ord").distinct().collect()}
+    assert segs == {r2["segment_ord"] for r2 in s.docmap().select("segment_ord").distinct().collect()}
