@@ -324,6 +324,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
     )
 
+    # ---- JSON dynamic fields (src/core/json_utils.rs) --------------------
+    def _json_searcher(s, d):
+        tag = os.path.basename(os.path.normpath(d)) or "sf"
+        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v1")
+        if index_dir not in _SEARCHERS:
+            cfg = IndexConfig(
+                text_col="props", key_cols=("event_id",),
+                segment_col="event_id", n_segments=4, n_term_buckets=8,
+                tokenizer="json",
+            )
+            try:
+                load_manifest(index_dir)
+            except FileNotFoundError:
+                build_index(
+                    s, _tbl(s, d, "events").select("event_id", "props"),
+                    index_dir, cfg, resume=True,
+                )
+            _SEARCHERS[index_dir] = Searcher(s, index_dir)
+        return _SEARCHERS[index_dir]
+
+    def _json_term_docs(s, d):
+        sr = _json_searcher(s, d)
+        return (
+            sr.search(L.TermQuery("k:69"), k=100000, mode="taat64")
+            .select(F.col("event_id"))
+        )
+
+    Q["json_field_docs"] = _json_term_docs
+
+    def _json_term_count(s, d):
+        n = _json_searcher(s, d).count(L.TermQuery("k:69"))
+        return s.createDataFrame([(n,)], "n_matching long")
+
+    Q["json_field_count"] = _json_term_count
+
     # ---- collectors (SURVEY §2.6) ----------------------------------------
     def _coll_topdocs_by_field(s, d):
         sr = _searcher(s, d)
@@ -658,6 +693,14 @@ ORDER BY score DESC, doc_id ASC LIMIT 1000"""
         "SELECT lang, count(*)::BIGINT AS n FROM documents "
         "WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang"
     )
+
+    # ---- JSON dynamic fields ---------------------------------------------
+    O["json_field_docs"] = """
+SELECT event_id FROM events
+WHERE json_extract_string(props, '$.k') = '69' ORDER BY event_id"""
+    O["json_field_count"] = """
+SELECT count(*)::BIGINT AS n_matching FROM events
+WHERE json_extract_string(props, '$.k') = '69'"""
 
     # ---- collectors ------------------------------------------------------
     O["coll_topdocs_by_fast_field"] = (

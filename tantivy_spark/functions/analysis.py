@@ -226,11 +226,49 @@ def build_analyzer(tokenizer: str = "simple",
     return analyze
 
 
+def tokenize_json(text: str) -> tuple[list[str], list[int]]:
+    """Dynamic JSON-object field expansion (src/core/json_utils.rs,
+    src/postings/json_postings_writer.rs): every leaf becomes path-scoped
+    terms `path.sub:value`; string leaves run the default analyzer under
+    their path; arrays index each element at the same path.  Invalid JSON
+    yields no tokens (the reference rejects at ingestion; an analyzer in a
+    pipeline degrades gracefully)."""
+    import json as _json
+
+    try:
+        obj = _json.loads(text)
+    except (ValueError, TypeError):
+        return [], []
+    terms: list[str] = []
+
+    def emit(path: str, value) -> None:
+        if isinstance(value, dict):
+            for k2, v2 in value.items():
+                emit(f"{path}.{k2}" if path else str(k2), v2)
+        elif isinstance(value, list):
+            for v2 in value:
+                emit(path, v2)
+        elif isinstance(value, bool):
+            terms.append(f"{path}:{'true' if value else 'false'}")
+        elif value is None:
+            terms.append(f"{path}:null")
+        elif isinstance(value, (int, float)):
+            v = int(value) if isinstance(value, float) and value.is_integer() else value
+            terms.append(f"{path}:{v}")
+        else:  # string leaf -> default analyzer under the path
+            for tok in tokenize_default(str(value))[0]:
+                terms.append(f"{path}:{tok}")
+
+    emit("", obj)
+    return terms, list(range(len(terms)))
+
+
 ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "default": tokenize_default,
     "raw": tokenize_raw,
     "whitespace": tokenize_whitespace,
     "en_stem": tokenize_en_stem,
+    "json": tokenize_json,
 }
 
 

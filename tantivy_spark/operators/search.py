@@ -183,6 +183,78 @@ class Searcher:
         out.update({r["term"]: int(r["df"]) for r in rows})
         return out
 
+    def warm(self) -> "Searcher":
+        """Warming hook (the reference's Warmer API, src/reader/warming.rs):
+        pin the hot tables in executor memory so repeated queries skip the
+        parquet scan."""
+        self._warm_postings = self.postings().cache()
+        self._warm_postings.count()
+        return self
+
+    def explain(self, query: L.Query, key: tuple) -> dict:
+        """Score explanation for one document (Weight::explain,
+        src/query/weight.rs:121-146): per-clause idf/tf/fieldnorm breakdown
+        plus the combined score.  `key` = the doc's key_cols values."""
+        import math
+
+        spec = compile_query(query)
+        if isinstance(spec, CompiledDismax):
+            raise NotImplementedError("explain covers boolean/term queries")
+        dm = self.docmap()
+        for col, val in zip(self.cfg.key_cols, key):
+            dm = dm.filter(F.col(col) == val)
+        row = dm.select("segment_ord", "doc_id", "fieldnorm_id",
+                        "token_count").first()
+        if row is None:
+            return {"matched": False, "reason": "no such document"}
+        seg, did = int(row["segment_ord"]), int(row["doc_id"])
+        terms = sorted({t for _, t, _ in spec.clauses})
+        dfs = self.doc_freqs(terms)
+        flat = (
+            self.flat_postings(terms)
+            .filter((F.col("segment_ord") == seg) & (F.col("doc_id") == did))
+            .collect()
+        )
+        tf_by_term = {r["term"]: int(r["tf"]) for r in flat}
+        N = self.total_docs
+        avgdl = self.avg_fieldnorm()
+        dl = float(FIELD_NORMS_TABLE[int(row["fieldnorm_id"])])
+        details, total = [], _F32(0.0)
+        for occur, t, boost in spec.clauses:
+            w = self.weight_for(dfs[t], boost)
+            tf = tf_by_term.get(t, 0)
+            clause_score = (
+                float(w.score(np.array([int(row["fieldnorm_id"])]),
+                              np.array([tf]))[0])
+                if (w is not None and tf > 0) else 0.0
+            )
+            details.append({
+                "term": t, "occur": occur, "boost": boost,
+                "doc_freq": dfs[t],
+                "idf": float(math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+                if dfs[t] > 0 else 0.0,
+                "tf": tf,
+                "fieldnorm_id": int(row["fieldnorm_id"]),
+                "decoded_fieldnorm": dl,
+                "exact_token_count": int(row["token_count"]),
+                "score": clause_score,
+            })
+            if occur != "must_not" and tf > 0:
+                total = _F32(total + _F32(clause_score))
+        musts = [d for d in details if d["occur"] == "must"]
+        matched = (
+            all(d["tf"] > 0 for d in musts)
+            and any(d["tf"] > 0 for d in details if d["occur"] != "must_not")
+            and not any(d["tf"] > 0 for d in details if d["occur"] == "must_not")
+        )
+        return {
+            "matched": matched,
+            "score": float(total) if matched else 0.0,
+            "avgdl": float(avgdl),
+            "total_docs": N,
+            "clauses": details,
+        }
+
     def term_dict(self) -> DataFrame:
         """Global term dictionary (term, df) — the FST analogue, derived by
         aggregating per-segment doc_freqs.  One shuffle on term, already

@@ -143,3 +143,15 @@ def test_builder_regex_tokenizer():
 
     an = build_analyzer("regex", pattern=r"[0-9]+")
     assert an("a1 bb22 c333")[0] == ["1", "22", "333"]
+
+
+def test_json_tokenizer():
+    from tantivy_spark.functions.analysis import tokenize_json
+
+    terms, pos = tokenize_json('{"k": 69, "tags": ["A b", "c"], "nested": {"x": 1.5, "ok": true}}')
+    assert terms == ["k:69", "tags:a", "tags:b", "tags:c", "nested.x:1.5",
+                     "nested.ok:true"]
+    assert pos == list(range(6))
+    assert tokenize_json("not json") == ([], [])
+    assert tokenize_json('{"f": 2.0}')[0] == ["f:2"]  # integral float
+    assert tokenize_json('{"n": null}')[0] == ["n:null"]

@@ -168,3 +168,30 @@ def test_nested_phrase_inside_boolean(spark, tmp_root):
     ])
     got = {r["conv_id"] for r in s.search(q, k=10, mode="taat64").collect()}
     assert got == {"p0"}
+
+
+def test_explain(exp_index):
+    ex = exp_index.explain(
+        L.BooleanQuery.new([
+            (L.Occur.SHOULD, L.TermQuery("wizard")),
+            (L.Occur.SHOULD, L.TermQuery("gizzard")),
+        ]),
+        key=("c0", 0),
+    )
+    assert ex["matched"] is True
+    by_term = {c["term"]: c for c in ex["clauses"]}
+    assert by_term["wizard"]["tf"] == 1 and by_term["wizard"]["doc_freq"] == 3
+    assert by_term["gizzard"]["tf"] == 0
+    assert ex["score"] == pytest.approx(by_term["wizard"]["score"], rel=1e-6)
+    # explained score equals the search score
+    hit = {r["conv_id"]: r["score"] for r in
+           exp_index.search(L.TermQuery("wizard"), k=10, mode="daat").collect()}
+    assert ex["score"] == pytest.approx(hit["c0"], rel=1e-6)
+    # missing doc
+    assert exp_index.explain(L.TermQuery("wizard"), key=("zz", 9))["matched"] is False
+
+
+def test_warm(exp_index):
+    exp_index.warm()
+    out = exp_index.search(L.TermQuery("wizard"), k=10, mode="daat").collect()
+    assert len(out) == 3
