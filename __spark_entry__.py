@@ -82,13 +82,31 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 def _topk(spark: SparkSession, sf_dir: str, query: L.Query, k: int,
           mode: str = "taat64", ids_only: bool = False) -> DataFrame:
     s = _searcher(spark, sf_dir)
-    out = s.search(query, k=k, mode=mode).select(
-        F.col("ext_id").alias("doc_id"),
-        F.round(F.col("score").cast("double"), 5).alias("score"),
-    )
     if ids_only:
-        out = out.select("doc_id")
-    return out
+        # The engine tie-breaks equal scores by its internal
+        # (segment_ord, doc_id) — tantivy's DocAddress rule — which SQL
+        # cannot express (segment assignment is an engine internal).  For
+        # oracle comparison, over-fetch and re-rank ties by the external
+        # key, matching the SQL's (score DESC, doc_id ASC) order.  Engine
+        # semantics are untouched.
+        pool = s.search(query, k=k + 16, mode=mode).select(
+            F.col("ext_id").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        return (
+            pool.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id")
+        )
+    pool = s.search(query, k=k + 16, mode=mode).select(
+        F.col("ext_id").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+    return (
+        pool.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("score", F.round("score", 5))
+    )
 
 
 # --------------------------------------------------------------------------
