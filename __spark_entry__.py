@@ -441,6 +441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("v_variance", 4).alias("v_variance"),
         F.round("v_std_deviation", 4).alias("v_std"),
     )
+    Q["agg_nested_type_day"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"terms": {"field": "event_type", "size": 10},
+         "aggs": {"days": {"date_histogram": {"field": "ts",
+                                              "calendar_interval": "day"},
+                           "aggs": {"v": {"avg": {"field": "value"}}}}}},
+    ).withColumn("v", F.round("v", 5))
     Q["agg_terms_event_type"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"terms": {"field": "event_type", "size": 10},
@@ -769,6 +776,10 @@ SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(var_pop(value), 4) AS v_variance,
        round(stddev_pop(value), 4) AS v_std
 FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_nested_type_day"] = """
+SELECT event_type AS key, date_trunc('day', ts) AS child_key,
+       count(*)::BIGINT AS doc_count, round(avg(value), 5) AS v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
     O["agg_terms_event_type"] = """
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(avg(value), 5) AS avg_value

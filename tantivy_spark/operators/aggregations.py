@@ -230,6 +230,56 @@ _BUCKET_KINDS = {
 }
 
 
+def _bucket_key(kind: str, body: dict):
+    """(key expression, pre-filter) for a bucket kind — used for nesting."""
+    if kind == "terms":
+        key = F.col(body["field"])
+        if body.get("missing") is not None:
+            key = F.coalesce(key, F.lit(body["missing"]))
+        return key, None
+    if kind == "histogram":
+        iv = body["interval"]
+        return (F.floor(F.col(body["field"]) / F.lit(iv)) * F.lit(iv)), None
+    if kind == "date_histogram":
+        interval = body.get("calendar_interval", body.get("interval", "day"))
+        return F.date_trunc(interval, F.col(body["field"])), None
+    if kind == "range":
+        c = F.col(body["field"])
+        expr = F.lit(None).cast("string")
+        for r in reversed(body["ranges"]):
+            cond = F.lit(True)
+            if r.get("from") is not None:
+                cond = cond & (c >= F.lit(r["from"]))
+            if r.get("to") is not None:
+                cond = cond & (c < F.lit(r["to"]))
+            expr = F.when(cond, F.lit(r.get("key"))).otherwise(expr)
+        return expr, F.col("_k").isNotNull()
+    raise ValueError(f"bucket kind {kind!r} cannot nest")
+
+
+def _nested_buckets(df: DataFrame, pkind: str, pbody: dict,
+                    ckind: str, cbody: dict,
+                    metric_aggs: dict | None) -> DataFrame:
+    """Two-level bucket nesting (the reference's sub_aggregation tree,
+    agg_req.rs): one groupBy on the composite key; parent `size` keeps the
+    top parents by total doc_count (terms-order semantics), children
+    ordered by key within each parent."""
+    pkey, _ = _bucket_key(pkind, pbody)
+    ckey, _ = _bucket_key(ckind, cbody)
+    g = (
+        df.withColumn("_pk", pkey).withColumn("_ck", ckey)
+        .filter(F.col("_pk").isNotNull() & F.col("_ck").isNotNull())
+        .groupBy(F.col("_pk").alias("key"), F.col("_ck").alias("child_key"))
+        .agg(*_sub_metric_exprs(metric_aggs))
+    )
+    if pkind == "terms":
+        size = pbody.get("size", 10)
+        totals = g.groupBy("key").agg(F.sum("doc_count").alias("_total"))
+        top = totals.orderBy(F.desc("_total"), F.asc("key")).limit(size)
+        g = g.join(F.broadcast(top.select("key")), "key", "inner")
+    return g.orderBy("key", "child_key")
+
+
 def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
     """Execute one named aggregation request (ES JSON shape):
 
@@ -238,9 +288,27 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
 
     Returns a flat DataFrame: bucket key column(s) + doc_count + one column
     per sub-metric (stats/extended_stats/percentiles expand to several).
+    A bucket agg inside "aggs" nests (two levels): the result carries
+    (key, child_key, doc_count, metrics...).
     """
     sub = request.get("aggs")
     kinds = [k for k in request if k != "aggs"]
+    # detect bucket-in-bucket nesting
+    if sub and len(kinds) == 1:
+        bucket_children = {
+            n: s for n, s in sub.items()
+            if next(iter(s.keys() - {"aggs"})) in
+            ("terms", "histogram", "date_histogram", "range")
+        }
+        if bucket_children:
+            if len(bucket_children) > 1:
+                raise ValueError("one nested bucket per level")
+            (cname, cspec), = bucket_children.items()
+            ckind = next(iter(cspec.keys() - {"aggs"}))
+            metric_sub = cspec.get("aggs")
+            return _nested_buckets(
+                df, kinds[0], request[kinds[0]], ckind, cspec[ckind], metric_sub
+            )
     if len(kinds) != 1:
         raise ValueError("request must contain exactly one aggregation kind")
     kind = kinds[0]

@@ -129,3 +129,28 @@ def test_missing_agg(events):
 def test_global_metric_root(events):
     r = A.run_aggregation(events, {"avg": {"field": "val"}}).collect()[0]
     assert r["avg"] == pytest.approx(15.7)
+
+
+def test_nested_terms_in_date_histogram(events):
+    out = A.run_aggregation(
+        events.fillna({"etype": "zz"}),
+        {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+         "aggs": {"by_type": {"terms": {"field": "etype"},
+                              "aggs": {"v": {"avg": {"field": "val"}}}}}},
+    ).collect()
+    # (day, etype) pairs with doc_count + avg metric
+    assert all(r["doc_count"] >= 1 for r in out)
+    d1 = [r for r in out if str(r["key"]).startswith("2024-01-01")]
+    assert {r["child_key"] for r in d1} == {"a"}
+    assert d1[0]["doc_count"] == 2 and d1[0]["v"] == 1.5
+
+
+def test_nested_terms_parent_size(events):
+    out = A.run_aggregation(
+        events.fillna({"etype": "zz"}),
+        {"terms": {"field": "etype", "size": 2},
+         "aggs": {"days": {"date_histogram": {"field": "ts",
+                                              "calendar_interval": "day"}}}},
+    ).collect()
+    parents = {r["key"] for r in out}
+    assert parents == {"c", "a"}  # top-2 parents by total doc_count
