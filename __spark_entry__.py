@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]), 10)
     Q["ft_const_score"] = lambda s, d: _topk(
         s, d,
-        L.ConstScoreQuery(L.BooleanQuery.union(["dup"]), 1.5), 50)
+        L.ConstScoreQuery(L.BooleanQuery.union(["dup"]), 1.5), 50000)
     Q["ft_dismax_top10"] = lambda s, d: _topk(
         s, d,
         L.DisjunctionMaxQuery(
@@ -298,9 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, L.PhrasePrefixQuery(("fast", "tab")), 10, mode="daat",
         ids_only=True)
     Q["ft_fuzzy"] = lambda s, d: _topk(
-        s, d, L.FuzzyTermQuery("tabl", distance=1), 1000)
+        s, d, L.FuzzyTermQuery("tabl", distance=1), 50000)
     Q["ft_regex"] = lambda s, d: _topk(
-        s, d, L.RegexQuery("val.*"), 1000)
+        s, d, L.RegexQuery("val.*"), 50000)
     Q["ft_more_like_this"] = lambda s, d: _topk(
         s, d,
         L.MoreLikeThisQuery(
@@ -314,7 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _term_set(s, d):
         # TermSetQuery: scoring-free match set (term IN (...))
-        return _topk(s, d, L.TermSetQuery(("dup",)), 1000, ids_only=True)
+        return _topk(s, d, L.TermSetQuery(("dup",)), 50000, ids_only=True)
 
     Q["ft_term_set"] = _term_set
 
@@ -597,7 +597,7 @@ def oracle_sql() -> dict[str, str]:
     O["ft_boost_top10"] = _bool_topk_sql(
         [("should", "table", 2.0), ("should", "key", 0.5)], 10)
     O["ft_const_score"] = _bool_topk_sql(
-        [("should", "dup", 1.0)], 50, const_score=1.5)
+        [("should", "dup", 1.0)], 50000, const_score=1.5)
     O["ft_dismax_top10"] = (
         _BM25_PRELUDE
         + _clauses_sql([("should", "spark", 1.0), ("should", "value", 1.0)])
@@ -686,7 +686,7 @@ sc AS (
   FROM tf JOIN matched ON tf.term = matched.term GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 5) AS score FROM sc
-ORDER BY score DESC, doc_id ASC LIMIT 1000"""
+ORDER BY score DESC, doc_id ASC LIMIT 50000"""
     )
     O["ft_regex"] = (
         _BM25_PRELUDE
@@ -697,14 +697,14 @@ sc AS (
   FROM tf JOIN matched ON tf.term = matched.term GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 5) AS score FROM sc
-ORDER BY score DESC, doc_id ASC LIMIT 1000"""
+ORDER BY score DESC, doc_id ASC LIMIT 50000"""
     )
     O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
     O["ft_phrase_daat_top10"] = _phrase_sql(["the", "table"], 10, ids_only=True)
     O["ft_term_set"] = (
         _BM25_PRELUDE
         + "SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup') "
-        + "ORDER BY doc_id LIMIT 1000"
+        + "ORDER BY doc_id LIMIT 50000"
     )
     O["ft_count_term"] = (
         _BM25_PRELUDE

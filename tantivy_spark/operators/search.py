@@ -183,6 +183,18 @@ class Searcher:
         out.update({r["term"]: int(r["df"]) for r in rows})
         return out
 
+    def doc(self, address: tuple[int, int]) -> dict | None:
+        """Fetch a document's stored/fast fields by DocAddress
+        (searcher.doc(address) parity; the docmap plays the docstore role,
+        the source table holds the original text)."""
+        seg, did = address
+        row = (
+            self.docmap()
+            .filter((F.col("segment_ord") == seg) & (F.col("doc_id") == did))
+            .first()
+        )
+        return row.asDict() if row is not None else None
+
     def warm(self) -> "Searcher":
         """Warming hook (the reference's Warmer API, src/reader/warming.rs):
         pin the hot tables in executor memory so repeated queries skip the
