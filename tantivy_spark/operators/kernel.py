@@ -336,25 +336,36 @@ def segment_topk_phrase(
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
     if slop > 0 and len(term_postings) > 2:
         raise NotImplementedError("slop is supported for 2-term phrases")
-    fixed = term_postings if last_alternatives is None else term_postings[:-1]
-    if any(tp is None for tp in fixed):
-        return empty
-    alts = [tp for tp in (last_alternatives or []) if tp is not None]
-    if last_alternatives is not None and not alts:
-        return empty
+    # normalize to slots-of-alternatives: each phrase position may accept a
+    # set of posting lists (PhrasePrefix expansions; RegexPhrase per-slot
+    # regex expansions, src/query/phrase_query/regex_phrase_query.rs)
+    slots: list[list[TermPostings]] = []
+    base = term_postings if last_alternatives is None else term_postings[:-1]
+    for tp in base:
+        if tp is None:
+            return empty
+        slots.append(tp if isinstance(tp, list) else [tp])
+    if last_alternatives is not None:
+        slots.append([tp for tp in last_alternatives if tp is not None])
+    for alt in slots:
+        if not [tp for tp in alt if tp is not None]:
+            return empty
+    slots = [[tp for tp in alt if tp is not None] for alt in slots]
 
     uniq: dict[int, tuple] = {}
-    for tp in fixed + alts:
-        if id(tp) not in uniq:
-            uniq[id(tp)] = tp.decode_all()
+    for alt in slots:
+        for tp in alt:
+            if id(tp) not in uniq:
+                uniq[id(tp)] = tp.decode_all()
 
     cand = None
-    for tp in fixed:
-        docs = uniq[id(tp)][0]
+    for alt in slots:
+        docs = (
+            uniq[id(alt[0])][0]
+            if len(alt) == 1
+            else np.unique(np.concatenate([uniq[id(tp)][0] for tp in alt]))
+        )
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
-    if alts:
-        alt_union = np.unique(np.concatenate([uniq[id(tp)][0] for tp in alts]))
-        cand = alt_union if cand is None else cand[np.isin(cand, alt_union, assume_unique=True)]
     if cand is None or len(cand) == 0:
         return empty
 
@@ -376,28 +387,27 @@ def segment_topk_phrase(
             pos_cache[id(tp)] = plists
         return pos_cache[id(tp)]
 
-    slot_positions = [positions_of(tp) for tp in fixed]
-    if alts:
-        alt_pos = [positions_of(tp) for tp in alts]
-        merged = [
-            np.unique(np.concatenate([ap[i] for ap in alt_pos]))
-            for i in range(len(cand))
-        ]
-        slot_positions.append(merged)
+    slot_positions = []
+    for alt in slots:
+        if len(alt) == 1:
+            slot_positions.append(positions_of(alt[0]))
+        else:
+            alt_pos = [positions_of(tp) for tp in alt]
+            slot_positions.append([
+                np.unique(np.concatenate([ap[i] for ap in alt_pos]))
+                for i in range(len(cand))
+            ])
 
-    anchor = fixed[0] if fixed else alts[0]
-    docs0, _, fns0 = uniq[id(anchor)]
-    idx0 = np.searchsorted(docs0, cand)
-    fns = fns0[np.clip(idx0, 0, len(docs0) - 1)].astype(np.int64)
-    if not fixed:  # single-slot prefix phrase: fieldnorms via any alt hit
-        fns = np.zeros(len(cand), dtype=np.int64)
-        for tp in alts:
-            docs_a, _, fns_a = uniq[id(tp)]
-            ia = np.searchsorted(docs_a, cand)
-            ok = (ia < len(docs_a))
-            ia = np.clip(ia, 0, max(len(docs_a) - 1, 0))
-            hit = ok & (docs_a[ia] == cand)
-            fns[hit] = fns_a[ia[hit]]
+    # fieldnorm of each candidate: from whichever alternative of slot 0
+    # contains it (every candidate is in at least one)
+    fns = np.zeros(len(cand), dtype=np.int64)
+    for tp in slots[0]:
+        docs_a, _, fns_a = uniq[id(tp)]
+        ia = np.searchsorted(docs_a, cand)
+        ok = (ia < len(docs_a))
+        ia = np.clip(ia, 0, max(len(docs_a) - 1, 0))
+        hit = ok & (docs_a[ia] == cand)
+        fns[hit] = fns_a[ia[hit]]
 
     counts = np.zeros(len(cand), dtype=np.int64)
     n_slots = len(slot_positions)

@@ -421,6 +421,10 @@ class Searcher:
             if k is None:
                 raise ValueError("phrase query needs a finite k")
             return self._daat_phrase_prefix(phrase, phrase_boost, k)
+        if isinstance(phrase, L.RegexPhraseQuery):
+            if k is None:
+                raise ValueError("phrase query needs a finite k")
+            return self._daat_regex_phrase(phrase, phrase_boost, k)
         if isinstance(phrase, L.PhraseQuery):
             if k is None:
                 raise ValueError("phrase query needs a finite k")
@@ -605,6 +609,53 @@ class Searcher:
             .collect()
         )
         return [r["term"] for r in rows]
+
+    def _daat_regex_phrase(self, q: L.RegexPhraseQuery, boost: float,
+                           k: int) -> DataFrame:
+        """Per-slot regex expansion, then the alternatives-aware phrase
+        kernel.  Weight follows the reference: Bm25Weight::for_terms over
+        the RAW pattern terms (df typically 0 -> max idf constant)."""
+        empty = self.spark.createDataFrame(
+            [], "segment_ord int, doc_id int, score float"
+        )
+        slot_terms: list[list[str]] = []
+        for pat in q.patterns:
+            exp = self.expand_regex(pat)[: q.max_expansions]
+            if not exp:
+                return empty
+            slot_terms.append(exp)
+        pattern_dfs = self.doc_freqs(sorted(set(q.patterns)))
+        weight = Bm25Weight.for_terms(
+            [pattern_dfs[p] for p in q.patterns],
+            self.total_docs, self.total_tokens, self.params,
+        ).boost_by(boost)
+        all_terms = sorted({t for alt in slot_terms for t in alt})
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            slots = [
+                [tp[t] for t in alt if t in tp] or [None]
+                for alt in slot_terms
+            ]
+            docs, scores = K.segment_topk_phrase(
+                [alt if alt != [None] else None for alt in slots], weight, k
+            )
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(all_terms)
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
 
     def _daat_phrase_prefix(self, q: L.PhrasePrefixQuery, boost: float,
                             k: int) -> DataFrame:

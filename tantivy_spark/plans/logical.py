@@ -189,6 +189,21 @@ class PhrasePrefixQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexPhraseQuery(Query):
+    """Phrase where each position matches a regex, expanded per slot
+    against the term dict (src/query/phrase_query/regex_phrase_query.rs).
+    Scored like a phrase whose Bm25 weight is built from the raw pattern
+    terms (regex_phrase_query.rs:144-149 — their df is usually 0, giving
+    the max-idf constant; reference semantics kept)."""
+
+    patterns: tuple[str, ...]
+    max_expansions: int = 50
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
 class TermSetQuery(Query):
     """Doc matches any term in the set — constant score 1.0 like tantivy's
     (scoring-free) TermSetQuery (src/query/term_set_query/term_set_query.rs:307)."""

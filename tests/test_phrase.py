@@ -178,3 +178,26 @@ def test_parser_phrase_prefix():
 
     q = QueryParser().parse('"quick bro"*')
     assert q == L.PhrasePrefixQuery(("quick", "bro"))
+
+
+def test_regex_phrase_kernel_alternatives():
+    # slots-of-alternatives: phrase "a (b|c)": doc0 "a b", doc1 "a c",
+    # doc2 "a d" (no match), doc3 "b a" (order wrong)
+    tp_a = _postings_with_positions({0: [0], 1: [0], 2: [0], 3: [1]})
+    tp_b = _postings_with_positions({0: [1], 3: [0]})
+    tp_c = _postings_with_positions({1: [1]})
+    w = Bm25Weight.for_terms([2, 2], 10, 100, Bm25Params())
+    docs, _ = segment_topk_phrase([tp_a, [tp_b, tp_c]], w, k=10)
+    assert docs.tolist() == [0, 1]
+
+
+def test_regex_phrase_e2e(phrase_index):
+    # "(quick|brown) (brown|shoes)" matches quick-brown and brown-shoes
+    q = L.RegexPhraseQuery(("quick|brown", "brown|shoes"))
+    out = phrase_index.search(q, k=10, mode="daat").collect()
+    got = {r["conv_id"] for r in out}
+    # quick brown: c0,c1,c3; brown shoes: c1; brown quick? no (2nd slot)
+    assert got == {"c0", "c1", "c3"}
+    # no expansions for an impossible slot
+    qz = L.RegexPhraseQuery(("quick", "zzz.*"))
+    assert phrase_index.search(qz, k=10, mode="daat").count() == 0
