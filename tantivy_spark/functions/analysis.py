@@ -153,17 +153,43 @@ def tokenize_facet(path: str) -> tuple[list[str], list[int]]:
     return terms, [0] * len(terms)
 
 
+_FOLD_SUPPLEMENT = {
+    # ligatures / letters NFKD does not decompose (the explicit-table rows
+    # of src/tokenizer/ascii_folding_filter.rs)
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss", "ẞ": "SS",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ı": "i",
+}
+
+
 def _ascii_fold(tok: str) -> str:
-    """Fold diacritics to ASCII via NFKD + combining-mark strip — the
-    practical core of AsciiFoldingFilter (the reference ships an explicit
-    mapping table, src/tokenizer/ascii_folding_filter.rs; NFKD covers the
-    diacritic rows, not the ligature/symbol special cases)."""
+    """Fold diacritics/ligatures to ASCII: NFKD + combining-mark strip plus
+    an explicit supplement for non-decomposing letters — the practical core
+    of AsciiFoldingFilter (src/tokenizer/ascii_folding_filter.rs ships the
+    full table; rare symbol rows are not covered)."""
     import unicodedata
 
+    tok = "".join(_FOLD_SUPPLEMENT.get(c, c) for c in tok)
     return "".join(
         c for c in unicodedata.normalize("NFKD", tok)
         if not unicodedata.combining(c)
     )
+
+
+def _split_compound(tok: str, dictionary: frozenset, min_part: int = 2) -> list[str]:
+    """Greedy longest-match decomposition of a compound into dictionary
+    parts (src/tokenizer/split_compound_words.rs semantics: emit the parts
+    only when the WHOLE token decomposes, else keep the token)."""
+    parts, i, n = [], 0, len(tok)
+    while i < n:
+        for j in range(n, i + min_part - 1, -1):
+            if tok[i:j] in dictionary:
+                parts.append(tok[i:j])
+                i = j
+                break
+        else:
+            return [tok]
+    return parts if len(parts) > 1 else [tok]
 
 
 def build_analyzer(tokenizer: str = "simple",
@@ -210,6 +236,13 @@ def build_analyzer(tokenizer: str = "simple",
             steps.append(lambda tp: [(t, p) for t, p in tp if t.isalnum()])
         elif name == "ascii_folding":
             steps.append(lambda tp: [(_ascii_fold(t), p) for t, p in tp])
+        elif name == "split_compound":
+            words = frozenset(args[0])
+            steps.append(
+                lambda tp, W=words: [
+                    (part, p) for t, p in tp for part in _split_compound(t, W)
+                ]
+            )
         else:
             raise KeyError(f"unknown token filter {name!r}")
 

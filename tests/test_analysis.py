@@ -155,3 +155,26 @@ def test_json_tokenizer():
     assert tokenize_json("not json") == ([], [])
     assert tokenize_json('{"f": 2.0}')[0] == ["f:2"]  # integral float
     assert tokenize_json('{"n": null}')[0] == ["n:null"]
+
+
+def test_ascii_folding_ligatures():
+    from tantivy_spark.functions.analysis import _ascii_fold
+
+    assert _ascii_fold("Encyclopædia") == "Encyclopaedia"
+    assert _ascii_fold("Straße") == "Strasse"
+    assert _ascii_fold("Œuvre") == "OEuvre"
+    assert _ascii_fold("Søren") == "Soren"
+
+
+def test_split_compound_words():
+    from tantivy_spark.functions.analysis import build_analyzer
+
+    an = build_analyzer(
+        "simple",
+        filters=[("lowercase",), ("split_compound", ["dampf", "schiff", "fahrt"])],
+    )
+    terms, _ = an("Dampfschifffahrt dampf unknownword")
+    assert terms == ["dampf", "schiff", "fahrt", "dampf", "unknownword"]
+    # partial decomposition keeps the whole token (reference semantics)
+    terms2, _ = an("dampfxyz")
+    assert terms2 == ["dampfxyz"]
