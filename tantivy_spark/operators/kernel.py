@@ -311,6 +311,107 @@ def _slop_count(left: np.ndarray, right: np.ndarray, slop: int) -> int:
     return count
 
 
+def _carrying_slop_intersect(
+    left: list[int],
+    lslops: list[int],
+    right: list[int],
+    max_slop: int,
+    update_left: bool,
+) -> tuple[int, list[int], list[int]]:
+    """Multi-term slop intersection carrying the slop budget spent so far —
+    phrase_scorer.rs intersection_count_with_carrying_slop (:232-345).
+
+    Slop is a budget spent on inter-term distances.  On a match both the
+    smaller and larger positions are kept as candidate matches (which one
+    is "best" depends on later terms), each annotated with the budget
+    consumed; consecutive duplicates keep the cheaper slop (add_val,
+    :253-264).  When either side exhausts, remaining positions of the
+    other side within budget of the last value are appended (:311-335).
+    Returns (match_count, new_left_positions, new_left_slops); the new
+    lists are only meaningful when update_left is True.
+    """
+    if not left or not right:
+        return 0, [], []
+    new_pos: list[int] = []
+    new_slops: list[int] = []
+
+    def add_val(s: int, v: int) -> None:
+        if update_left:
+            if new_pos and new_pos[-1] == v:
+                new_slops[-1] = min(new_slops[-1], s)
+            else:
+                new_pos.append(v)
+                new_slops.append(s)
+
+    li = ri = count = 0
+    n_left, n_right = len(left), len(right)
+    while True:
+        lv = left[li]
+        s_far = lslops[li] if li < len(lslops) else 0
+        rv = right[ri]
+        distance = s_far + abs(lv - rv)
+        if distance <= max_slop:
+            if lv < rv:
+                smaller, larger, si, spos = lv, rv, li, left
+            else:
+                smaller, larger, si, spos = rv, lv, ri, right
+            new_slop = distance
+            add_val(new_slop, smaller)
+            while si + 1 < len(spos):
+                nxt = spos[si + 1]
+                if nxt > larger:
+                    break
+                si += 1
+                new_slop = s_far + abs(nxt - larger)
+                add_val(new_slop, nxt)
+            add_val(new_slop, larger)
+            count += 1
+            li += 1
+            ri += 1
+        elif lv < rv:
+            li += 1
+        else:
+            ri += 1
+        if li >= n_left or ri >= n_right:
+            if li >= n_left:
+                lv = left[-1]
+                s_far = lslops[-1] if lslops else 0
+                for rv2 in right[ri:]:
+                    ns = abs(lv - rv2) + s_far
+                    if ns <= max_slop:
+                        add_val(ns, rv2)
+            else:
+                rv = right[-1]
+                for idx in range(li, n_left):
+                    lv2 = left[idx]
+                    s_far = lslops[idx] if idx < len(lslops) else 0
+                    ns = abs(lv2 - rv) + s_far
+                    if ns <= max_slop:
+                        add_val(ns, lv2)
+            break
+    return count, new_pos, new_slops
+
+
+def _carrying_slop_count(adjusted: list[list[int]], slop: int) -> int:
+    """Phrase-occurrence count for a 3+-term slop phrase over one doc's
+    offset-adjusted position lists — the compute_phrase_match /
+    compute_phrase_count dispatch of phrase_scorer.rs (:437-507):
+    intermediate terms intersect with update_left=True carrying slops,
+    the final term only counts."""
+    left = adjusted[0]
+    lslops: list[int] = []
+    for t in range(1, len(adjusted) - 1):
+        _, left, lslops = _carrying_slop_intersect(
+            left, lslops, adjusted[t], slop, True
+        )
+        if not left:
+            return 0
+    count, _, _ = _carrying_slop_intersect(
+        left, lslops, adjusted[-1], slop, False
+    )
+    return count
+
+
 def segment_topk_phrase(
     term_postings: list[TermPostings | None],
     weight: Bm25Weight,
@@ -328,14 +429,13 @@ def segment_topk_phrase(
     list.  Candidates = conjunction of all term docsets, then a per-doc
     vectorized position-chain intersection.
 
-    `slop` > 0 uses the reference's greedy slop-window count (2-term
-    phrases, phrase_scorer.rs:145-191); `last_alternatives` replaces the
+    `slop` > 0 uses the reference's greedy slop-window count for 2-term
+    phrases (phrase_scorer.rs:145-191) and the carrying-slop-budget
+    intersection for 3+ terms (:232-345); `last_alternatives` replaces the
     final slot with a union of posting lists — the PhrasePrefix expansion
     (src/query/phrase_prefix_query/phrase_prefix_scorer.rs).
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
-    if slop > 0 and len(term_postings) > 2:
-        raise NotImplementedError("slop is supported for 2-term phrases")
     # normalize to slots-of-alternatives: each phrase position may accept a
     # set of posting lists (PhrasePrefix expansions; RegexPhrase per-slot
     # regex expansions, src/query/phrase_query/regex_phrase_query.rs)
@@ -418,6 +518,15 @@ def segment_topk_phrase(
                 slot_positions[1][i].astype(np.int64) - 1,
                 slop,
             )
+            continue
+        if slop > 0:
+            # offset-adjust each slot by (n_slots-1 - t) so an exact match
+            # has equal values (PostingsWithOffset, phrase_scorer.rs:379-384)
+            adjusted = [
+                (slot_positions[t][i].astype(np.int64) + (n_slots - 1 - t)).tolist()
+                for t in range(n_slots)
+            ]
+            counts[i] = _carrying_slop_count(adjusted, slop)
             continue
         starts = slot_positions[0][i]
         for t in range(1, n_slots):

@@ -201,3 +201,116 @@ def test_regex_phrase_e2e(phrase_index):
     # no expansions for an impossible slot
     qz = L.RegexPhraseQuery(("quick", "zzz.*"))
     assert phrase_index.search(qz, k=10, mode="daat").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-term (3+) slop phrases: the carrying-slop-budget intersection
+# (phrase_scorer.rs:232-345) and the reference's own fixtures.
+# ---------------------------------------------------------------------------
+
+
+def test_carrying_slop_intersect_fixtures():
+    """Exact port of phrase_scorer.rs test_carry_slop_intersection
+    (:650-705): fold lists left-to-right with update_left=True and check
+    the surviving (slop, position) pairs and the final count."""
+    from tantivy_spark.operators.kernel import _carrying_slop_intersect
+
+    def run(lists, slop):
+        left = list(lists[0])
+        slops = [0] * len(left)
+        count = 0
+        for right in lists[1:]:
+            count, left, slops = _carrying_slop_intersect(
+                left, slops, list(right), slop, True
+            )
+        return count, list(zip(slops, left))
+
+    assert run([[1], []], 1) == (0, [])
+    assert run([[1], [2]], 1) == (1, [(1, 1), (1, 2)])
+    assert run([[1], [3]], 1) == (0, [])
+    # the order may still matter
+    assert run([[1], [2], [2]], 1) == (1, [(1, 2)])
+    assert run([[2], [1], [2]], 1) == (1, [(1, 2)])
+    assert run([[2], [2], [1]], 1) == (1, [(1, 1), (1, 2)])
+    assert run([[2], [2], [1], [2]], 1) == (1, [(1, 2)])
+    assert run([[1], [2], [2], [2]], 1) == (1, [(1, 2)])
+    assert run([[1], [2], [1]], 1) == (1, [(1, 1)])
+    assert run([[11], [10, 12]], 1) == (1, [(1, 10), (1, 11), (1, 12)])
+    assert run([[10, 12], [11]], 1) == (1, [(1, 10), (1, 11), (1, 12)])
+    assert run([[5, 7, 11], [1, 5, 10, 12]], 1) == (
+        2, [(0, 5), (1, 10), (1, 11), (1, 12)]
+    )
+
+
+def _texts_index(spark, tmp_root, name, texts):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_segments=1, n_term_buckets=2, positions=True)
+    idx = f"{tmp_root}/{name}"
+    build_index(spark, src, idx, cfg)
+    return Searcher(spark, idx)
+
+
+def _slop_hits(searcher, terms, slop):
+    out = searcher.search(L.PhraseQuery(tuple(terms), slop=slop), k=10,
+                          mode="daat").collect()
+    # conv_id c{i} with single-segment build => doc order = i
+    return sorted((int(r["conv_id"][1:]), r["score"]) for r in out)
+
+
+def test_phrase_slop_3term(spark, tmp_root):
+    # mod.rs test_phrase_slop (:238-256)
+    s = _texts_index(spark, tmp_root, "slop3_a", ["a x b c"])
+    assert len(_slop_hits(s, ["a", "b", "c"], 1)) == 1
+    s = _texts_index(spark, tmp_root, "slop3_b", ["a x b x c"])
+    assert len(_slop_hits(s, ["a", "b", "c"], 1)) == 0
+
+
+def test_phrase_slop_bug2(spark, tmp_root):
+    # mod.rs test_phrase_score_with_slop_bug_2 (:190-201)
+    s = _texts_index(spark, tmp_root, "slopbug2_a", ["a x b x c", "a a c"])
+    assert len(_slop_hits(s, ["a", "b", "c"], 2)) == 1
+    s = _texts_index(spark, tmp_root, "slopbug2_b", ["a x b x c", "b c c"])
+    assert len(_slop_hits(s, ["a", "b", "c"], 2)) == 1
+
+
+def test_phrase_slop_repeating(spark, tmp_root):
+    # mod.rs test_phrase_score_with_slop_repeating (:220-225)
+    s = _texts_index(spark, tmp_root, "sloprep",
+                     ["wendy subject subject captain", "Captain"])
+    assert len(_slop_hits(s, ["wendy", "subject", "captain"], 1)) == 1
+
+
+def test_phrase_slop_size_golden(spark, tmp_root):
+    # mod.rs test_phrase_score_with_slop_size (:228-235): golden f32 scores
+    s = _texts_index(spark, tmp_root, "slopsize",
+                     ["a b e c", "a e e e c", "a e e e e c"])
+    hits = _slop_hits(s, ["a", "c"], 3)
+    assert [d for d, _ in hits] == [0, 1]
+    assert hits[0][1] == pytest.approx(0.29086056, rel=1e-4)
+    assert hits[1][1] == pytest.approx(0.26706287, rel=1e-4)
+
+
+def test_phrase_slop_ordering_golden(spark, tmp_root):
+    # mod.rs test_phrase_score_with_slop_ordering (:259-274): golden f32
+    # scores indexed in doc order over the matching docs
+    s = _texts_index(spark, tmp_root, "sloporder", [
+        "a e b e c",
+        "a e e e e e b e e e e c",
+        "a c b",
+        "a c e b e",
+        "a e c b",
+        "a e b c",
+    ])
+    hits = _slop_hits(s, ["a", "b", "c"], 3)
+    scores = [sc for _, sc in hits]
+    assert len(scores) >= 4
+    assert scores[0] == pytest.approx(0.23091172, rel=1e-4)
+    assert scores[1] == pytest.approx(0.27310878, rel=1e-4)
+    assert scores[3] == pytest.approx(0.25024384, rel=1e-4)
