@@ -1,0 +1,117 @@
+"""spark-submit entrypoint: build the transcripts index and/or run queries.
+
+The north rule requires the pipeline to run "via spark-submit --py-files on
+a multi-executor cluster".  Package the library and launch:
+
+    cd /root/repo && zip -qr /tmp/tantivy_spark.zip tantivy_spark
+    spark-submit --master local[8] \
+        --py-files /tmp/tantivy_spark.zip \
+        tools/submit_job.py build \
+        --synthetic-convs 2000 --index-dir /tmp/ts_submit_idx --segments 8
+
+    spark-submit --master local[8] --py-files /tmp/tantivy_spark.zip \
+        tools/submit_job.py query \
+        --index-dir /tmp/ts_submit_idx --query 'alpha AND beta' --k 10
+
+On a real cluster replace --master with the cluster manager URL and size
+the executors; nothing in the job references local paths except the
+index/source locations, which on a cluster would be object-store/Iceberg
+URIs.  The session factory respects the master supplied by spark-submit.
+
+Subcommands:
+  build  --index-dir DIR  [--source PARQUET | --synthetic-convs N]
+         [--segments N] [--term-buckets N] [--positions] [--resume]
+  query  --index-dir DIR  --query STRING  [--k N] [--mode daat|taat64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--source", help="parquet path of the transcripts table")
+    b.add_argument("--synthetic-convs", type=int,
+                   help="generate N deterministic synthetic conversations")
+    b.add_argument("--segments", type=int, default=8)
+    b.add_argument("--term-buckets", type=int, default=8)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--resume", action="store_true",
+                   help="resume from per-stage checkpoints")
+
+    q = sub.add_parser("query", help="run a query-string search")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="daat", choices=["daat", "taat64"])
+
+    args = ap.parse_args(argv)
+
+    from tantivy_spark.session import get_spark
+
+    spark = get_spark(app_name=f"tantivy_spark_{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "build":
+        from tantivy_spark.config import IndexConfig
+        from tantivy_spark.operators.build import build_index
+
+        if bool(args.source) == bool(args.synthetic_convs):
+            ap.error("build needs exactly one of --source / --synthetic-convs")
+        if args.source:
+            src = spark.read.parquet(args.source)
+        else:
+            from tantivy_spark.sources.transcripts import transcripts_df
+
+            src = transcripts_df(spark, args.synthetic_convs)
+        cfg = IndexConfig(
+            n_segments=args.segments,
+            n_term_buckets=args.term_buckets,
+            positions=args.positions,
+        )
+        t0 = time.time()
+        manifest = build_index(spark, src, args.index_dir, cfg,
+                               resume=args.resume)
+        out = {
+            "cmd": "build",
+            "index_dir": args.index_dir,
+            "wall_sec": round(time.time() - t0, 2),
+            "num_docs": manifest["total_docs"],
+            "segments": len(manifest["segments"]),
+            "total_tokens": manifest["total_tokens"],
+        }
+        print(json.dumps(out))
+        return 0
+
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.parser import QueryParser
+
+    searcher = Searcher(spark, args.index_dir)
+    tree = QueryParser().parse(args.query)
+    t0 = time.time()
+    rows = searcher.search(tree, k=args.k, mode=args.mode).collect()
+    out = {
+        "cmd": "query",
+        "query": args.query,
+        "k": args.k,
+        "wall_sec": round(time.time() - t0, 2),
+        "hits": [
+            {k: (str(v) if not isinstance(v, (int, float, str)) else v)
+             for k, v in r.asDict().items()}
+            for r in rows
+        ],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
