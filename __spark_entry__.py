@@ -680,9 +680,13 @@ SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
     O["ft_fuzzy"] = (
         _BM25_PRELUDE
         + """,
-matched AS (SELECT term FROM df WHERE damerau_levenshtein(term, 'tabl') <= 1),
+matched AS (
+  SELECT term, damerau_levenshtein(term, 'tabl') AS dist FROM df
+  WHERE damerau_levenshtein(term, 'tabl') <= 1
+),
 sc AS (
-  SELECT tf.doc_id, (count(*) * 1.0)::DOUBLE AS score
+  -- per-term const score 1/(1+dist), summed per doc (automaton_weight.rs)
+  SELECT tf.doc_id, sum(1.0 / (1.0 + matched.dist))::DOUBLE AS score
   FROM tf JOIN matched ON tf.term = matched.term GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 5) AS score FROM sc

@@ -37,14 +37,17 @@ from tantivy_spark.plans import logical as L
 _F32 = np.float32
 
 
-def _fuzzy_match(q: str, t: str, d: int, transposition_cost_one: bool,
-                 prefix: bool) -> bool:
-    """Levenshtein (or OSA with transpositions) distance <= d; with
-    `prefix`, accept if any prefix of `t` is within distance d of `q` —
-    the prefix-automaton acceptance rule (fuzzy_query.rs prefix variant)."""
+def _fuzzy_distance(q: str, t: str, d: int, transposition_cost_one: bool,
+                    prefix: bool) -> int | None:
+    """Levenshtein (or OSA with transpositions) distance of `t` from `q`
+    if <= d, else None; with `prefix`, the min distance over prefixes of
+    `t` — the prefix-automaton acceptance rule (fuzzy_query.rs prefix
+    variant).  The returned distance is what the reference's DFA reports
+    for the accepting state and feeds the 1/(1+dist) const score
+    (automaton_weight.rs:120-133)."""
     m, n = len(q), len(t)
     if not prefix and abs(m - n) > d:
-        return False
+        return None
     prev2 = None
     prev = list(range(n + 1))
     for i in range(1, m + 1):
@@ -59,9 +62,13 @@ def _fuzzy_match(q: str, t: str, d: int, transposition_cost_one: bool,
             ):
                 cur[j] = min(cur[j], prev2[j - 2] + 1)
         prev2, prev = prev, cur
-    if prefix:
-        return min(prev) <= d
-    return prev[n] <= d
+    dist = min(prev) if prefix else prev[n]
+    return dist if dist <= d else None
+
+
+def _fuzzy_match(q: str, t: str, d: int, transposition_cost_one: bool,
+                 prefix: bool) -> bool:
+    return _fuzzy_distance(q, t, d, transposition_cost_one, prefix) is not None
 
 
 class CompiledBoolean:
@@ -281,13 +288,14 @@ class Searcher:
         rows = self.term_dict().filter(F.col("term").rlike(anchored)).collect()
         return sorted(r["term"] for r in rows)
 
-    def expand_fuzzy(self, term: str, distance: int = 1,
-                     transposition_cost_one: bool = True,
-                     prefix: bool = False) -> list[str]:
-        """Terms within Levenshtein (or OSA, when transpositions cost 1)
-        distance — the Levenshtein-automaton ∩ term-dict walk of
-        src/query/fuzzy_query.rs:80-106, run as a vectorized filter over the
-        term dictionary (length-pruned, then exact DP per candidate)."""
+    def expand_fuzzy_scored(self, term: str, distance: int = 1,
+                            transposition_cost_one: bool = True,
+                            prefix: bool = False) -> list[tuple[str, int]]:
+        """(term, edit distance) pairs within Levenshtein (or OSA, when
+        transpositions cost 1) distance — the Levenshtein-automaton ∩
+        term-dict walk of src/query/fuzzy_query.rs:80-106, run as a
+        vectorized filter over the term dictionary (length-pruned, then
+        exact DP per candidate)."""
         q = term
         d = distance
         cands = self.term_dict().select("term")
@@ -300,14 +308,23 @@ class Searcher:
 
         def match_batches(it):
             for pdf in it:
-                keep = [
-                    t for t in pdf["term"]
-                    if _fuzzy_match(q, t, d, transposition_cost_one, prefix)
-                ]
-                yield pd.DataFrame({"term": keep})
+                keep, dists = [], []
+                for t in pdf["term"]:
+                    dist = _fuzzy_distance(q, t, d, transposition_cost_one,
+                                           prefix)
+                    if dist is not None:
+                        keep.append(t)
+                        dists.append(dist)
+                yield pd.DataFrame({"term": keep, "dist": pd.array(dists, dtype="int32")})
 
-        rows = cands.mapInPandas(match_batches, schema="term string").collect()
-        return sorted(r["term"] for r in rows)
+        rows = cands.mapInPandas(match_batches, schema="term string, dist int").collect()
+        return sorted((r["term"], r["dist"]) for r in rows)
+
+    def expand_fuzzy(self, term: str, distance: int = 1,
+                     transposition_cost_one: bool = True,
+                     prefix: bool = False) -> list[str]:
+        return [t for t, _ in self.expand_fuzzy_scored(
+            term, distance, transposition_cost_one, prefix)]
 
     def more_like_this_query(self, q: "L.MoreLikeThisQuery") -> L.Query:
         """Salient-term extraction (src/query/more_like_this/
@@ -404,11 +421,15 @@ class Searcher:
             phrase_boost *= phrase.boost
             phrase = phrase.query
         if isinstance(phrase, L.FuzzyTermQuery):
-            terms = self.expand_fuzzy(
+            scored = self.expand_fuzzy_scored(
                 phrase.term, phrase.distance,
                 phrase.transposition_cost_one, phrase.prefix,
             )
-            return self._const_union(terms, phrase_boost, k)
+            # per-term const score = 1/(1+dist) (automaton_weight.rs:120-133)
+            return self._weighted_const_union(
+                [(t, 1.0 / (1.0 + dist)) for t, dist in scored],
+                phrase_boost, k,
+            )
         if isinstance(phrase, L.RegexQuery):
             terms = self.expand_regex(phrase.pattern)
             return self._const_union(terms, phrase_boost, k)
@@ -535,6 +556,38 @@ class Searcher:
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
         ).limit(k)
+
+    def _weighted_const_union(
+        self, term_weights: list[tuple[str, float]], boost: float, k: int | None
+    ) -> DataFrame:
+        """Union of per-term ConstScorers with SumCombiner where each term
+        carries its own const weight — the automaton scorer build
+        (automaton_weight.rs:90-104) with automaton_score != 1 (fuzzy)."""
+        frame = self._weighted_union_frame(term_weights, boost)
+        if frame is None:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score double"
+            )
+        out = frame.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        if k is not None:
+            out = out.limit(k)
+        return out
+
+    def _weighted_union_frame(
+        self, term_weights: list[tuple[str, float]], boost: float
+    ) -> DataFrame | None:
+        if not term_weights:
+            return None
+        wmap = dict(term_weights)
+        flat = self.flat_postings(sorted(wmap))
+        wdf = self.spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(wmap.items())], "term string, w double"
+        )
+        return (
+            flat.join(F.broadcast(wdf), "term")
+            .groupBy("segment_ord", "doc_id")
+            .agg((F.sum("w") * F.lit(float(boost))).alias("score"))
+        )
 
     def _const_union(self, terms: list[str], boost: float, k: int | None) -> DataFrame:
         """Union of const-scorers with sum combining: score = boost * number
@@ -836,6 +889,17 @@ class Searcher:
             if q.slop != 0:
                 raise NotImplementedError("slop phrases only on the DAAT path")
             return self._taat64_phrase(q, 1.0, None)
+        if isinstance(q, L.FuzzyTermQuery):
+            scored = self.expand_fuzzy_scored(
+                q.term, q.distance, q.transposition_cost_one, q.prefix
+            )
+            return self._weighted_union_frame(
+                [(t, 1.0 / (1.0 + dist)) for t, dist in scored], 1.0
+            )
+        if isinstance(q, L.RegexQuery):
+            return self._weighted_union_frame(
+                [(t, 1.0) for t in self.expand_regex(q.pattern)], 1.0
+            )
         if isinstance(q, L.DisjunctionMaxQuery):
             frames = [self._eval_tree(sub) for sub in q.queries]
             frames = [f for f in frames if f is not None]

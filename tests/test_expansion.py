@@ -59,12 +59,13 @@ def test_expand_regex(exp_index):
         exp_index.expand_regex("w.*") == ["wisard", "wizard"]
 
 
-def test_fuzzy_query_scores_by_matched_term_count(exp_index):
-    # c1 contains both 'wizard' and 'wisard' -> score 2; c0 has wizard+lizard
+def test_fuzzy_query_scores_by_distance_weighted_sum(exp_index):
+    # per-term const score 1/(1+dist) summed per doc (automaton_weight.rs):
+    # c0 wizard(1.0)+lizard(0.5)=1.5; c1 wizard(1.0)+wisard(0.5)=1.5
     out = exp_index.search(L.FuzzyTermQuery("wizard", 1), k=10).collect()
     scores = {r["conv_id"]: r["score"] for r in out}
-    assert scores["c0"] == 2.0  # wizard + lizard
-    assert scores["c1"] == 2.0  # wizard + wisard
+    assert scores["c0"] == 1.5  # wizard + lizard
+    assert scores["c1"] == 1.5  # wizard + wisard
     assert scores["c4"] == 1.0
     assert "c3" not in scores
 
@@ -78,7 +79,7 @@ def test_regex_query(exp_index):
 def test_boosted_fuzzy(exp_index):
     out = exp_index.search(
         L.BoostQuery(L.FuzzyTermQuery("wizard", 1), 3.0), k=10).collect()
-    assert max(r["score"] for r in out) == 6.0
+    assert max(r["score"] for r in out) == 4.5  # 3.0 * (1.0 + 0.5)
 
 
 def test_more_like_this(exp_index):
@@ -195,3 +196,54 @@ def test_warm(exp_index):
     exp_index.warm()
     out = exp_index.search(L.TermQuery("wizard"), k=10, mode="daat").collect()
     assert len(out) == 3
+
+
+def test_fuzzy_scored_reference_fixture(spark, tmp_root):
+    """fuzzy_query.rs test_fuzzy_term (:276-325): per-term const score is
+    1/(1+distance) (automaton_weight.rs:120-133) — 'japon'~1 on 'japan'
+    scores 0.5; prefix 'jap'~1 matches at distance 0 scoring 1.0;
+    non-prefix 'jap'~1 matches nothing."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": [0, 0],
+            "text": ["japan", "korea"],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    idx = f"{tmp_root}/fuzzy_ref_idx"
+    build_index(spark, src, idx, IndexConfig(n_segments=1, n_term_buckets=2))
+    s = Searcher(spark, idx)
+
+    from tantivy_spark.plans import logical as L
+
+    hits = s.search(L.FuzzyTermQuery("japon", distance=1), k=2).collect()
+    assert len(hits) == 1
+    assert hits[0]["score"] == pytest.approx(0.5)
+
+    assert s.search(L.FuzzyTermQuery("jap", distance=1), k=2).count() == 0
+
+    hits = s.search(L.FuzzyTermQuery("jap", distance=1, prefix=True), k=2).collect()
+    assert len(hits) == 1
+    assert hits[0]["score"] == pytest.approx(1.0)
+
+
+def test_fuzzy_nested_in_boolean(exp_index):
+    """FuzzyTermQuery as a boolean clause (any Query composes in the
+    reference's BooleanQuery tree)."""
+    from tantivy_spark.plans import logical as L
+
+    q = L.BooleanQuery(
+        clauses=(
+            (L.Occur.SHOULD, L.FuzzyTermQuery("wizard", distance=1)),
+            (L.Occur.MUST_NOT, L.TermQuery("lizard")),
+        )
+    )
+    out = exp_index.search(q, k=10, mode="taat64").collect()
+    got = {r["conv_id"] for r in out}
+    assert "c0" not in got          # excluded by must_not lizard
+    assert {"c1", "c4"} <= got      # wizard docs
+    # c1 has wizard (d=0 -> 1.0) + wisard (d=1 -> 0.5) = 1.5
+    by_conv = {r["conv_id"]: r["score"] for r in out}
+    assert by_conv["c1"] == pytest.approx(1.5)
+    assert by_conv["c4"] == pytest.approx(1.0)
