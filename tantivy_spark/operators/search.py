@@ -274,6 +274,100 @@ class Searcher:
             "clauses": details,
         }
 
+    def explain_tree(self, query: L.Query, key: tuple) -> dict:
+        """Nested score explanation mirroring the reference's Explanation
+        tree (src/query/explanation.rs: value + description + details;
+        Weight::explain implementations per query type).  Works for any
+        query the engine evaluates — each node reports its contribution to
+        the doc's score and recurses into children."""
+        dm = self.docmap()
+        for col, val in zip(self.cfg.key_cols, key):
+            dm = dm.filter(F.col(col) == val)
+        row = dm.select("segment_ord", "doc_id").first()
+        if row is None:
+            return {"matched": False, "description": "no such document"}
+        seg, did = int(row["segment_ord"]), int(row["doc_id"])
+        return self._explain_node(query, seg, did)
+
+    def _node_score(self, q: L.Query, seg: int, did: int) -> float | None:
+        """Score of one doc under a subtree via the TAAT evaluator; None if
+        the doc does not match the subtree."""
+        frame = self._eval_tree(q)
+        if frame is None:
+            return None
+        hit = frame.filter(
+            (F.col("segment_ord") == seg) & (F.col("doc_id") == did)
+        ).select("score").first()
+        return None if hit is None else float(hit["score"])
+
+    def _explain_node(self, q: L.Query, seg: int, did: int) -> dict:
+        def node(desc, value, details=None, **extra):
+            out = {
+                "description": desc,
+                "value": 0.0 if value is None else float(value),
+                "matched": value is not None,
+            }
+            if details:
+                out["details"] = details
+            out.update(extra)
+            return out
+
+        if isinstance(q, L.BoostQuery):
+            child = self._explain_node(q.query, seg, did)
+            v = child["value"] * float(q.boost) if child["matched"] else None
+            return node(f"Boost(x{q.boost})", v, [child])
+        if isinstance(q, L.ConstScoreQuery):
+            child = self._explain_node(q.query, seg, did)
+            v = float(q.score) if child["matched"] else None
+            return node(f"ConstScore({q.score})", v, [child])
+        if isinstance(q, L.TermQuery):
+            dfs = self.doc_freqs([q.term])
+            v = self._node_score(q, seg, did)
+            return node(
+                f"TermQuery({q.term!r})", v,
+                doc_freq=int(dfs[q.term]), total_docs=int(self.total_docs),
+            )
+        if isinstance(q, L.BooleanQuery):
+            details, total, ok = [], 0.0, True
+            n_should = 0
+            for occur, sub in q.clauses:
+                child = self._explain_node(sub, seg, did)
+                child["occur"] = occur.value if hasattr(occur, "value") else str(occur)
+                details.append(child)
+                if occur == L.Occur.MUST:
+                    if not child["matched"]:
+                        ok = False
+                    else:
+                        total += child["value"]
+                elif occur == L.Occur.SHOULD:
+                    if child["matched"]:
+                        total += child["value"]
+                        n_should += 1
+                else:
+                    if child["matched"]:
+                        ok = False
+            has_must = any(o == L.Occur.MUST for o, _ in q.clauses)
+            has_matching_should = n_should > 0
+            if not has_must and not has_matching_should:
+                ok = False
+            if q.minimum_should_match > 0 and n_should < q.minimum_should_match:
+                ok = False
+            return node("BooleanQuery(sum of matching clauses)",
+                        total if ok else None, details)
+        if isinstance(q, L.DisjunctionMaxQuery):
+            details = [self._explain_node(sub, seg, did) for sub in q.queries]
+            vals = [d["value"] for d in details if d["matched"]]
+            if not vals:
+                return node("DisjunctionMax", None, details)
+            mx = max(vals)
+            v = mx + float(q.tie_breaker) * (sum(vals) - mx)
+            return node(
+                f"DisjunctionMax(tie_breaker={q.tie_breaker})", v, details)
+        # leaf families evaluated through the TAAT tree (phrase, fuzzy,
+        # regex, term-set, exists, range, all/empty)
+        v = self._node_score(q, seg, did)
+        return node(type(q).__name__, v)
+
     def term_dict(self) -> DataFrame:
         """Global term dictionary (term, df) — the FST analogue, derived by
         aggregating per-segment doc_freqs.  One shuffle on term, already

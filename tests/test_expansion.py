@@ -247,3 +247,30 @@ def test_fuzzy_nested_in_boolean(exp_index):
     by_conv = {r["conv_id"]: r["score"] for r in out}
     assert by_conv["c1"] == pytest.approx(1.5)
     assert by_conv["c4"] == pytest.approx(1.0)
+
+
+def test_explain_tree_nested(exp_index):
+    """explain_tree mirrors the reference's nested Explanation: node values
+    recompose, and the root value equals the search score."""
+    q = L.BooleanQuery(
+        clauses=(
+            (L.Occur.SHOULD, L.BoostQuery(L.TermQuery("wizard"), 2.0)),
+            (L.Occur.SHOULD, L.FuzzyTermQuery("lizard", distance=1)),
+            (L.Occur.MUST_NOT, L.TermQuery("gizzard")),
+        )
+    )
+    out = exp_index.search(q, k=10, mode="taat64").collect()
+    by_key = {(r["conv_id"], r["turn_idx"]): r["score"] for r in out}
+    assert by_key, "query should match docs"
+    key = next(iter(by_key))
+    ex = exp_index.explain_tree(q, key=key)
+    assert ex["matched"]
+    assert ex["value"] == pytest.approx(by_key[key], rel=1e-6)
+    descs = [d["description"] for d in ex["details"]]
+    assert any("Boost" in d for d in descs)
+    assert any("FuzzyTermQuery" in d for d in descs)
+    # must_not on a matching doc kills the match
+    gz = exp_index.explain_tree(q, key=("c2", 0))
+    assert not gz["matched"]
+    # missing doc
+    assert exp_index.explain_tree(q, key=("zz", 9))["matched"] is False
