@@ -538,6 +538,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
         "vec_id", "embedding", _qvec(s, d), k=10,
     ).withColumn("cosine", F.round("cosine", 6))  # approx — no SQL oracle
+    Q["ann_dot_top10"] = lambda s, d: P.brute_force_topk(
+        _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
+        "vec_id", "embedding", _qvec(s, d), k=10, metric="dot",
+    ).withColumn("sim", F.round("sim", 6))
+    Q["ann_l2_top10"] = lambda s, d: P.brute_force_topk(
+        _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
+        "vec_id", "embedding", _qvec(s, d), k=10, metric="l2",
+    ).withColumn("sim", F.round("sim", 6))
+
+    def _ann_ivf(s, d):
+        # IVF probe with nprobe = n_clusters is exact (degenerates to flat
+        # search) -> oracle-comparable; recall at nprobe < n_clusters is
+        # pytest-covered (tests/test_pipeline.py)
+        emb = _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0)
+        cents = P.ivf_train(emb, "vec_id", "embedding", n_clusters=8, iters=3)
+        return P.ivf_topk(
+            emb, "vec_id", "embedding", _qvec(s, d), cents, k=10,
+            nprobe=len(cents),
+        ).withColumn("cosine", F.round("cosine", 6))
+
+    Q["ann_ivf_top10"] = _ann_ivf
     Q["text_lang_id"] = lambda s, d: P.language_id(
         _tbl(s, d, "documents"), "doc_id")
     Q["text_quality"] = lambda s, d: P.quality_score(
@@ -869,6 +890,35 @@ pairs AS (
 ),
 sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
          FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+    O["ann_dot_top10"] = """
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.embedding)::DOUBLE AS y
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(sum(x * y), 6) AS sim
+FROM pairs GROUP BY vec_id ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+    O["ann_l2_top10"] = """
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.embedding)::DOUBLE AS y
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+)
+-- negated squared L2: the reference's higher-is-better similarity
+-- convention (src/vector/distance.rs:320-337)
+SELECT vec_id, round(-sum((x - y) * (x - y)), 6) AS sim
+FROM pairs GROUP BY vec_id ORDER BY sim DESC, vec_id ASC LIMIT 10"""
+    O["ann_ivf_top10"] = """
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.embedding)::DOUBLE AS y
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id)
+-- nprobe = n_clusters -> IVF is exact, equals the flat cosine scan
 SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
     O["text_lang_id"] = """

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
 # tokenization helpers (Spark-side, JVM-only — no Python)
@@ -338,14 +339,38 @@ def cosine_col(vec_col: str, qvec: list[float]):
     return dot / (F.sqrt(nv) * F.lit(nq))
 
 
+def similarity_col(vec_col: str, qvec: list[float], metric: str = "cosine"):
+    """similarity(vec, literal query) under the reference's 'higher is
+    better' convention (src/vector/distance.rs:320-337): cosine, dot, or
+    NEGATED squared L2.  Pure Catalyst expressions — JVM-side codegen."""
+    if metric == "cosine":
+        return cosine_col(vec_col, qvec)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if metric == "dot":
+        return F.aggregate(F.zip_with(v, q, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    if metric == "l2":
+        return -F.aggregate(
+            F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def brute_force_topk(df: DataFrame, key_col: str, vec_col: str,
-                     qvec: list[float], k: int = 10) -> DataFrame:
-    """Exact cosine top-k: one scan, per-partition TopK (Catalyst
+                     qvec: list[float], k: int = 10,
+                     metric: str = "cosine",
+                     sim_col: str | None = None) -> DataFrame:
+    """Exact similarity top-k: one scan, per-partition TopK (Catalyst
     TakeOrderedAndProject), driver merge — the flat-index baseline
-    (the reference's flat vector search, src/vector/collector.rs:48)."""
+    (the reference's flat vector search, src/vector/collector.rs:48) with
+    the l2/dot/cosine kernels of src/vector/distance.rs:79-155."""
+    out_col = sim_col or ("cosine" if metric == "cosine" else "sim")
     return (
-        df.select(F.col(key_col), cosine_col(vec_col, qvec).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(key_col))
+        df.select(F.col(key_col),
+                  similarity_col(vec_col, qvec, metric).alias(out_col))
+        .orderBy(F.desc(out_col), F.asc(key_col))
         .limit(k)
     )
 
@@ -392,6 +417,81 @@ def lsh_bucket_topk(df: DataFrame, key_col: str, vec_col: str,
     bucketed = df.withColumn("_bucket", bucket_expr(vec_col))
     cands = bucketed.filter(F.col("_bucket").isin(sorted(probe)))
     return brute_force_topk(cands, key_col, vec_col, qvec, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-clustered vector index (the reference's src/vector/ivf/: k-means
+# training + per-cluster posting lists + nprobe probing)
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(df: DataFrame, key_col: str, vec_col: str,
+              n_clusters: int = 16, iters: int = 5,
+              sample: int = 4096, seed: int = 13) -> np.ndarray:
+    """Deterministic Lloyd's k-means over a seeded sample — the training
+    pass of src/vector/ivf/training.rs.  Centroid init = first n_clusters
+    rows of the sample ordered by a seeded hash of the key (reproducible at
+    any parallelism); `iters` rounds of assign/recompute run in numpy on
+    the driver over the sample (centroids are tiny; the full-data pass is
+    the distributed `ivf_assign`).  Returns (n_clusters, dim) float64."""
+    sdf = (
+        df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_k").cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample)
+    )
+    mat = np.array([r["_v"] for r in sdf.collect()], dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError("ivf_train: empty input")
+    n_clusters = min(n_clusters, len(mat))
+    centroids = mat[:n_clusters].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(df: DataFrame, key_col: str, vec_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """Assign every vector to its nearest (L2) centroid — the cluster
+    posting lists of src/vector/ivf/index.rs.  Vectorized pandas UDF
+    (one matmul per Arrow batch).  At scale the result is written
+    partitioned by `cluster` so a probe prunes to nprobe partitions."""
+    cent = centroids.astype(np.float64)
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype="int32")
+        # argmin ||x-c||^2 = argmin (c.c - 2 x.c)
+        scores = cent_sq[None, :] - 2.0 * (m @ cent.T)
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, key_col: str, vec_col: str, qvec: list[float],
+             centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+             metric: str = "cosine", assigned: bool = False) -> DataFrame:
+    """IVF probe: rank clusters by centroid L2 distance to the query,
+    scan the nprobe nearest clusters, exact-rerank within — the probe loop
+    of src/vector/ivf/index.rs with the distance kernels of
+    src/vector/distance.rs.  nprobe = n_clusters degenerates to the exact
+    flat search.  `assigned`: df already carries a `cluster` column (the
+    pre-built, partition-pruned layout)."""
+    if not assigned:
+        df = ivf_assign(df, key_col, vec_col, centroids)
+    q = np.asarray(qvec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d2, kind="stable")[:nprobe].tolist()
+    cands = df.filter(F.col("cluster").isin([int(c) for c in probe]))
+    return brute_force_topk(cands, key_col, vec_col, qvec, k, metric=metric)
 
 
 # ---------------------------------------------------------------------------

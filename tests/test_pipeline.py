@@ -106,6 +106,64 @@ def test_brute_force_topk(vecs):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_metric_kernels_match_numpy(vecs):
+    """l2/dot/cosine kernels vs numpy, incl. the reference's negated-L2
+    higher-is-better convention (src/vector/distance.rs:320-337)."""
+    rows = {r["vid"]: np.array(r["v"], dtype=np.float64)
+            for r in vecs.collect()}
+    q = rows[0].tolist()
+    others = vecs.filter(F.col("vid") != 0)
+    for metric in ("dot", "l2", "cosine"):
+        got = P.brute_force_topk(others, "vid", "v", q, k=19, metric=metric).collect()
+        col = "cosine" if metric == "cosine" else "sim"
+        for r in got:
+            v = rows[r["vid"]]
+            qq = np.asarray(q)
+            if metric == "dot":
+                exp = float(v @ qq)
+            elif metric == "l2":
+                exp = -float(((v - qq) ** 2).sum())
+            else:
+                exp = float(v @ qq / (np.linalg.norm(v) * np.linalg.norm(qq)))
+            assert r[col] == pytest.approx(exp, rel=1e-9, abs=1e-9)
+        vals = [r[col] for r in got]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_ivf_exact_when_probing_all(vecs):
+    q = [float(x) for x in vecs.filter(F.col("vid") == 0).first()["v"]]
+    others = vecs.filter(F.col("vid") != 0)
+    cents = P.ivf_train(others, "vid", "v", n_clusters=4, iters=3)
+    flat = P.brute_force_topk(others, "vid", "v", q, k=5).collect()
+    ivf = P.ivf_topk(others, "vid", "v", q, cents, k=5, nprobe=len(cents)).collect()
+    assert [(r["vid"], round(r["cosine"], 9)) for r in ivf] == \
+        [(r["vid"], round(r["cosine"], 9)) for r in flat]
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Clustered data: probing the nearest cluster finds the true
+    neighbors (the IVF recall contract)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 8)) * 10
+    rows, vid = [], 0
+    for c in range(4):
+        for _ in range(30):
+            rows.append((vid, (centers[c] + 0.1 * rng.standard_normal(8))
+                         .astype(np.float32).tolist(), c))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vid", "v", "true_c"])
+    df = spark.createDataFrame(pdf[["vid", "v"]])
+    cents = P.ivf_train(df, "vid", "v", n_clusters=4, iters=4)
+    # deterministic: retrain gives identical centroids
+    cents2 = P.ivf_train(df, "vid", "v", n_clusters=4, iters=4)
+    assert np.allclose(cents, cents2)
+    q = (centers[2] + 0.05 * rng.standard_normal(8)).tolist()
+    exact = {r["vid"] for r in P.brute_force_topk(df, "vid", "v", q, k=10).collect()}
+    got = {r["vid"] for r in P.ivf_topk(df, "vid", "v", q, cents, k=10, nprobe=1).collect()}
+    # well-separated clusters: nprobe=1 recovers the full exact top-10
+    assert len(got & exact) >= 9
+
+
 def test_lsh_topk_contains_strong_neighbor(vecs):
     q = [float(x) for x in vecs.filter(F.col("vid") == 0).first()["v"]]
     top = P.lsh_bucket_topk(
