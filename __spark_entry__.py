@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query-string parser -> nested boolean tree -> recursive TAAT
     Q["ft_parsed_nested"] = lambda s, d: _topk(
         s, d, QueryParser().parse("table AND value OR spark^2 -dup"), 10)
+    # parsed fast-field range syntax: term must + const-1.0 range must
+    Q["ft_parsed_range"] = lambda s, d: _topk(
+        s, d, QueryParser().parse("table AND n_chars:[250 TO 320}"), 10000)
     Q["ft_phrase_prefix"] = lambda s, d: _topk(
         s, d, L.PhrasePrefixQuery(("fast", "tab")), 10, mode="daat",
         ids_only=True)
@@ -666,6 +669,26 @@ u AS (
 )
 SELECT doc_id, round(score, 5) AS score FROM u
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+    O["ft_parsed_range"] = (
+        _BM25_PRELUDE
+        + f""",
+sc AS (
+  -- must(table BM25) + must(n_chars range, const 1.0)
+  SELECT tf.doc_id,
+         (ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {K1!r}))
+           * tf.tf / (tf.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           + 1.0 AS score
+  FROM tf
+  JOIN dlq ON tf.doc_id = dlq.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats s
+  WHERE tf.term = 'table'
+    AND tf.doc_id IN (SELECT doc_id FROM documents
+                      WHERE n_chars >= 250 AND n_chars < 320)
+)
+SELECT doc_id, round(score, 5) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10000"""
     )
     O["ft_phrase_prefix"] = (
         _BM25_PRELUDE

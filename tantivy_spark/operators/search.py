@@ -983,6 +983,31 @@ class Searcher:
             if q.slop != 0:
                 raise NotImplementedError("slop phrases only on the DAAT path")
             return self._taat64_phrase(q, 1.0, None)
+        if isinstance(q, L.RangeQuery):
+            dm = self.docmap()
+            if q.field not in dm.columns:
+                return None
+            cond = F.lit(True)
+            lo, hi = self._typed_bound(dm, q.field, q.lower), self._typed_bound(
+                dm, q.field, q.upper)
+            if lo is not None:
+                cond = cond & (
+                    F.col(q.field) >= lo if q.lower_inclusive else F.col(q.field) > lo
+                )
+            if hi is not None:
+                cond = cond & (
+                    F.col(q.field) <= hi if q.upper_inclusive else F.col(q.field) < hi
+                )
+            return dm.filter(cond).select(
+                "segment_ord", "doc_id", F.lit(1.0).alias("score")
+            )
+        if isinstance(q, L.ExistsQuery):
+            dm = self.docmap()
+            if q.field not in dm.columns:
+                return None
+            return dm.filter(F.col(q.field).isNotNull()).select(
+                "segment_ord", "doc_id", F.lit(1.0).alias("score")
+            )
         if isinstance(q, L.FuzzyTermQuery):
             scored = self.expand_fuzzy_scored(
                 q.term, q.distance, q.transposition_cost_one, q.prefix
@@ -1012,6 +1037,24 @@ class Searcher:
         if isinstance(q, L.BooleanQuery):
             return self._eval_bool_tree(q)
         raise NotImplementedError(f"tree evaluation for {type(q).__name__}")
+
+    @staticmethod
+    def _typed_bound(dm: DataFrame, field: str, value):
+        """Coerce a (possibly string) bound to the docmap column's type so
+        numeric ranges compare numerically (the reference maps numeric
+        terms order-preservingly, src/termdict/mod.rs:10-17)."""
+        if value is None:
+            return None
+        dtype = dict(dm.dtypes)[field]
+        if isinstance(value, str):
+            try:
+                if dtype in ("tinyint", "smallint", "int", "bigint"):
+                    value = int(value)
+                elif dtype in ("float", "double"):
+                    value = float(value)
+            except ValueError:
+                pass
+        return F.lit(value)
 
     def _eval_bool_tree(self, q: L.BooleanQuery) -> DataFrame | None:
         from functools import reduce

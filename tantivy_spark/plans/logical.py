@@ -212,3 +212,32 @@ class TermSetQuery(Query):
 
     def terms(self) -> list[str]:
         return list(self.set_terms)
+
+
+@dataclass(frozen=True)
+class RangeQuery(Query):
+    """Docs whose fast-field value falls in the bound interval, constant
+    score 1.0 — the fast-field range scan (src/query/range_query/
+    range_query.rs:71, range_query_fastfield.rs).  Bounds are None for
+    unbounded (`*`); values are typed at evaluation against the docmap
+    column type."""
+
+    field: str
+    lower: object | None = None
+    upper: object | None = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class ExistsQuery(Query):
+    """Docs where the field has a value — src/query/exist_query.rs:36
+    (columnar non-null walk), constant score 1.0."""
+
+    field: str
+
+    def terms(self) -> list[str]:
+        return []

@@ -18,8 +18,15 @@ and the grammar crate query-grammar/src/query_grammar.rs.  Supported here:
   the disjunction and record a warning, since a search engine returning
   results beats an exception in a data pipeline.
 
-Out of scope (structured API covers them): ranges, IN sets, fuzzy/regex
-literals, date math.
+* `NOT x` unary negation (== `-x`; pure negations fold into the
+  enclosing boolean, query_grammar.rs:790)
+* `field:[a TO b]` / `{a TO b}` / `field:>=v` ranges -> RangeQuery on a
+  fast-field column (query_grammar.rs:455-483)
+* `field: IN [v1 v2]` -> TermSetQuery (query_grammar.rs:637)
+* `field:*` -> ExistsQuery (query_grammar.rs:319-326)
+
+Out of scope (structured API covers them): fuzzy/regex literals, date
+math.
 """
 
 from __future__ import annotations
@@ -39,12 +46,19 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         \(| \) |
+        [^\s():]+:\s*IN\s*\[[^\]]*\]   |  # field: IN [v1 v2 ...] set
+        [^\s():]+:\s*[\[{][^\]}]*[\]}] |  # field:[a TO b] / {a TO b} range
         "(?:[^"\\]|\\.)*"(?:~\d+|\*)?  |  # quoted phrase, ~slop or * prefix
         [^\s()]+                        # bare word (may carry +,-,^,field:)
     )
     """,
     re.VERBOSE,
 )
+
+_SET_RE = re.compile(r"^([^\s():]+):\s*IN\s*\[([^\]]*)\]$")
+_RANGE_RE = re.compile(
+    r"^([^\s():]+):\s*([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
+_ELASTIC_RE = re.compile(r"^([^\s():]+):(>=|<=|>|<)(.+)$")
 
 
 def _lex(q: str) -> list[str]:
@@ -62,6 +76,12 @@ def _lex(q: str) -> list[str]:
 class _Clause:
     occur: L.Occur | None  # None = default
     query: L.Query
+
+
+def _is_pure_negation(q: L.Query) -> bool:
+    return isinstance(q, L.BooleanQuery) and all(
+        occur == L.Occur.MUST_NOT for occur, _ in q.clauses
+    )
 
 
 class QueryParser:
@@ -99,7 +119,13 @@ class QueryParser:
             parts.append(nxt)
         if len(parts) == 1:
             return parts[0], toks
-        return L.BooleanQuery.new([(L.Occur.SHOULD, p) for p in parts]), toks
+        clauses = []
+        for p in parts:
+            if _is_pure_negation(p):
+                clauses.extend(p.clauses)
+            else:
+                clauses.append((L.Occur.SHOULD, p))
+        return L.BooleanQuery.new(clauses), toks
 
     # and_expr := clause_seq (AND clause_seq)*  — AND binds tighter
     def _parse_and(self, toks: list[str]) -> tuple[L.Query, list[str]]:
@@ -110,7 +136,16 @@ class QueryParser:
             parts.append(nxt)
         if len(parts) == 1:
             return parts[0], toks
-        return L.BooleanQuery.new([(L.Occur.MUST, p) for p in parts]), toks
+        # `a AND NOT b` (query_grammar.rs:790): a pure-negation part folds
+        # into the enclosing boolean as must_not rather than nesting a
+        # match-nothing MustNot-only subquery
+        clauses = []
+        for p in parts:
+            if _is_pure_negation(p):
+                clauses.extend(p.clauses)
+            else:
+                clauses.append((L.Occur.MUST, p))
+        return L.BooleanQuery.new(clauses), toks
 
     # clause_seq := clause+ until OR/AND/) — whitespace juxtaposition
     def _parse_clause_seq(self, toks: list[str]) -> tuple[L.Query, list[str]]:
@@ -138,6 +173,12 @@ class QueryParser:
     def _parse_clause(self, toks: list[str]) -> tuple[_Clause | None, list[str]]:
         tok = toks[0]
         occur = None
+        if tok == "NOT" and len(toks) > 1:
+            # `NOT x` == `-x` (query_grammar.rs:790 negate)
+            c, rest = self._parse_clause(toks[1:])
+            if c is None:
+                return None, rest
+            return _Clause(L.Occur.MUST_NOT, c.query), rest
         if tok in ("+", "-") and len(toks) > 1 and toks[1] == "(":
             occur = L.Occur.MUST if tok == "+" else L.Occur.MUST_NOT
             toks = toks[1:]
@@ -165,6 +206,42 @@ class QueryParser:
             q: L.Query = L.AllQuery()
         elif tok.startswith('"'):
             q = self._parse_phrase(tok)
+        elif (ms := _SET_RE.match(tok)) is not None:
+            # `field: IN [v1 v2]` -> TermSetQuery (query_grammar.rs:637)
+            field, body = ms.group(1), ms.group(2)
+            if field != self.field:
+                raise QueryParserError(
+                    f"IN set on unknown field {field!r}; indexed text field "
+                    f"is {self.field!r}"
+                )
+            terms = []
+            for w in body.split():
+                toks_w, _ = get_analyzer(self.tokenizer)(w)
+                terms.extend(toks_w)
+            q = L.TermSetQuery(tuple(sorted(set(terms)))) if terms else L.EmptyQuery()
+        elif (mr := _RANGE_RE.match(tok)) is not None:
+            # `field:[a TO b]` / `{a TO b}` (query_grammar.rs:455-457)
+            field, lo_d, lo, hi, hi_d = mr.groups()
+            q = L.RangeQuery(
+                field,
+                lower=None if lo == "*" else lo,
+                upper=None if hi == "*" else hi,
+                lower_inclusive=lo_d == "[",
+                upper_inclusive=hi_d == "]",
+            )
+        elif (me := _ELASTIC_RE.match(tok)) is not None:
+            # `field:>=v` elastic unbounded range (query_grammar.rs:468-483)
+            field, op, val = me.groups()
+            q = L.RangeQuery(
+                field,
+                lower=val if op in (">", ">=") else None,
+                upper=val if op in ("<", "<=") else None,
+                lower_inclusive=op == ">=",
+                upper_inclusive=op == "<=",
+            )
+        elif re.match(r"^[^\s():]+:\*$", tok):
+            # `field:*` -> ExistsQuery (query_grammar.rs:319-326)
+            q = L.ExistsQuery(tok[:-2])
         else:
             if ":" in tok:
                 field, _, tok = tok.partition(":")

@@ -274,3 +274,26 @@ def test_explain_tree_nested(exp_index):
     assert not gz["matched"]
     # missing doc
     assert exp_index.explain_tree(q, key=("zz", 9))["matched"] is False
+
+
+def test_range_exists_queries_e2e(exp_index):
+    """RangeQuery/ExistsQuery as logical nodes evaluated over docmap
+    fast-field columns, composing in boolean trees."""
+    # every doc has turn_idx 0 -> range [0 TO 0] matches all 5
+    q = L.RangeQuery("turn_idx", lower="0", upper="0")
+    assert exp_index.search(q, k=100, mode="taat64").count() == 5
+    q = L.RangeQuery("turn_idx", lower="0", upper="5",
+                     lower_inclusive=False)
+    assert exp_index.search(q, k=100, mode="taat64").count() == 0
+    assert exp_index.search(L.ExistsQuery("conv_id"), k=100,
+                            mode="taat64").count() == 5
+    # boolean composition: term AND range
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("wizard")),
+        (L.Occur.MUST, L.RangeQuery("conv_id", lower="c1", upper=None)),
+    ])
+    got = {r["conv_id"] for r in exp_index.search(q, k=10, mode="taat64").collect()}
+    assert got == {"c1", "c4"}  # c0 excluded by the range
+    # unknown column matches nothing
+    assert exp_index.search(L.RangeQuery("nope", lower="0"), k=10,
+                            mode="taat64").count() == 0

@@ -99,3 +99,56 @@ def test_unbalanced_paren():
 def test_long_token_dropped_by_analyzer():
     q = P.parse("x" * 45)
     assert q == L.EmptyQuery() or isinstance(q, L.EmptyQuery)
+
+
+def test_not_operator():
+    # query_grammar.rs tests: "NOT a" -> (-a); "a AND NOT b" -> must a,
+    # must_not b (pure negation folds into the enclosing boolean)
+    q = P.parse("NOT a")
+    assert q == L.BooleanQuery.new([(L.Occur.MUST_NOT, L.TermQuery("a"))])
+    q = P.parse("a AND NOT b")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("a")),
+        (L.Occur.MUST_NOT, L.TermQuery("b")),
+    ])
+    q = P.parse("a OR NOT b")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.TermQuery("a")),
+        (L.Occur.MUST_NOT, L.TermQuery("b")),
+    ])
+    # NOTa is a term, not the keyword (query_grammar.rs:1295)
+    assert P.parse("NOTa") == L.TermQuery("nota")
+
+
+def test_range_syntax():
+    q = P.parse("n_chars:[250 TO 320}")
+    assert q == L.RangeQuery("n_chars", lower="250", upper="320",
+                             lower_inclusive=True, upper_inclusive=False)
+    q = P.parse("role:{a TO c]")
+    assert q == L.RangeQuery("role", lower="a", upper="c",
+                             lower_inclusive=False, upper_inclusive=True)
+    q = P.parse("ts:[* TO 10]")
+    assert q == L.RangeQuery("ts", lower=None, upper="10",
+                             lower_inclusive=True, upper_inclusive=True)
+    q = P.parse("n_chars:>=5")
+    assert q == L.RangeQuery("n_chars", lower="5", upper=None,
+                             lower_inclusive=True, upper_inclusive=False)
+    q = P.parse("n_chars:<10")
+    assert q == L.RangeQuery("n_chars", lower=None, upper="10",
+                             lower_inclusive=False, upper_inclusive=False)
+    # composes in booleans
+    q = P.parse("wizard AND n_chars:>3")
+    assert isinstance(q, L.BooleanQuery)
+
+
+def test_in_set_syntax():
+    q = P.parse("text: IN [Alpha beta]")
+    assert q == L.TermSetQuery(("alpha", "beta"))
+    with pytest.raises(QueryParserError):
+        P.parse("other: IN [a]")
+
+
+def test_exists_syntax():
+    assert P.parse("role:*") == L.ExistsQuery("role")
+    # bare * is still AllQuery
+    assert P.parse("*") == L.AllQuery()
