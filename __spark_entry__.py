@@ -79,9 +79,34 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Multi-field index: text + a scoped `lang` field with its own
+    fieldnorms and per-field token totals (tantivy multi-field schema)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(_IDX_ROOT, f"docs-mf-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            segment_col="ext_id",
+            n_segments=4,
+            n_term_buckets=8,
+            positions=False,
+            extra_fields=("lang",),
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            build_index(spark, _documents(spark, sf_dir), index_dir, cfg,
+                        resume=True)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _topk(spark: SparkSession, sf_dir: str, query: L.Query, k: int,
-          mode: str = "taat64", ids_only: bool = False) -> DataFrame:
-    s = _searcher(spark, sf_dir)
+          mode: str = "taat64", ids_only: bool = False,
+          searcher=None) -> DataFrame:
+    s = searcher if searcher is not None else _searcher(spark, sf_dir)
     if ids_only:
         # The engine tie-breaks equal scores by its internal
         # (segment_ord, doc_id) — tantivy's DocAddress rule — which SQL
@@ -297,6 +322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parsed fast-field range syntax: term must + const-1.0 range must
     Q["ft_parsed_range"] = lambda s, d: _topk(
         s, d, QueryParser().parse("table AND n_chars:[250 TO 320}"), 10000)
+    # multi-field index: scoped term scored with the lang field's OWN
+    # avgdl + fieldnorms, summed with a main-field BM25 clause
+    Q["ft_field_scoped"] = lambda s, d: _topk(
+        s, d,
+        QueryParser(extra_fields=("lang",)).parse("+table +lang:en"),
+        10000, searcher=_mf_searcher(s, d))
     Q["ft_phrase_prefix"] = lambda s, d: _topk(
         s, d, L.PhrasePrefixQuery(("fast", "tab")), 10, mode="daat",
         ids_only=True)
@@ -686,6 +717,37 @@ sc AS (
   WHERE tf.term = 'table'
     AND tf.doc_id IN (SELECT doc_id FROM documents
                       WHERE n_chars >= 250 AND n_chars < 320)
+)
+SELECT doc_id, round(score, 5) AS score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10000"""
+    )
+    O["ft_field_scoped"] = (
+        _BM25_PRELUDE
+        + f""",
+lstat AS (
+  -- lang values are single analyzer tokens -> per-field total = count
+  SELECT count(lang)::DOUBLE AS lang_tokens FROM documents
+),
+ldf AS (SELECT count(*)::BIGINT AS df FROM documents WHERE lower(lang) = 'en'),
+lscore AS (
+  -- scoped-term BM25: tf=1, dl=1 (quantized 1-token fieldnorm),
+  -- avgdl = lang field total / N  (per-field stats, bm25.rs:33-51)
+  SELECT (ln(1.0 + (s.n_docs - ldf.df + 0.5) / (ldf.df + 0.5)) * (1.0 + {K1!r}))
+         * 1.0 / (1.0 + {K1!r} * ((1.0 - {B!r}) + {B!r} * 1.0 / (lstat.lang_tokens / s.n_docs)))
+         AS v
+  FROM ldf, lstat CROSS JOIN stats s
+),
+sc AS (
+  SELECT tf.doc_id,
+         (ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {K1!r}))
+           * tf.tf / (tf.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           + (SELECT v FROM lscore) AS score
+  FROM tf
+  JOIN dlq ON tf.doc_id = dlq.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats s
+  WHERE tf.term = 'table'
+    AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lower(lang) = 'en')
 )
 SELECT doc_id, round(score, 5) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT 10000"""

@@ -35,16 +35,24 @@ class IndexConfig:
     n_term_buckets: int = 8
     #: store token positions (needed for phrase queries)
     positions: bool = False
+    #: additional indexed text columns (tantivy's multi-field schema,
+    #: ARCHITECTURE.md:103-116).  Terms of field f are stored scoped as
+    #: "f:token" with f's OWN per-doc fieldnorm and per-field token totals
+    #: in the manifest, so scoped-term BM25 uses the field's avgdl exactly
+    #: like the reference's per-field statistics (bm25.rs:33-51).
+    extra_fields: tuple[str, ...] = ()
     k1: float = 1.2
     b: float = 0.75
 
     def to_json(self) -> str:
         d = asdict(self)
         d["key_cols"] = list(self.key_cols)
+        d["extra_fields"] = list(self.extra_fields)
         return json.dumps(d)
 
     @staticmethod
     def from_json(s: str) -> "IndexConfig":
         d = json.loads(s)
         d["key_cols"] = tuple(d["key_cols"])
+        d["extra_fields"] = tuple(d.get("extra_fields", ()))
         return IndexConfig(**d)

@@ -124,11 +124,19 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     """
     tokenizer = cfg.tokenizer
     positions = cfg.positions
+    extra_fields = tuple(cfg.extra_fields)
 
+    tok_schema = "terms array<string>"
     if positions:
-        tok_schema = "terms array<string>, positions array<int>, token_count int, fieldnorm_id int"
-    else:
-        tok_schema = "terms array<string>, token_count int, fieldnorm_id int"
+        tok_schema += ", positions array<int>"
+    tok_schema += ", token_count int, fieldnorm_id int"
+    if extra_fields:
+        # per-token fieldnorm (each scoped term carries ITS field's norm —
+        # the reference records one fieldnorm byte per doc per field,
+        # fieldnorm/writer.rs:58-95) + per-field scalar stats
+        tok_schema += ", term_fns array<int>"
+        for f in extra_fields:
+            tok_schema += f", xf_tc_{f} int, xf_fn_{f} int"
 
     text_col = cfg.text_col
 
@@ -142,11 +150,48 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
             counts = terms.map(len).to_numpy(np.int64)
             fn_ids = fieldnorm_to_id(counts)
             out = pdf.drop(columns=[text_col])
-            out["terms"] = terms
-            if positions:
-                out["positions"] = poss
-            out["token_count"] = counts
-            out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
+            if extra_fields:
+                xf_terms, xf_poss, xf_counts, xf_fns = {}, {}, {}, {}
+                for f in extra_fields:
+                    col = pdf[f].astype("string").fillna("")
+                    if positions:
+                        ts, ps = analysis.analyze_series_with_positions(col, tokenizer)
+                        xf_poss[f] = ps
+                    else:
+                        ts = analysis.analyze_series(col, tokenizer)
+                    xf_terms[f] = ts
+                    xf_counts[f] = ts.map(len).to_numpy(np.int64)
+                    xf_fns[f] = np.asarray(fieldnorm_to_id(xf_counts[f]), np.int64)
+                combined_terms, combined_pos, combined_fns = [], [], []
+                for i in range(len(pdf)):
+                    row_terms = list(terms.iloc[i])
+                    row_fns = [int(fn_ids[i])] * len(row_terms)
+                    row_pos = list(poss.iloc[i]) if positions else None
+                    for f in extra_fields:
+                        ftoks = [f"{f}:{t}" for t in xf_terms[f].iloc[i]]
+                        row_terms.extend(ftoks)
+                        row_fns.extend([int(xf_fns[f][i])] * len(ftoks))
+                        if positions:
+                            row_pos.extend(xf_poss[f].iloc[i])
+                    combined_terms.append(row_terms)
+                    combined_fns.append(row_fns)
+                    if positions:
+                        combined_pos.append(row_pos)
+                out["terms"] = pd.Series(combined_terms, index=pdf.index)
+                if positions:
+                    out["positions"] = pd.Series(combined_pos, index=pdf.index)
+                out["token_count"] = counts
+                out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
+                out["term_fns"] = pd.Series(combined_fns, index=pdf.index)
+                for f in extra_fields:
+                    out[f"xf_tc_{f}"] = xf_counts[f].astype(np.int32)
+                    out[f"xf_fn_{f}"] = xf_fns[f].astype(np.int32)
+            else:
+                out["terms"] = terms
+                if positions:
+                    out["positions"] = poss
+                out["token_count"] = counts
+                out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
             yield out
 
     if fixed_segment_ord is not None:
@@ -240,7 +285,13 @@ def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
         return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
     tokens = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
     doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
-    fn_rep = np.repeat(pdf["fieldnorm_id"].to_numpy(np.int64), counts)
+    if "term_fns" in pdf.columns:
+        # multi-field: each token carries its own field's fieldnorm
+        fn_rep = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in pdf["term_fns"]]
+        )
+    else:
+        fn_rep = np.repeat(pdf["fieldnorm_id"].to_numpy(np.int64), counts)
     if positions:
         pos_flat = np.concatenate(
             [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
@@ -327,6 +378,8 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
     cols = ["segment_ord", "doc_id", "fieldnorm_id", "terms"]
     if with_pos:
         cols.append("positions")
+    if cfg.extra_fields:
+        cols.append("term_fns")
     return (
         docmap.select(*cols)
         .groupBy("segment_ord")
@@ -349,18 +402,23 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
     if n_shards is None:
         n_shards = max(cfg.n_segments * 4, 32)
 
+    multi = bool(cfg.extra_fields)
     if cfg.positions:
-        # zip terms with their analyzer positions; shuffle carries one row
-        # per distinct (segment, term, doc) with the position list attached
+        # zip terms with their analyzer positions (and, multi-field, each
+        # token's own fieldnorm); shuffle carries one row per distinct
+        # (segment, term, doc) with the position list attached
+        zipped = ["terms", "positions"] + (["term_fns"] if multi else [])
         flat = (
             docmap.select(
                 "segment_ord",
                 "doc_id",
                 "fieldnorm_id",
-                F.explode(F.arrays_zip("terms", "positions")).alias("tp"),
+                F.explode(F.arrays_zip(*zipped)).alias("tp"),
             )
             .select(
-                "segment_ord", "doc_id", "fieldnorm_id",
+                "segment_ord", "doc_id",
+                (F.col("tp.term_fns") if multi else F.col("fieldnorm_id"))
+                .alias("fieldnorm_id"),
                 F.col("tp.terms").alias("term"),
                 F.col("tp.positions").alias("pos"),
             )
@@ -369,6 +427,21 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
                 F.count(F.lit(1)).alias("tf"),
                 F.sort_array(F.collect_list("pos")).alias("positions"),
             )
+        )
+    elif multi:
+        flat = (
+            docmap.select(
+                "segment_ord",
+                "doc_id",
+                F.explode(F.arrays_zip("terms", "term_fns")).alias("tp"),
+            )
+            .select(
+                "segment_ord", "doc_id",
+                F.col("tp.term_fns").alias("fieldnorm_id"),
+                F.col("tp.terms").alias("term"),
+            )
+            .groupBy("segment_ord", "term", "doc_id", "fieldnorm_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
     else:
         flat = (
@@ -460,12 +533,16 @@ def build_index(
     # stage 3: stats + per-segment lineage, manifest committed LAST
     t = time.time()
     postings_df = spark.read.parquet(postings_path)
+    xf_aggs = [
+        F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
+    ]
     seg_doc_stats = {
         int(r["segment_ord"]): r
         for r in docmap_df.groupBy("segment_ord")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("token_count").alias("n_tokens"),
+            *xf_aggs,
         )
         .collect()
     }
@@ -482,15 +559,18 @@ def build_index(
     for seg_ord in sorted(seg_doc_stats):
         d = seg_doc_stats[seg_ord]
         p = seg_post_stats.get(seg_ord)
-        segments.append(
-            {
-                "segment_ord": seg_ord,
-                "n_docs": int(d["n_docs"]),
-                "n_tokens": int(d["n_tokens"]),
-                "n_terms": int(p["n_terms"]) if p else 0,
-                "n_postings": int(p["n_postings"]) if p else 0,
+        seg_entry = {
+            "segment_ord": seg_ord,
+            "n_docs": int(d["n_docs"]),
+            "n_tokens": int(d["n_tokens"]),
+            "n_terms": int(p["n_terms"]) if p else 0,
+            "n_postings": int(p["n_postings"]) if p else 0,
+        }
+        if cfg.extra_fields:
+            seg_entry["field_tokens"] = {
+                f: int(d[f"xf_tokens_{f}"] or 0) for f in cfg.extra_fields
             }
-        )
+        segments.append(seg_entry)
     stage_times["stats"] = time.time() - t
 
     manifest = {
@@ -502,6 +582,14 @@ def build_index(
         "stage_seconds": stage_times,
         "build_seconds": time.time() - t0,
     }
+    if cfg.extra_fields:
+        # per-field exact token totals — the reference's per-field
+        # total_num_tokens feeding per-field avgdl (bm25.rs:33-51,
+        # inverted_index_reader.rs:73-74)
+        manifest["field_tokens"] = {
+            f: int(sum(s["field_tokens"][f] for s in segments))
+            for f in cfg.extra_fields
+        }
     tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -134,6 +134,12 @@ class Searcher:
         self.cfg = IndexConfig.from_json_dict(self.manifest["config"])
         self.total_docs = int(self.manifest["total_docs"])
         self.total_tokens = int(self.manifest["total_tokens"])
+        #: exact per-field token totals (multi-field schemas) — the
+        #: reference's per-field total_num_tokens (bm25.rs:33-51)
+        self.field_tokens = {
+            f: int(v)
+            for f, v in self.manifest.get("field_tokens", {}).items()
+        }
         self.params = Bm25Params(self.cfg.k1, self.cfg.b)
         self._tombstones: list[str] | None = None
         self._live_segments = {
@@ -154,7 +160,7 @@ class Searcher:
     def docmap(self, with_terms: bool = False) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
         if not with_terms:
-            df = df.drop("terms", "positions")
+            df = df.drop("terms", "positions", "term_fns")
         return df.filter(
             F.col("segment_ord").isin(sorted(self._live_segments))
         )
@@ -240,7 +246,7 @@ class Searcher:
         dl = float(FIELD_NORMS_TABLE[int(row["fieldnorm_id"])])
         details, total = [], _F32(0.0)
         for occur, t, boost in spec.clauses:
-            w = self.weight_for(dfs[t], boost)
+            w = self.weight_for(dfs[t], boost, t)
             tf = tf_by_term.get(t, 0)
             clause_score = (
                 float(w.score(np.array([int(row["fieldnorm_id"])]),
@@ -464,11 +470,27 @@ class Searcher:
     def avg_fieldnorm(self) -> float:
         return float(_F32(_F32(self.total_tokens) / _F32(self.total_docs)))
 
-    def weight_for(self, term_df: int, boost: float = 1.0) -> Bm25Weight | None:
+    def total_tokens_for(self, term: str) -> int:
+        """Exact token total of the field a scoped term (`field:token`)
+        belongs to, else the main field's — per-field avgdl exactly like
+        the reference's per-field statistics (bm25.rs:33-51)."""
+        if self.field_tokens and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self.field_tokens:
+                return self.field_tokens[f]
+        return self.total_tokens
+
+    def avgdl64_for(self, term: str) -> float:
+        return self.total_tokens_for(term) / self.total_docs
+
+    def weight_for(self, term_df: int, boost: float = 1.0,
+                   term: str | None = None) -> Bm25Weight | None:
         if term_df <= 0:
             return None
+        tt = self.total_tokens if term is None else self.total_tokens_for(term)
+        avgdl = _F32(_F32(tt) / _F32(self.total_docs))
         w = Bm25Weight.for_one_term(
-            term_df, self.total_docs, _F32(self.avg_fieldnorm()), self.params
+            term_df, self.total_docs, avgdl, self.params
         )
         return w.boost_by(boost)
 
@@ -597,7 +619,7 @@ class Searcher:
         terms = sorted(term_boosts)
         dfs = self.doc_freqs(terms)
         weights = {
-            (t, b): self.weight_for(dfs[t], b)
+            (t, b): self.weight_for(dfs[t], b, t)
             for t, b in set(
                 (t, b)
                 for t, b in (
@@ -710,7 +732,8 @@ class Searcher:
             return None
         w = Bm25Weight.for_terms(
             [dfs[t] for t in phrase.phrase_terms],
-            self.total_docs, self.total_tokens, self.params,
+            self.total_docs, self.total_tokens_for(phrase.phrase_terms[0]),
+            self.params,
         )
         return w.boost_by(boost)
 
@@ -820,7 +843,8 @@ class Searcher:
         if fixed_terms:
             weight = Bm25Weight.for_terms(
                 [dfs[t] for t in fixed_terms],
-                self.total_docs, self.total_tokens, self.params,
+                self.total_docs, self.total_tokens_for(fixed_terms[0]),
+                self.params,
             ).boost_by(boost)
         else:
             # degenerate single-slot prefix: every expansion scores like a
@@ -867,7 +891,7 @@ class Searcher:
         if any(dfs[t] <= 0 for t in phrase.phrase_terms):
             return empty
         N = self.total_docs
-        avgdl = self.total_tokens / N
+        avgdl = self.avgdl64_for(phrase.phrase_terms[0])
         k1, b = self.cfg.k1, self.cfg.b
         idf_sum = sum(
             math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
@@ -942,7 +966,7 @@ class Searcher:
             if dfs[q.term] <= 0:
                 return None
             N = self.total_docs
-            avgdl = self.total_tokens / N
+            avgdl = self.avgdl64_for(q.term)
             k1, b = self.cfg.k1, self.cfg.b
             w = math.log(1.0 + (N - dfs[q.term] + 0.5) / (dfs[q.term] + 0.5)) * (1.0 + k1)
             flat = self.flat_postings([q.term])
@@ -1137,12 +1161,13 @@ class Searcher:
                     )
                 continue
             w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
-            wrows.append((t, occur, float(w)))
+            wrows.append((t, occur, float(w), self.avgdl64_for(t)))
         if not wrows:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
-        wdf = self.spark.createDataFrame(wrows, "term string, occur string, weight double")
+        wdf = self.spark.createDataFrame(
+            wrows, "term string, occur string, weight double, avgdl double")
 
         norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         scored = (
@@ -1154,7 +1179,7 @@ class Searcher:
                 * F.col("tf")
                 / (
                     F.col("tf")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
                 ),
             )
         )
@@ -1193,12 +1218,13 @@ class Searcher:
             if df_t <= 0:
                 continue
             w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
-            wrows.append((t, float(w)))
+            wrows.append((t, float(w), self.avgdl64_for(t)))
         if not wrows:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
-        wdf = self.spark.createDataFrame(wrows, "term string, weight double")
+        wdf = self.spark.createDataFrame(
+            wrows, "term string, weight double, avgdl double")
         flat = self.flat_postings(terms)
         norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         scored = (
@@ -1210,7 +1236,7 @@ class Searcher:
                 * F.col("tf")
                 / (
                     F.col("tf")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
                 ),
             )
         )
@@ -1275,6 +1301,7 @@ class Searcher:
 def _from_json_dict(d: dict) -> IndexConfig:
     d = dict(d)
     d["key_cols"] = tuple(d["key_cols"])
+    d["extra_fields"] = tuple(d.get("extra_fields", ()))
     return IndexConfig(**d)
 
 

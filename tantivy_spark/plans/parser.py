@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
         \(| \) |
         [^\s():]+:\s*IN\s*\[[^\]]*\]   |  # field: IN [v1 v2 ...] set
         [^\s():]+:\s*[\[{][^\]}]*[\]}] |  # field:[a TO b] / {a TO b} range
-        "(?:[^"\\]|\\.)*"(?:~\d+|\*)?  |  # quoted phrase, ~slop or * prefix
+        (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+|\*)?  |  # [field:]"phrase", ~slop or *
         [^\s()]+                        # bare word (may carry +,-,^,field:)
     )
     """,
@@ -92,11 +92,15 @@ class QueryParser:
     """
 
     def __init__(self, field: str = "text", tokenizer: str = "default",
-                 positions: bool = True, default_conjunction: bool = False):
+                 positions: bool = True, default_conjunction: bool = False,
+                 extra_fields: tuple[str, ...] = ()):
         self.field = field
         self.tokenizer = tokenizer
         self.positions = positions
         self.default_conjunction = default_conjunction
+        #: additional indexed fields (IndexConfig.extra_fields):
+        #: `f:tok` parses to a scoped TermQuery over the multi-field index
+        self.extra_fields = tuple(extra_fields)
         self.warnings: list[str] = []
 
     # -- public ------------------------------------------------------------
@@ -204,8 +208,18 @@ class QueryParser:
 
         if tok == "*":
             q: L.Query = L.AllQuery()
-        elif tok.startswith('"'):
-            q = self._parse_phrase(tok)
+        elif tok.startswith('"') or re.match(r'^[^\s():"]+:"', tok):
+            scope = None
+            if not tok.startswith('"'):
+                field, _, tok = tok.partition(":")
+                if field in self.extra_fields:
+                    scope = field
+                elif field != self.field:
+                    raise QueryParserError(
+                        f"unknown field {field!r}; indexed fields are "
+                        f"{(self.field,) + self.extra_fields!r}"
+                    )
+            q = self._parse_phrase(tok, scope=scope)
         elif (ms := _SET_RE.match(tok)) is not None:
             # `field: IN [v1 v2]` -> TermSetQuery (query_grammar.rs:637)
             field, body = ms.group(1), ms.group(2)
@@ -243,16 +257,20 @@ class QueryParser:
             # `field:*` -> ExistsQuery (query_grammar.rs:319-326)
             q = L.ExistsQuery(tok[:-2])
         else:
+            scope = None
             if ":" in tok:
                 field, _, tok = tok.partition(":")
-                if field != self.field:
+                if field in self.extra_fields:
+                    scope = field
+                elif field != self.field:
                     raise QueryParserError(
-                        f"unknown field {field!r}; indexed text field is {self.field!r}"
+                        f"unknown field {field!r}; indexed fields are "
+                        f"{(self.field,) + self.extra_fields!r}"
                     )
                 m2 = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", tok)
                 if m2:
                     tok, boost = m2.group(1), float(m2.group(2))
-            q = self._literal(tok)
+            q = self._literal(tok, scope=scope)
         if q is None:
             return None, rest
         if boost != 1.0:
@@ -264,7 +282,7 @@ class QueryParser:
             return float(toks[0][1:]), toks[1:]
         return 1.0, toks
 
-    def _parse_phrase(self, tok: str) -> L.Query:
+    def _parse_phrase(self, tok: str, scope: str | None = None) -> L.Query:
         slop = 0
         m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+)|(\*))?$', tok)
         if not m:
@@ -274,6 +292,8 @@ class QueryParser:
             slop = int(m.group(2))
         is_prefix = m.group(3) is not None
         terms, _ = get_analyzer(self.tokenizer)(body)
+        if scope is not None:
+            terms = [f"{scope}:{t}" for t in terms]
         if not terms:
             return L.EmptyQuery()
         if not self.positions and (len(terms) > 1 or is_prefix):
@@ -287,12 +307,15 @@ class QueryParser:
             return L.TermQuery(terms[0])
         return L.PhraseQuery(tuple(terms), slop=slop)
 
-    def _literal(self, tok: str) -> L.Query | None:
+    def _literal(self, tok: str, scope: str | None = None) -> L.Query | None:
         """Analyze a bare literal (generate_literals_for_str,
-        query_parser.rs: multi-token literal -> phrase when positions)."""
+        query_parser.rs: multi-token literal -> phrase when positions).
+        `scope` prefixes terms with their field (multi-field index)."""
         terms, _ = get_analyzer(self.tokenizer)(tok)
         if not terms:
             return None
+        if scope is not None:
+            terms = [f"{scope}:{t}" for t in terms]
         if len(terms) == 1:
             return L.TermQuery(terms[0])
         if self.positions:

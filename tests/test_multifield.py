@@ -1,0 +1,149 @@
+"""Multi-field indexing: field-scoped terms with per-field fieldnorms and
+per-field exact token totals (avgdl), mirroring tantivy's multi-field
+schema + per-field BM25 statistics (ARCHITECTURE.md:103-116,
+bm25.rs:33-51, fieldnorm/writer.rs:58-95)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.functions.fieldnorm import FIELD_NORMS_TABLE, fieldnorm_to_id
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+from tantivy_spark.plans.parser import QueryParser
+
+_F32 = np.float32
+
+TEXTS = [
+    "the quick brown fox jumps",
+    "quick reply from the tool",
+    "slow brown snail",
+    "a fox and a fox again",
+    "nothing relevant here",
+    "quick quick quick",
+]
+ROLES = ["user", "assistant", "user", "tool", "assistant", "user"]
+TOOLS = ["search engine", None, "python runner", "search index", None, "python"]
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+            "turn_idx": [0] * len(TEXTS),
+            "text": TEXTS,
+            "role": ROLES,
+            "tool": TOOLS,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_segments=2, n_term_buckets=4, positions=True,
+                      extra_fields=("role", "tool"))
+    idx = f"{tmp_root}/mf_idx"
+    build_index(spark, src, idx, cfg)
+    return Searcher(spark, idx)
+
+
+def _bm25_f32(tf, fn_id, df, n_docs, total_tokens_field, k1=1.2, b=0.75):
+    """Independent reference-formula BM25 (bm25.rs:66-74,178,204-217)."""
+    idf = _F32(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    w = _F32(idf * _F32(1.0 + k1))
+    avgdl = _F32(_F32(total_tokens_field) / _F32(n_docs))
+    dl = _F32(FIELD_NORMS_TABLE[fn_id])
+    denom = _F32(_F32(tf) + _F32(k1) * (_F32(1.0 - b) + _F32(b) * dl / avgdl))
+    return float(_F32(w * _F32(tf) / denom))
+
+
+def test_manifest_field_tokens(mf_index):
+    ft = mf_index.field_tokens
+    # role: one token per doc; tool: sum of tokens over non-null values
+    assert ft["role"] == 6
+    assert ft["tool"] == 2 + 2 + 2 + 1  # "search engine","python runner","search index","python"
+
+
+def test_scoped_term_search_scores(mf_index):
+    out = mf_index.search(L.TermQuery("role:user"), k=10, mode="daat").collect()
+    got = {r["conv_id"] for r in out}
+    assert got == {"c0", "c2", "c5"}
+    # exact per-field BM25: df=3, dl = fieldnorm(1 token), avgdl_role = 6/6
+    expected = _bm25_f32(
+        tf=1, fn_id=int(fieldnorm_to_id(np.array([1]))[0]), df=3,
+        n_docs=6, total_tokens_field=6,
+    )
+    for r in out:
+        assert r["score"] == pytest.approx(expected, rel=1e-6)
+
+
+def test_scoped_term_uses_field_avgdl_not_main(mf_index):
+    """tool:python (df=2): scored with avgdl_tool=7/6 and the tool field's
+    OWN fieldnorms — doc c5 ("python", 1 token) must outscore c2
+    ("python runner", 2 tokens)."""
+    out = mf_index.search(L.TermQuery("tool:python"), k=10, mode="daat").collect()
+    assert [r["conv_id"] for r in out] == ["c5", "c2"]
+    e5 = _bm25_f32(1, int(fieldnorm_to_id(np.array([1]))[0]), 2, 6, 7)
+    e2 = _bm25_f32(1, int(fieldnorm_to_id(np.array([2]))[0]), 2, 6, 7)
+    assert out[0]["score"] == pytest.approx(e5, rel=1e-6)
+    assert out[1]["score"] == pytest.approx(e2, rel=1e-6)
+    assert e5 > e2
+
+
+def test_unscoped_scoring_matches_single_field_index(spark, tmp_root, mf_index):
+    """Adding extra fields must not perturb main-field BM25 (df, N, avgdl
+    of the text field are unchanged)."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+            "turn_idx": [0] * len(TEXTS),
+            "text": TEXTS,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    idx = f"{tmp_root}/mf_single_idx"
+    build_index(spark, src, idx,
+                IndexConfig(n_segments=2, n_term_buckets=4, positions=True))
+    single = Searcher(spark, idx)
+    for term in ("quick", "fox", "brown"):
+        a = [(r["conv_id"], r["score"])
+             for r in mf_index.search(L.TermQuery(term), k=10, mode="daat").collect()]
+        b = [(r["conv_id"], r["score"])
+             for r in single.search(L.TermQuery(term), k=10, mode="daat").collect()]
+        assert a == b
+
+
+def test_cross_field_boolean_and_parser(mf_index):
+    p = QueryParser(extra_fields=("role", "tool"))
+    q = p.parse("quick AND role:user")
+    out = mf_index.search(q, k=10, mode="taat64").collect()
+    got = {r["conv_id"] for r in out}
+    assert got == {"c0", "c5"}  # quick docs with role=user (c1 is assistant)
+    # score = bm25(quick | text stats) + bm25(role:user | role stats)
+    daat = mf_index.search(q, k=10, mode="daat").collect()
+    assert {r["conv_id"] for r in daat} == got
+    for rt, rd in zip(out, daat):
+        assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
+    # unknown field still rejected
+    with pytest.raises(Exception):
+        p.parse("nope:val")
+
+
+def test_scoped_phrase_on_extra_field(mf_index):
+    """Multi-token extra field values support scoped phrases in the
+    field's own position space."""
+    q = QueryParser(extra_fields=("role", "tool")).parse('tool:"search engine"')
+    assert q == L.PhraseQuery(("tool:search", "tool:engine"))
+    out = mf_index.search(q, k=10, mode="daat").collect()
+    assert [r["conv_id"] for r in out] == ["c0"]
+
+
+def test_daat_taat_agree_scoped(mf_index):
+    for term in ("role:user", "tool:search", "role:assistant"):
+        daat = mf_index.search(L.TermQuery(term), k=10, mode="daat").collect()
+        taat = mf_index.search(L.TermQuery(term), k=10, mode="taat64").collect()
+        assert [(r["conv_id"]) for r in daat] == [(r["conv_id"]) for r in taat]
+        for rd, rt in zip(daat, taat):
+            assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
