@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("v_max", 4).alias("v_max"),
         F.round("v_avg", 4).alias("v_avg"),
     )
+    # DDSketch percentiles (the reference's actual sketch, alpha=0.01) —
+    # approximate by construction, rows-only gate; pytest asserts the
+    # relative-error guarantee vs exact quantiles
+    Q["agg_percentiles_ddsketch"] = lambda s, d: A.percentiles_ddsketch(
+        _tbl(s, d, "events"), "value", percents=(50.0, 95.0, 99.0)
+    ).withColumn("value", F.round("value", 4))
     Q["agg_percentiles_value"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"terms": {"field": "event_type", "size": 10},

@@ -339,3 +339,59 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
     # bucketless metric at the root
     return global_stats_agg(df, {kind: {kind: body}})
 
+
+
+# --------------------------------------------------------------------------
+# DDSketch percentiles — the reference's actual sketch algorithm
+# (metric/percentiles.rs:216-218 wraps sketches-ddsketch with defaults
+# alpha=0.01 / 2048 bins), run as the two-phase partial/merge shape of
+# DistributedAggregationCollector (collector.rs:46, intermediate merge).
+# --------------------------------------------------------------------------
+
+
+def percentiles_ddsketch(
+    df: DataFrame, field: str,
+    percents: tuple[float, ...] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Relative-error percentiles via DDSketch: one sketch per partition
+    (vectorized add over Arrow batches), partial sketches serialized as
+    (keys, counts, zero) rows, merged on the driver — sketch size is
+    O(bins), independent of data size, so the merge input is tiny at any
+    scale.  Guarantee: |est - true| <= alpha * |true| per quantile."""
+    import numpy as np
+    import pandas as pd
+
+    from tantivy_spark.functions.ddsketch import DDSketch
+
+    spark = df.sparkSession
+
+    def partial(it):
+        s = DDSketch(alpha=alpha)
+        for pdf in it:
+            s.add(pdf[field].to_numpy(dtype=np.float64, na_value=np.nan))
+        k, c, z = s.to_arrays()
+        yield pd.DataFrame(
+            {"keys": [k.tolist()], "counts": [c.tolist()], "zero": [int(z)]}
+        )
+
+    parts = (
+        df.select(field)
+        .mapInPandas(partial, schema="keys array<long>, counts array<long>, zero long")
+        .collect()
+    )
+    merged = DDSketch(alpha=alpha)
+    for r in parts:
+        merged.merge(
+            DDSketch.from_arrays(
+                np.array(r["keys"], dtype=np.int64),
+                np.array(r["counts"], dtype=np.int64),
+                int(r["zero"]), alpha=alpha,
+            )
+        )
+    rows = [
+        (float(p), float(merged.quantile(p / 100.0)))
+        for p in percents
+        if merged.count > 0
+    ]
+    return spark.createDataFrame(rows, "percent double, value double")

@@ -297,6 +297,91 @@ def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
             [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
         )
     codes, uniq_terms = pd.factorize(pd.Series(tokens), sort=True)
+    return _encode_token_stream(
+        seg, codes, uniq_terms, doc_rep, fn_rep,
+        pos_flat if positions else None, n_term_buckets, positions,
+    )
+
+
+def _encode_segment_arrow(table, n_term_buckets: int,
+                          positions: bool, multi_field: bool):
+    """Arrow-native variant of `_encode_segment`: the token stream never
+    materializes as Python objects — list-flatten, doc-sort, and
+    dictionary-encode all run in Arrow C++ (combine_chunks / take /
+    flatten / dictionary_encode), then the same numpy run-length + block
+    encoding.  This is the build's hot loop; object-dtype pandas was the
+    memory-bandwidth bottleneck at high parallelism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return pa.table([], schema=_postings_arrow_schema())
+    # doc order within the segment (shuffle delivers rows unordered)
+    table = table.combine_chunks()
+    table = table.take(pc.sort_indices(table.column("doc_id")))
+    seg = int(table.column("segment_ord")[0].as_py())
+
+    terms_col = table.column("terms").combine_chunks()
+    offsets = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table([], schema=_postings_arrow_schema())
+    flat = terms_col.flatten()
+
+    denc = flat.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = denc.dictionary
+    # rank-code so ascending code == lexicographic term order (the
+    # factorize(sort=True) contract of the pandas path)
+    sort_perm = pc.array_sort_indices(dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(sort_perm), dtype=np.int64)
+    rank[sort_perm] = np.arange(len(sort_perm))
+    codes = rank[idx]
+    uniq_terms = dictionary.take(pa.array(sort_perm)).to_pylist()
+
+    doc_rep = np.repeat(
+        table.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        counts,
+    )
+    if multi_field:
+        fn_rep = table.column("term_fns").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        fn_rep = np.repeat(
+            table.column("fieldnorm_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            counts,
+        )
+    pos_flat = None
+    if positions:
+        pos_flat = table.column("positions").combine_chunks().flatten(
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    pdf = _encode_token_stream(
+        seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
+        n_term_buckets, positions,
+    )
+    return pa.Table.from_pandas(
+        pdf, schema=_postings_arrow_schema(), preserve_index=False
+    )
+
+
+def _postings_arrow_schema():
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(POSTINGS_SCHEMA)
+
+
+def _encode_token_stream(seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
+                         n_term_buckets, positions) -> pd.DataFrame:
+    """Run-length + block encoding of one segment's rank-coded token
+    stream (shared by the pandas and Arrow paths).  `codes` must be
+    rank-coded: ascending code == lexicographic term order."""
+    import zlib
 
     order = np.lexsort((doc_rep, codes))  # stable: positions stay in doc order
     c_s, d_s, f_s = codes[order], doc_rep[order], fn_rep[order]
@@ -375,16 +460,17 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
     """
     nb = cfg.n_term_buckets
     with_pos = cfg.positions
+    multi = bool(cfg.extra_fields)
     cols = ["segment_ord", "doc_id", "fieldnorm_id", "terms"]
     if with_pos:
         cols.append("positions")
-    if cfg.extra_fields:
+    if multi:
         cols.append("term_fns")
     return (
         docmap.select(*cols)
         .groupBy("segment_ord")
-        .applyInPandas(
-            lambda pdf: _encode_segment(pdf, nb, with_pos),
+        .applyInArrow(
+            lambda table: _encode_segment_arrow(table, nb, with_pos, multi),
             schema=POSTINGS_SCHEMA,
         )
     )

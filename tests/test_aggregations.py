@@ -154,3 +154,24 @@ def test_nested_terms_parent_size(events):
     ).collect()
     parents = {r["key"] for r in out}
     assert parents == {"c", "a"}  # top-2 parents by total doc_count
+
+
+def test_percentiles_ddsketch_vs_exact(spark):
+    """DDSketch percentiles honor the alpha relative-error guarantee vs the
+    exact quantiles (metric/percentiles.rs 'Estimating Percentiles')."""
+    import numpy as np
+
+    from tantivy_spark.operators.aggregations import percentiles_ddsketch
+
+    rng = np.random.default_rng(21)
+    vals = rng.lognormal(3.0, 1.0, 20_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    out = {
+        r["percent"]: r["value"]
+        for r in percentiles_ddsketch(df, "value",
+                                      percents=(5.0, 50.0, 95.0)).collect()
+    }
+    sv = np.sort(vals)
+    for p in (5.0, 50.0, 95.0):
+        true = sv[int(p / 100.0 * (len(sv) - 1))]
+        assert abs(out[p] - true) / true <= 0.03  # alpha=0.01 + bucket slack

@@ -178,3 +178,32 @@ def test_split_compound_words():
     # partial decomposition keeps the whole token (reference semantics)
     terms2, _ = an("dampfxyz")
     assert terms2 == ["dampfxyz"]
+
+
+def test_fast_terms_path_parity():
+    """The findall-based terms-only fast path must be token-identical to
+    the full positions path (same regex, byte limit, sigma handling)."""
+    import numpy as np
+
+    from tantivy_spark.functions.analysis import (
+        _tokenize_default_terms,
+        tokenize_default,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        "The Quick brown-fox;jumps_over 123abc",
+        "",
+        "\u03a3\u038a\u03a3\u03a5\u03a6\u039f\u03a3 \u0391\u03a3 \u03c3 \u03c2 \u03a4\u0395\u039b\u039f\u03a3\u03a3",
+        "h\u00e9llo Gr\u00fc\u00dfe \u6771\u4eac na\u00efve \u03a9\u03bc\u03ad\u03b3\u03b1",
+        "x" * 39 + " " + "y" * 40 + " ok",
+        "\u00e9" * 19 + " " + "\u00e9" * 20 + " mid",
+        "\u6771" * 13 + " " + "\u6771" * 14,
+        "-- ~~ !! __ ",
+        "can't stop won't_stop",
+    ]
+    alphabet = list("abcXYZ 123 _-;\u03a3\u03c3\u03c2 \u00e9\u6771\u00fc\t.")
+    for _ in range(30):
+        cases.append("".join(rng.choice(alphabet, size=rng.integers(0, 60))))
+    for text in cases:
+        assert _tokenize_default_terms(text) == tokenize_default(text)[0], text
