@@ -88,3 +88,70 @@ def test_dense_zero_width_block():
     e = _roundtrip(docs, tfs, fns)
     assert len(e["doc_enc"]) == 1  # just the width byte
     assert len(e["tf_enc"]) == 1
+
+
+def test_term_scorer_golden_max_and_block_max():
+    """Golden f32 fixtures from term_query/term_scorer.rs
+    test_term_scorer_max_score (:168-190): per-term max score, per-block
+    block-max from the stored (fieldnorm_id, tf) pair, and per-doc scores."""
+    import numpy as np
+    import pytest
+
+    from tantivy_spark.functions.bm25 import Bm25Params, Bm25Weight
+    from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
+    from tantivy_spark.operators import blocks
+
+    w = Bm25Weight.for_one_term(3, 6, np.float32(10.0), Bm25Params())
+    assert float(w.max_score()) == pytest.approx(1.3990127, rel=1e-5)
+
+    doc_ids = np.array([2, 3, 7], dtype=np.int64)
+    tfs = np.array([3, 12, 8], dtype=np.int64)
+    norms = np.array([0, 0, 10, 12, 0, 0, 0, 100], dtype=np.int64)
+    fns = fieldnorm_to_id(norms[doc_ids]).astype(np.uint8)
+    e = blocks.encode_postings(doc_ids, tfs, fns)
+    # Stored pair is (min fieldnorm_id, max tf) — an upper bound valid
+    # under ANY avgdl, so WAND pruning stays exact under the GLOBAL weight
+    # (SURVEY §4.2 WAND-safety note).  With heterogeneous fieldnorms this
+    # is deliberately looser than the reference's segment-local argmax
+    # pair (loaded-block true max 1.3676447, serializer.rs:389-440): here
+    # (norm of 10 tokens, tf=12) -> 1.3862944 >= 1.3676447.
+    bm = float(w.score(np.array(e["bm_norm_id"]), np.array(e["bm_tf"]))[0])
+    assert bm == pytest.approx(1.3862944, rel=1e-5)
+    assert bm >= 1.3676447 - 1e-6
+    per_doc = w.score(fns.astype(np.int64), tfs)
+    assert bm >= float(per_doc.max()) - 1e-6
+    assert float(per_doc[0]) == pytest.approx(1.0892314, rel=1e-5)
+    assert float(per_doc[1]) == pytest.approx(1.3676447, rel=1e-5)
+    assert float(per_doc[2]) == pytest.approx(0.72015285, rel=1e-5)
+
+
+def test_block_wand_golden_block_maxes():
+    """term_scorer.rs test_block_wand (:256-280): per-block upper bounds.
+    Blocks 0/1 match the reference skip-data bounds; for the tail block the
+    reference's shallow bound falls back to the term max (5.2971773) while
+    the loaded-block true max is 3.9539647 — we STORE the true pair for
+    every block (global-stats WAND safety, SURVEY §4.2), so our stored
+    bound equals the loaded value and is <= the reference's shallow bound."""
+    import numpy as np
+    import pytest
+
+    from tantivy_spark.functions.bm25 import Bm25Params, Bm25Weight
+    from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
+    from tantivy_spark.operators import blocks
+
+    doc_tfs = [(d, 1) for d in range(128)]
+    doc_tfs += [(d, 2 if d == 200 else 1) for d in range(128, 256)]
+    doc_tfs += [(256, 1), (257, 3), (258, 1)]
+    doc_ids = np.array([d for d, _ in doc_tfs], dtype=np.int64)
+    tfs = np.array([t for _, t in doc_tfs], dtype=np.int64)
+    fns = fieldnorm_to_id(np.full(len(doc_ids), 20, dtype=np.int64)).astype(np.uint8)
+
+    w = Bm25Weight.for_one_term(10, 129, np.float32(20.0), Bm25Params())
+    assert float(w.max_score()) == pytest.approx(5.2971773, rel=1e-5)
+
+    e = blocks.encode_postings(doc_ids, tfs, fns)
+    bm = w.score(np.array(e["bm_norm_id"], dtype=np.int64),
+                 np.array(e["bm_tf"], dtype=np.int64))
+    assert float(bm[0]) == pytest.approx(2.5161593, rel=1e-5)
+    assert float(bm[1]) == pytest.approx(3.4597192, rel=1e-5)
+    assert float(bm[2]) == pytest.approx(3.9539647, rel=1e-5)

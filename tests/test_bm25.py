@@ -120,3 +120,48 @@ def test_max_score_formula():
     w = Bm25Weight.for_one_term(3, 10, 7.5)
     expected = w.score(np.array([255]), np.array([2_013_265_944]))[0]
     assert float(w.max_score()) == float(expected)
+
+
+def test_boolean_golden_scores(spark, tmp_root):
+    """Golden f32 fixtures from boolean_query/mod.rs test_boolean_score
+    (:251-256) and test_intersection_score (:288-289)."""
+    import pandas as pd
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans import logical as L
+
+    def mk(name, texts):
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": [0] * len(texts),
+            "text": texts,
+        })
+        idx = f"{tmp_root}/{name}"
+        build_index(spark, spark.createDataFrame(pdf), idx,
+                    IndexConfig(n_segments=1, n_term_buckets=2))
+        return Searcher(spark, idx)
+
+    s = mk("bool_golden", ["a b c", "a c", "b c"])
+    q = L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.TermQuery("a")),
+        (L.Occur.SHOULD, L.TermQuery("b")),
+    ])
+    hits = {r["conv_id"]: r["score"]
+            for r in s.search(q, k=10, mode="daat").collect()}
+    assert hits["c0"] == pytest.approx(0.84163445, rel=1e-4)
+    boosted = {r["conv_id"]: r["score"]
+               for r in s.search(L.BoostQuery(q, 2.0), k=10, mode="daat").collect()}
+    assert boosted["c0"] == pytest.approx(1.6832689, rel=1e-4)
+
+    s2 = mk("bool_golden_aux", ["a b c", "a c", "b c", "a b c d", "d"])
+    q2 = L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("a")),
+        (L.Occur.MUST, L.TermQuery("b")),
+    ])
+    out = s2.search(q2, k=10, mode="daat").collect()
+    # matching docs in doc order: c0 ("a b c"), c3 ("a b c d")
+    by_doc = {r["conv_id"]: r["score"] for r in out}
+    assert by_doc["c0"] == pytest.approx(0.977973, rel=1e-4)
+    assert by_doc["c3"] == pytest.approx(0.84699446, rel=1e-4)
