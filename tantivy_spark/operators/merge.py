@@ -183,8 +183,12 @@ def merge_segments(spark: SparkSession, index_dir: str,
         .parquet(postings_path)
     )
 
+    xf_aggs = [
+        F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
+    ]
     stats = merged_dm.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens"),
+        *xf_aggs,
     ).collect()[0]
     pstats = (
         spark.read.parquet(postings_path)
@@ -195,19 +199,29 @@ def merge_segments(spark: SparkSession, index_dir: str,
 
     # swap the segment set; manifest written last = commit (end_merge)
     kept = [s for s in manifest["segments"] if s["segment_ord"] not in segment_ords]
-    kept.append(
-        {
-            "segment_ord": new_ord,
-            "n_docs": int(stats["n_docs"]),
-            "n_tokens": int(stats["n_tokens"] or 0),
-            "n_terms": int(pstats["n_terms"] or 0),
-            "n_postings": int(pstats["n_postings"] or 0),
-            "merged_from": sorted(segment_ords),
+    new_entry = {
+        "segment_ord": new_ord,
+        "n_docs": int(stats["n_docs"]),
+        "n_tokens": int(stats["n_tokens"] or 0),
+        "n_terms": int(pstats["n_terms"] or 0),
+        "n_postings": int(pstats["n_postings"] or 0),
+        "merged_from": sorted(segment_ords),
+    }
+    if cfg.extra_fields:
+        new_entry["field_tokens"] = {
+            f: int(stats[f"xf_tokens_{f}"] or 0) for f in cfg.extra_fields
         }
-    )
+    kept.append(new_entry)
     manifest["segments"] = sorted(kept, key=lambda s: s["segment_ord"])
     manifest["total_docs"] = int(sum(s["n_docs"] for s in manifest["segments"]))
     manifest["total_tokens"] = int(sum(s["n_tokens"] for s in manifest["segments"]))
+    if cfg.extra_fields:
+        # per-field exact totals must track physically-dropped docs so
+        # scoped-term avgdl stays exact after merges (bm25.rs:33-51)
+        manifest["field_tokens"] = {
+            f: int(sum(s["field_tokens"][f] for s in manifest["segments"]))
+            for f in cfg.extra_fields
+        }
     tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -147,3 +147,50 @@ def test_daat_taat_agree_scoped(mf_index):
         assert [(r["conv_id"]) for r in daat] == [(r["conv_id"]) for r in taat]
         for rd, rt in zip(daat, taat):
             assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
+
+
+def test_multifield_merge_preserves_field_stats(spark, tmp_root):
+    """Merging segments of a multi-field index keeps scoped-term scores
+    identical (per-field totals and fieldnorms survive the doc-id remap),
+    and deleting docs updates the per-field totals exactly."""
+    from tantivy_spark.operators.merge import delete_term, merge_segments
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+            "turn_idx": [0] * len(TEXTS),
+            "text": TEXTS,
+            "role": ROLES,
+            "tool": TOOLS,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_segments=3, n_term_buckets=4, positions=True,
+                      extra_fields=("role", "tool"))
+    idx = f"{tmp_root}/mf_merge_idx"
+    build_index(spark, src, idx, cfg)
+    before = Searcher(spark, idx)
+    base = [(r["conv_id"], r["score"])
+            for r in before.search(L.TermQuery("tool:python"), k=10,
+                                   mode="daat").collect()]
+
+    merge_segments(spark, idx)
+    after = Searcher(spark, idx)
+    assert len(after.manifest["segments"]) == 1
+    assert after.field_tokens == before.field_tokens
+    got = [(r["conv_id"], r["score"])
+           for r in after.search(L.TermQuery("tool:python"), k=10,
+                                 mode="daat").collect()]
+    assert got == base
+
+    # delete the doc containing text term "snail" (c2, role=user,
+    # tool="python runner" = 2 tool tokens), merge to apply physically
+    delete_term(spark, idx, "snail")
+    merge_segments(spark, idx)
+    s3 = Searcher(spark, idx)
+    assert s3.total_docs == len(TEXTS) - 1
+    assert s3.field_tokens["role"] == before.field_tokens["role"] - 1
+    assert s3.field_tokens["tool"] == before.field_tokens["tool"] - 2
+    assert {r["conv_id"] for r in
+            s3.search(L.TermQuery("role:user"), k=10, mode="daat").collect()
+            } == {"c0", "c5"}
