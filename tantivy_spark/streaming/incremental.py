@@ -63,21 +63,33 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     postings = build_postings_local(seg_dm, cfg)
     postings.write.mode("append").partitionBy("tbucket").parquet(postings_path)
 
+    xf_aggs = [
+        F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
+    ]
     stats = seg_dm.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens"),
+        *xf_aggs,
     ).collect()[0]
-    manifest["segments"].append(
-        {
-            "segment_ord": next_ord,
-            "n_docs": int(stats["n_docs"] or 0),
-            "n_tokens": int(stats["n_tokens"] or 0),
-            "committed_at": time.time(),
+    seg_entry = {
+        "segment_ord": next_ord,
+        "n_docs": int(stats["n_docs"] or 0),
+        "n_tokens": int(stats["n_tokens"] or 0),
+        "committed_at": time.time(),
+    }
+    if cfg.extra_fields:
+        seg_entry["field_tokens"] = {
+            f: int(stats[f"xf_tokens_{f}"] or 0) for f in cfg.extra_fields
         }
-    )
+    manifest["segments"].append(seg_entry)
     manifest["total_docs"] = int(sum(s["n_docs"] for s in manifest["segments"]))
     manifest["total_tokens"] = int(
         sum(s["n_tokens"] for s in manifest["segments"])
     )
+    if cfg.extra_fields:
+        manifest["field_tokens"] = {
+            f: int(sum(s["field_tokens"][f] for s in manifest["segments"]))
+            for f in cfg.extra_fields
+        }
     tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -194,3 +194,38 @@ def test_multifield_merge_preserves_field_stats(spark, tmp_root):
     assert {r["conv_id"] for r in
             s3.search(L.TermQuery("role:user"), k=10, mode="daat").collect()
             } == {"c0", "c5"}
+
+
+def test_multifield_incremental_commits(spark, tmp_root):
+    """Micro-batch commits of a multi-field index accumulate per-field
+    totals, so scoped BM25 after N commits equals the batch build."""
+    from tantivy_spark.streaming.incremental import _append_segment
+
+    cfg = IndexConfig(n_segments=3, n_term_buckets=4, positions=True,
+                      extra_fields=("role", "tool"))
+    idx_inc = f"{tmp_root}/mf_inc_idx"
+    full = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+            "turn_idx": [0] * len(TEXTS),
+            "text": TEXTS,
+            "role": ROLES,
+            "tool": TOOLS,
+        }
+    )
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        _append_segment(spark, spark.createDataFrame(full.iloc[lo:hi]),
+                        idx_inc, cfg)
+    inc = Searcher(spark, idx_inc)
+    assert inc.total_docs == 6
+    assert inc.field_tokens == {"role": 6, "tool": 7}
+
+    idx_batch = f"{tmp_root}/mf_inc_batch_idx"
+    build_index(spark, spark.createDataFrame(full), idx_batch, cfg)
+    batch = Searcher(spark, idx_batch)
+    for term in ("tool:python", "role:user", "quick"):
+        a = sorted((r["conv_id"], round(r["score"], 6))
+                   for r in inc.search(L.TermQuery(term), k=10, mode="daat").collect())
+        b = sorted((r["conv_id"], round(r["score"], 6))
+                   for r in batch.search(L.TermQuery(term), k=10, mode="daat").collect())
+        assert a == b, term
