@@ -141,6 +141,7 @@ class Searcher:
             for f, v in self.manifest.get("field_tokens", {}).items()
         }
         self.params = Bm25Params(self.cfg.k1, self.cfg.b)
+        self._df_cache: dict[str, int] = {}
         self._tombstones: list[str] | None = None
         self._live_segments = {
             int(s["segment_ord"]) for s in self.manifest["segments"]
@@ -183,18 +184,24 @@ class Searcher:
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global per-term doc freq — one tiny pruned aggregation job (the
-        EnableScoring::Enabled stats pass, searcher.rs:133-146)."""
+        EnableScoring::Enabled stats pass, searcher.rs:133-146).  Cached
+        per searcher: a Searcher is a pinned manifest snapshot, so term
+        stats are immutable for its lifetime (the reference's Searcher
+        holds its segment list the same way)."""
         if not terms:
             return {}
-        rows = (
-            self.pruned_postings(terms)
-            .groupBy("term")
-            .agg(F.sum("doc_freq").alias("df"))
-            .collect()
-        )
-        out = {t: 0 for t in terms}
-        out.update({r["term"]: int(r["df"]) for r in rows})
-        return out
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.pruned_postings(missing)
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("df"))
+                .collect()
+            )
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def doc(self, address: tuple[int, int]) -> dict | None:
         """Fetch a document's stored/fast fields by DocAddress
