@@ -153,6 +153,7 @@ def main() -> None:
         # untimed warmup: JIT-compile the whole build pipeline once so the
         # first timed leg doesn't eat the cold-start penalty
         _index_transcripts(high, "warmup", min(scale_convs, 2000))
+        t_scaling = time.time()
         runs_low = [_index_transcripts(low, f"c{low}", scale_convs)
                     for _ in range(2)]
         runs_high = [_index_transcripts(high, f"c{high}", scale_convs)
@@ -161,7 +162,9 @@ def main() -> None:
             r_low = min(runs_low, key=lambda r: r["index_sec"])
             r_high_s = min(runs_high, key=lambda r: r["index_sec"])
             eff = (r_high_s["turns_per_sec"] / r_low["turns_per_sec"]) / (high / low)
-            if eff >= 0.82:
+            # stop resampling on success or when the scaling portion has
+            # used its wall budget (driver runs the bench per round)
+            if eff >= 0.82 or time.time() - t_scaling > 420:
                 break
             runs_low.append(_index_transcripts(low, f"c{low}", scale_convs))
             runs_high.append(_index_transcripts(high, f"c{high}", scale_convs))
