@@ -153,27 +153,18 @@ def tokenize_facet(path: str) -> tuple[list[str], list[int]]:
     return terms, [0] * len(terms)
 
 
-_FOLD_SUPPLEMENT = {
-    # ligatures / letters NFKD does not decompose (the explicit-table rows
-    # of src/tokenizer/ascii_folding_filter.rs)
-    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss", "ẞ": "SS",
-    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
-    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ı": "i",
-}
-
-
 def _ascii_fold(tok: str) -> str:
-    """Fold diacritics/ligatures to ASCII: NFKD + combining-mark strip plus
-    an explicit supplement for non-decomposing letters — the practical core
-    of AsciiFoldingFilter (src/tokenizer/ascii_folding_filter.rs ships the
-    full table; rare symbol rows are not covered)."""
-    import unicodedata
+    """Fold to ASCII with the reference's EXACT per-char table
+    (src/tokenizer/ascii_folding_filter.rs fold_non_ascii_char, 1242
+    mappings = Lucene's ASCIIFoldingFilter): chars outside the table pass
+    through unchanged, so non-Latin scripts are untouched — unlike an
+    NFKD-based fold, which would also strip e.g. Greek accents."""
+    if tok.isascii():
+        return tok
+    from tantivy_spark.functions.ascii_folding_data import ASCII_FOLDING_TABLE
 
-    tok = "".join(_FOLD_SUPPLEMENT.get(c, c) for c in tok)
-    return "".join(
-        c for c in unicodedata.normalize("NFKD", tok)
-        if not unicodedata.combining(c)
-    )
+    return "".join(ASCII_FOLDING_TABLE.get(c, c) for c in tok)
+
 
 
 def _split_compound(tok: str, dictionary: frozenset, min_part: int = 2) -> list[str]:

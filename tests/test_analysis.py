@@ -207,3 +207,24 @@ def test_fast_terms_path_parity():
         cases.append("".join(rng.choice(alphabet, size=rng.integers(0, 60))))
     for text in cases:
         assert _tokenize_default_terms(text) == tokenize_default(text)[0], text
+
+
+def test_ascii_folding_exact_table_semantics():
+    """The fold uses the reference's explicit table only
+    (ascii_folding_filter.rs fold_non_ascii_char): stroked/ligature Latin
+    letters fold, non-Latin scripts pass through UNTOUCHED (an NFKD fold
+    would wrongly strip Greek/Cyrillic accents)."""
+    from tantivy_spark.functions.analysis import _ascii_fold
+
+    assert _ascii_fold("Ħi") == "Hi"
+    assert _ascii_fold("Øre") == "Ore"
+    assert _ascii_fold("Þing") == "THing"
+    assert _ascii_fold("ﬁle") == "file"
+    assert _ascii_fold("ĳs") == "ijs"
+    assert _ascii_fold("café") == "cafe"
+    assert _ascii_fold("Grüße") == "Grusse"
+    # untouched: not in the reference table
+    assert _ascii_fold("Ωμέγα") == "Ωμέγα"
+    assert _ascii_fold("άλφα") == "άλφα"
+    assert _ascii_fold("東京") == "東京"
+    assert _ascii_fold("москва́") == "москва́"
