@@ -343,6 +343,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ), 10)  # f32 term-selection boosts — no SQL oracle (pytest-covered)
     Q["ft_phrase_top10"] = lambda s, d: _topk(
         s, d, L.PhraseQuery(("fast", "table")), 10, mode="taat64")
+    # mixed boolean: MUST phrase + SHOULD term (scored, f64 tree path)
+    Q["ft_bool_with_phrase"] = lambda s, d: _topk(
+        s, d,
+        L.BooleanQuery.new([
+            (L.Occur.MUST, L.PhraseQuery(("fast", "table"))),
+            (L.Occur.SHOULD, L.TermQuery("spark")),
+        ]), 10, mode="taat64")
+    # same query through the f32 kernel (_daat_mixed), ids-only compare
+    Q["ft_bool_with_phrase_daat"] = lambda s, d: _topk(
+        s, d,
+        L.BooleanQuery.new([
+            (L.Occur.MUST, L.PhraseQuery(("fast", "table"))),
+            (L.Occur.SHOULD, L.TermQuery("spark")),
+        ]), 10, mode="daat", ids_only=True)
     Q["ft_phrase_daat_top10"] = lambda s, d: _topk(
         s, d, L.PhraseQuery(("the", "table")), 10, mode="daat", ids_only=True)
 
@@ -816,6 +830,47 @@ SELECT doc_id, round(score, 5) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT 50000"""
     )
     O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
+    _mixed_phrase_sql = f"""{_BM25_PRELUDE},
+tpos AS (
+  SELECT d.doc_id, tk[i] AS term, i - 1 AS pos
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                                   t -> t <> '' AND length(t) < 40) AS tk
+        FROM documents) d,
+       unnest(range(1, len(tk) + 1)) r(i)
+),
+ph AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS tf
+  FROM tpos p0 JOIN tpos p1 ON p1.doc_id = p0.doc_id
+   AND p1.term = 'table' AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'fast'
+  GROUP BY p0.doc_id
+),
+tscore AS (
+  SELECT tf.doc_id,
+         (ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {K1!r}))
+           * tf.tf / (tf.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           AS cs
+  FROM tf JOIN dlq ON tf.doc_id = dlq.doc_id
+  JOIN df ON tf.term = df.term CROSS JOIN stats s
+  WHERE tf.term = 'spark'
+),
+scored AS (
+  SELECT ph.doc_id,
+         ((ln(1.0 + (s.n_docs - dfa.df + 0.5) / (dfa.df + 0.5))
+           + ln(1.0 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))) * (1.0 + {K1!r}))
+           * ph.tf / (ph.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           + coalesce(t.cs, 0.0) AS score
+  FROM ph
+  JOIN dlq ON ph.doc_id = dlq.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM df WHERE term = 'fast') dfa
+  CROSS JOIN (SELECT df FROM df WHERE term = 'table') dfb
+  LEFT JOIN tscore t ON t.doc_id = ph.doc_id
+)
+SELECT doc_id{{SCORE}} FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    O["ft_bool_with_phrase"] = _mixed_phrase_sql.replace(
+        "{SCORE}", ", round(score, 5) AS score")
+    O["ft_bool_with_phrase_daat"] = _mixed_phrase_sql.replace("{SCORE}", "")
     O["ft_phrase_daat_top10"] = _phrase_sql(["the", "table"], 10, ids_only=True)
     O["ft_term_set"] = (
         _BM25_PRELUDE

@@ -141,11 +141,45 @@ def _align_full(docs_t, tfs_t, fns_t, candidates):
 
 
 @dataclass
+class ArrayPostings:
+    """A materialized in-memory posting list exposing the same interface
+    as TermPostings — used to plug a phrase (evaluated per segment into
+    docs + phrase counts + fieldnorms) into the boolean kernel as a
+    virtual term, the way the reference composes PhraseScorer as just
+    another Scorer inside BooleanWeight (boolean_weight.rs)."""
+
+    docs: np.ndarray  # sorted int64
+    tfs: np.ndarray
+    fns: np.ndarray
+
+    @property
+    def doc_freq(self) -> int:
+        return len(self.docs)
+
+    def decode_all(self):
+        return self.docs, self.tfs, self.fns
+
+    def max_block_score(self, weight: Bm25Weight) -> np.float32:
+        if len(self.docs) == 0:
+            return _F32(0.0)
+        # (min fieldnorm, max tf) — upper bound under any avgdl
+        return _F32(
+            weight.score(
+                np.array([int(self.fns.min())], dtype=np.int64),
+                np.array([int(self.tfs.max())], dtype=np.int64),
+            )[0]
+        )
+
+    def probe(self, candidates: np.ndarray):
+        return _align_full(self.docs, self.tfs, self.fns, candidates)
+
+
+@dataclass
 class Clause:
     occur: str  # "must" | "should" | "must_not"
     term: str
     weight: Bm25Weight | None  # None => no postings in this segment (df=0)
-    postings: TermPostings | None
+    postings: TermPostings | ArrayPostings | None
 
 
 def segment_topk(
@@ -412,30 +446,21 @@ def _carrying_slop_count(adjusted: list[list[int]], slop: int) -> int:
     return count
 
 
-def segment_topk_phrase(
-    term_postings: list[TermPostings | None],
-    weight: Bm25Weight,
-    k: int,
+def phrase_match_arrays(
+    term_postings: list,
     slop: int = 0,
-    last_alternatives: list[TermPostings] | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exact-phrase top-k for one segment.
-
-    Semantics (src/query/phrase_query/phrase_scorer.rs): doc matches when
-    the terms occur at consecutive positions; tf = number of phrase
-    occurrences (phrase_count, :405-437); score = weight.score(fieldnorm,
-    phrase_count) with the multi-term summed-idf weight (:578-582,
-    bm25.rs:136-142).  Duplicate terms in the phrase share one posting
-    list.  Candidates = conjunction of all term docsets, then a per-doc
-    vectorized position-chain intersection.
-
-    `slop` > 0 uses the reference's greedy slop-window count for 2-term
-    phrases (phrase_scorer.rs:145-191) and the carrying-slop-budget
-    intersection for 3+ terms (:232-345); `last_alternatives` replaces the
-    final slot with a union of posting lists — the PhrasePrefix expansion
-    (src/query/phrase_prefix_query/phrase_prefix_scorer.rs).
-    """
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32))
+    last_alternatives: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Evaluate a phrase over one segment -> (doc_ids, phrase_counts,
+    fieldnorm_ids) for ALL matching docs — the PhraseScorer docset+
+    phrase_count computation (phrase_scorer.rs:405-507) without the top-k.
+    Feeds both the phrase top-k and the boolean kernel (phrase as a
+    virtual-term ArrayPostings clause)."""
+    empty3 = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
     # normalize to slots-of-alternatives: each phrase position may accept a
     # set of posting lists (PhrasePrefix expansions; RegexPhrase per-slot
     # regex expansions, src/query/phrase_query/regex_phrase_query.rs)
@@ -443,13 +468,13 @@ def segment_topk_phrase(
     base = term_postings if last_alternatives is None else term_postings[:-1]
     for tp in base:
         if tp is None:
-            return empty
+            return empty3
         slots.append(tp if isinstance(tp, list) else [tp])
     if last_alternatives is not None:
         slots.append([tp for tp in last_alternatives if tp is not None])
     for alt in slots:
         if not [tp for tp in alt if tp is not None]:
-            return empty
+            return empty3
     slots = [[tp for tp in alt if tp is not None] for alt in slots]
 
     uniq: dict[int, tuple] = {}
@@ -467,7 +492,7 @@ def segment_topk_phrase(
         )
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
     if cand is None or len(cand) == 0:
-        return empty
+        return empty3
 
     # positions per phrase slot, aligned to candidates
     pos_cache: dict[int, list[np.ndarray]] = {}
@@ -536,9 +561,37 @@ def segment_topk_phrase(
         counts[i] = len(starts)
 
     keep = counts > 0
-    cand, counts, fns = cand[keep], counts[keep], fns[keep]
+    return cand[keep], counts[keep], fns[keep]
+
+
+def segment_topk_phrase(
+    term_postings: list[TermPostings | None],
+    weight: Bm25Weight,
+    k: int,
+    slop: int = 0,
+    last_alternatives: list[TermPostings] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase top-k for one segment.
+
+    Semantics (src/query/phrase_query/phrase_scorer.rs): doc matches when
+    the terms occur at consecutive positions; tf = number of phrase
+    occurrences (phrase_count, :405-437); score = weight.score(fieldnorm,
+    phrase_count) with the multi-term summed-idf weight (:578-582,
+    bm25.rs:136-142).  Duplicate terms in the phrase share one posting
+    list.  Candidates = conjunction of all term docsets, then a per-doc
+    vectorized position-chain intersection.
+
+    `slop` > 0 uses the reference's greedy slop-window count for 2-term
+    phrases (phrase_scorer.rs:145-191) and the carrying-slop-budget
+    intersection for 3+ terms (:232-345); `last_alternatives` replaces the
+    final slot with a union of posting lists — the PhrasePrefix expansion
+    (src/query/phrase_prefix_query/phrase_prefix_scorer.rs).
+    """
+    cand, counts, fns = phrase_match_arrays(
+        term_postings, slop=slop, last_alternatives=last_alternatives
+    )
     if len(cand) == 0:
-        return empty
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
     scores = weight.score(fns, counts)
     kk = min(k, len(cand))
     order = np.lexsort((cand, -scores.astype(np.float64)))[:kk]

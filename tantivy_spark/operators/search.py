@@ -124,6 +124,38 @@ def compile_query(q: L.Query) -> CompiledBoolean | CompiledDismax:
     raise NotImplementedError(f"query type {type(q).__name__}")
 
 
+def _compile_mixed_boolean(q: L.Query):
+    """Flat boolean mixing TermQuery and PhraseQuery clauses (each
+    optionally boost-wrapped) -> (clauses, minimum_should_match) with
+    clauses = [(occur, kind, payload, boost)], or None when the shape
+    doesn't apply (pure-term booleans use the plain kernel path; anything
+    nested falls to tree evaluation).  This is BooleanWeight composing a
+    PhraseScorer beside TermScorers (boolean_weight.rs)."""
+    boost = 1.0
+    while isinstance(q, L.BoostQuery):
+        boost *= q.boost
+        q = q.query
+    if not isinstance(q, L.BooleanQuery):
+        return None
+    clauses = []
+    n_phrases = 0
+    for occur, sub in q.clauses:
+        b = boost
+        while isinstance(sub, L.BoostQuery):
+            b *= sub.boost
+            sub = sub.query
+        if isinstance(sub, L.TermQuery):
+            clauses.append((occur.value, "term", sub.term, b))
+        elif isinstance(sub, L.PhraseQuery):
+            n_phrases += 1
+            clauses.append((occur.value, "phrase", sub, b))
+        else:
+            return None
+    if n_phrases == 0:
+        return None
+    return clauses, q.minimum_should_match
+
+
 class Searcher:
     """Point-in-time searcher over an index directory (manifest snapshot)."""
 
@@ -579,6 +611,10 @@ class Searcher:
                 return self._daat_phrase(phrase, phrase_boost, k)
             return self._taat64_phrase(phrase, phrase_boost, k)
 
+        if mode == "daat" and k is not None:
+            mixed = _compile_mixed_boolean(query)
+            if mixed is not None:
+                return self._daat_mixed(mixed, k)
         try:
             spec = compile_query(query)
         except NotImplementedError:
@@ -673,6 +709,90 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(terms)
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
+
+    def _daat_mixed(self, mixed, k: int) -> DataFrame:
+        """f32 kernel path for flat booleans mixing term and phrase
+        clauses: each phrase is evaluated per segment into a virtual
+        posting list (docs, phrase_count, fieldnorm) and joins the boolean
+        kernel as an ArrayPostings clause — PhraseScorer composing inside
+        BooleanWeight (boolean_weight.rs), keeping rank-identical f32
+        scoring for mixed queries instead of falling back to float64
+        TAAT."""
+        clauses, msm = mixed
+        # pending tombstones = injected must_not term clauses
+        have_not = {p for o, kind, p, _ in clauses
+                    if o == "must_not" and kind == "term"}
+        for t in self.tombstones():
+            if t not in have_not:
+                clauses = clauses + [("must_not", "term", t, 1.0)]
+
+        term_set = {p for _, kind, p, _ in clauses if kind == "term"}
+        phrase_terms = {
+            t for _, kind, p, _ in clauses if kind == "phrase"
+            for t in p.phrase_terms
+        }
+        all_terms = sorted(term_set | phrase_terms)
+        dfs = self.doc_freqs(all_terms)
+
+        runner_spec = []  # (occur, kind, payload, weight)
+        for occur, kind, payload, b in clauses:
+            if kind == "term":
+                w = self.weight_for(dfs[payload], b, payload)
+                runner_spec.append((occur, "term", payload, w))
+            else:
+                w = self._phrase_weight(payload, b)
+                if w is None:
+                    # a phrase term is absent from the whole corpus: the
+                    # phrase matches nothing anywhere
+                    if occur == "must":
+                        return self.spark.createDataFrame(
+                            [], "segment_ord int, doc_id int, score float"
+                        )
+                    continue  # should/must_not no-op
+                runner_spec.append(
+                    (occur, "phrase", (tuple(payload.phrase_terms), payload.slop), w)
+                )
+        if not any(o != "must_not" for o, *_ in runner_spec):
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score float"
+            )
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {
+                r["term"]: K.TermPostings.from_row(r)
+                for _, r in pdf.iterrows()
+            }
+            cl = []
+            for occur, kind, payload, w in runner_spec:
+                if kind == "term":
+                    cl.append(K.Clause(occur, payload, w, tp.get(payload)))
+                else:
+                    slots, slop = payload
+                    cand, counts, fns = K.phrase_match_arrays(
+                        [tp.get(t) for t in slots], slop=slop
+                    )
+                    ap = (
+                        K.ArrayPostings(cand, counts, fns)
+                        if len(cand) else None
+                    )
+                    cl.append(K.Clause(occur, " ".join(slots), w, ap))
+            docs, scores = K.segment_topk(cl, k, msm, None)
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(all_terms)
         per_seg = pruned.groupBy("segment_ord").applyInPandas(
             run_segment, schema="segment_ord int, doc_id int, score float"
         )

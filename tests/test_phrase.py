@@ -314,3 +314,67 @@ def test_phrase_slop_ordering_golden(spark, tmp_root):
     assert scores[0] == pytest.approx(0.23091172, rel=1e-4)
     assert scores[1] == pytest.approx(0.27310878, rel=1e-4)
     assert scores[3] == pytest.approx(0.25024384, rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mixed boolean: phrase clauses composing with term clauses on the f32
+# DAAT kernel path (virtual-term ArrayPostings), vs the float64 tree oracle
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_boolean_phrase_daat_vs_taat(phrase_index):
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.PhraseQuery(("quick", "brown"))),
+        (L.Occur.SHOULD, L.TermQuery("fox")),
+        (L.Occur.MUST_NOT, L.TermQuery("shoes")),
+    ])
+    daat = phrase_index.search(q, k=10, mode="daat").collect()
+    taat = phrase_index.search(q, k=10, mode="taat64").collect()
+    assert [r["conv_id"] for r in daat] == [r["conv_id"] for r in taat]
+    for rd, rt in zip(daat, taat):
+        assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
+    got = {r["conv_id"] for r in daat}
+    assert got == {"c0", "c3"}  # quick-brown docs minus c1 (shoes)
+    # phrase contributes BM25 (not const): scores exceed term-only part
+    assert all(r["score"] > 0 for r in daat)
+
+
+def test_mixed_boolean_phrase_should(phrase_index):
+    q = L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.BoostQuery(L.PhraseQuery(("quick", "brown")), 2.0)),
+        (L.Occur.SHOULD, L.TermQuery("unrelated")),
+    ])
+    daat = phrase_index.search(q, k=10, mode="daat").collect()
+    taat = phrase_index.search(q, k=10, mode="taat64").collect()
+    d = {(r["conv_id"]): r["score"] for r in daat}
+    t = {(r["conv_id"]): r["score"] for r in taat}
+    assert set(d) == set(t) == {"c0", "c1", "c3", "c4"}
+    for key in d:
+        assert t[key] == pytest.approx(d[key], rel=1e-6)
+
+
+def test_mixed_boolean_absent_phrase_term(phrase_index):
+    # phrase with absent term: MUST -> empty; SHOULD -> term-only scoring
+    q_must = L.BooleanQuery.new([
+        (L.Occur.MUST, L.PhraseQuery(("quick", "zzz"))),
+        (L.Occur.SHOULD, L.TermQuery("fox")),
+    ])
+    assert phrase_index.search(q_must, k=10, mode="daat").count() == 0
+    q_should = L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.PhraseQuery(("quick", "zzz"))),
+        (L.Occur.SHOULD, L.TermQuery("fox")),
+    ])
+    out = phrase_index.search(q_should, k=10, mode="daat").collect()
+    assert {r["conv_id"] for r in out} == {"c0", "c3"}
+
+
+def test_mixed_boolean_slop_phrase_clause(phrase_index):
+    # slop phrase as a boolean clause rides the same kernel path
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.PhraseQuery(("quick", "brown"), slop=2)),
+        (L.Occur.MUST_NOT, L.TermQuery("fox")),
+    ])
+    out = phrase_index.search(q, k=10, mode="daat").collect()
+    got = {r["conv_id"] for r in out}
+    # slop=2 matches c0,c1,c2,c3,c5; must_not fox drops c0,c3
+    assert got == {"c1", "c2", "c5"}
