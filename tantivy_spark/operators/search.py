@@ -156,6 +156,35 @@ def _compile_mixed_boolean(q: L.Query):
     return clauses, q.minimum_should_match
 
 
+def _compile_mixed_dismax(q: L.Query):
+    """DisjunctionMax whose arms are terms/phrases (boost-wrapped ok),
+    with at least one phrase -> [(kind, payload, boost)], tie_breaker,
+    top_boost; else None."""
+    boost = 1.0
+    while isinstance(q, L.BoostQuery):
+        boost *= q.boost
+        q = q.query
+    if not isinstance(q, L.DisjunctionMaxQuery):
+        return None
+    arms = []
+    n_phrases = 0
+    for sub in q.queries:
+        b = 1.0
+        while isinstance(sub, L.BoostQuery):
+            b *= sub.boost
+            sub = sub.query
+        if isinstance(sub, L.TermQuery):
+            arms.append(("term", sub.term, b))
+        elif isinstance(sub, L.PhraseQuery):
+            n_phrases += 1
+            arms.append(("phrase", sub, b))
+        else:
+            return None
+    if n_phrases == 0:
+        return None
+    return arms, q.tie_breaker, boost
+
+
 class Searcher:
     """Point-in-time searcher over an index directory (manifest snapshot)."""
 
@@ -615,6 +644,9 @@ class Searcher:
             mixed = _compile_mixed_boolean(query)
             if mixed is not None:
                 return self._daat_mixed(mixed, k)
+            mixed_dm = _compile_mixed_dismax(query)
+            if mixed_dm is not None:
+                return self._daat_mixed_dismax(mixed_dm, k)
         try:
             spec = compile_query(query)
         except NotImplementedError:
@@ -784,6 +816,70 @@ class Searcher:
                     )
                     cl.append(K.Clause(occur, " ".join(slots), w, ap))
             docs, scores = K.segment_topk(cl, k, msm, None)
+            return pd.DataFrame(
+                {
+                    "segment_ord": np.full(len(docs), seg, dtype=np.int32),
+                    "doc_id": docs.astype(np.int32),
+                    "score": scores.astype(np.float32),
+                }
+            )
+
+        pruned = self.pruned_postings(all_terms)
+        per_seg = pruned.groupBy("segment_ord").applyInPandas(
+            run_segment, schema="segment_ord int, doc_id int, score float"
+        )
+        return per_seg.orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+        ).limit(k)
+
+    def _daat_mixed_dismax(self, mixed, k: int) -> DataFrame:
+        """DisjunctionMax over term + phrase arms on the f32 kernel —
+        phrase arms become per-segment virtual posting lists."""
+        arms, tie_breaker, top_boost = mixed
+        term_set = {p for kind, p, _ in arms if kind == "term"}
+        phrase_terms = {
+            t for kind, p, _ in arms if kind == "phrase" for t in p.phrase_terms
+        }
+        all_terms = sorted(term_set | phrase_terms)
+        dfs = self.doc_freqs(all_terms)
+        runner_spec = []
+        for kind, payload, b in arms:
+            if kind == "term":
+                runner_spec.append(
+                    ("term", payload, self.weight_for(dfs[payload], b, payload))
+                )
+            else:
+                w = self._phrase_weight(payload, b)
+                if w is None:
+                    continue  # arm matches nothing anywhere
+                runner_spec.append(
+                    ("phrase", (tuple(payload.phrase_terms), payload.slop), w)
+                )
+        if not runner_spec:
+            return self.spark.createDataFrame(
+                [], "segment_ord int, doc_id int, score float"
+            )
+
+        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pdf["segment_ord"].iloc[0])
+            tp = {
+                r["term"]: K.TermPostings.from_row(r)
+                for _, r in pdf.iterrows()
+            }
+            cl = []
+            for kind, payload, w in runner_spec:
+                if kind == "term":
+                    cl.append(K.Clause("should", payload, w, tp.get(payload)))
+                else:
+                    slots, slop = payload
+                    cand, counts, fns = K.phrase_match_arrays(
+                        [tp.get(t) for t in slots], slop=slop
+                    )
+                    ap = K.ArrayPostings(cand, counts, fns) if len(cand) else None
+                    cl.append(K.Clause("should", " ".join(slots), w, ap))
+            docs, scores = K.segment_topk_dismax(cl, tie_breaker, k)
+            if top_boost != 1.0:
+                scores = (scores * _F32(top_boost)).astype(_F32)
             return pd.DataFrame(
                 {
                     "segment_ord": np.full(len(docs), seg, dtype=np.int32),

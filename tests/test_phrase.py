@@ -378,3 +378,19 @@ def test_mixed_boolean_slop_phrase_clause(phrase_index):
     got = {r["conv_id"] for r in out}
     # slop=2 matches c0,c1,c2,c3,c5; must_not fox drops c0,c3
     assert got == {"c1", "c2", "c5"}
+
+
+def test_mixed_dismax_phrase_daat_vs_taat(phrase_index):
+    q = L.DisjunctionMaxQuery(
+        (L.PhraseQuery(("quick", "brown")), L.TermQuery("fox"),
+         L.BoostQuery(L.TermQuery("shoes"), 2.0)),
+        tie_breaker=0.3,
+    )
+    daat = phrase_index.search(q, k=10, mode="daat").collect()
+    taat = phrase_index.search(q, k=10, mode="taat64").collect()
+    d = {r["conv_id"]: r["score"] for r in daat}
+    t = {r["conv_id"]: r["score"] for r in taat}
+    assert set(d) == set(t)
+    for key in d:
+        assert t[key] == pytest.approx(d[key], rel=1e-6)
+    assert {"c0", "c1", "c3"} <= set(d)
