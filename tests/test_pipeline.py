@@ -198,3 +198,34 @@ def test_language_id(docs):
     r = {x["id"]: x for x in P.language_id(docs, "id").collect()}
     assert r[4]["pred_lang"] == "en"  # two 'the' + 'over'... stopword-rich
     assert r[0]["pred_lang"] == "unk"  # greek-letter salad, no stopwords
+
+
+def test_submit_job_driver_inprocess(spark, tmp_root, capsys):
+    """tools/submit_job.py build+query main() — the spark-submit entry —
+    runs against an active session and prints one JSON line each."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import submit_job
+    finally:
+        sys.path.pop(0)
+
+    idx = f"{tmp_root}/submit_idx"
+    rc = submit_job.main([
+        "build", "--synthetic-convs", "40", "--index-dir", idx,
+        "--segments", "2", "--positions",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "build" and out["num_docs"] > 0
+
+    rc = submit_job.main([
+        "query", "--index-dir", idx, "--query", "w0 OR w1", "--k", "3",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "query"
+    assert len(out["hits"]) == 3
+    assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
