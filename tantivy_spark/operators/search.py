@@ -1367,7 +1367,6 @@ class Searcher:
         terms = sorted({t for _, t, _ in spec.clauses})
         dfs = self.doc_freqs(terms)
         N = self.total_docs
-        avgdl = self.total_tokens / N
         k1, b = self.cfg.k1, self.cfg.b
 
         flat = self.flat_postings(terms)
@@ -1433,7 +1432,6 @@ class Searcher:
         terms = sorted({t for t, _ in spec.terms})
         dfs = self.doc_freqs(terms)
         N = self.total_docs
-        avgdl = self.total_tokens / N
         k1, b = self.cfg.k1, self.cfg.b
         wrows = []
         for t, boost in spec.terms:
