@@ -158,3 +158,46 @@ def test_const_score():
     got_docs, got_scores = segment_topk(cl, 10, const_score=1.0)
     assert list(got_docs) == [2, 4, 9]
     assert got_scores.tolist() == [1.0, 1.0, 1.0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n_docs=st.integers(5, 400),
+    k=st.integers(1, 10),
+    shape=st.sampled_from(["all_should", "mixed", "with_not"]),
+)
+def test_kernel_with_array_postings_equals_brute_force(seed, n_docs, k, shape):
+    """ArrayPostings (virtual-term, e.g. a materialized phrase) clauses mix
+    with block-encoded TermPostings clauses and the kernel stays exactly
+    equivalent to exhaustive f32 scoring."""
+    from tantivy_spark.operators.kernel import ArrayPostings
+
+    rng = np.random.default_rng(seed)
+    fns, terms = _mk_corpus(rng, n_docs, 3)
+    # clause 0/1: encoded terms; clause 2: in-memory virtual term
+    vdocs = np.sort(rng.choice(n_docs, size=int(rng.integers(1, n_docs + 1)),
+                               replace=False)).astype(np.int64)
+    vtfs = rng.integers(1, 6, len(vdocs)).astype(np.int64)
+    varr = (vdocs, vtfs, fns[vdocs])
+    data = [terms[0], terms[1], varr]
+    if shape == "all_should":
+        occurs = ["should", "should", "should"]
+    elif shape == "mixed":
+        occurs = ["must", "should", "should"]
+    else:
+        occurs = ["should", "must_not", "should"]
+    weights = [
+        Bm25Weight.for_one_term(len(d), n_docs, F32(10.0), Bm25Params())
+        for d, _, _ in data
+    ]
+    clauses = [
+        Clause(occurs[0], "t0", weights[0], _tp("t0", *terms[0])),
+        Clause(occurs[1], "t1", weights[1], _tp("t1", *terms[1])),
+        Clause(occurs[2], "vp", weights[2],
+               ArrayPostings(vdocs, vtfs, fns[vdocs].astype(np.int64))),
+    ]
+    got_docs, got_scores = segment_topk(clauses, k)
+    exp_docs, exp_scores = _brute_force(data, occurs, weights, n_docs, k, 0)
+    assert np.array_equal(got_docs, exp_docs)
+    assert np.allclose(got_scores, exp_scores, rtol=1e-6, atol=1e-7)

@@ -229,3 +229,17 @@ def test_multifield_incremental_commits(spark, tmp_root):
         b = sorted((r["conv_id"], round(r["score"], 6))
                    for r in batch.search(L.TermQuery(term), k=10, mode="daat").collect())
         assert a == b, term
+
+
+def test_scoped_phrase_in_mixed_boolean_daat(mf_index):
+    """Scoped phrase (extra-field position space) as a boolean clause on
+    the f32 kernel path, composing with an unscoped term clause."""
+    q = L.BooleanQuery.new([
+        (L.Occur.MUST, L.PhraseQuery(("tool:search", "tool:engine"))),
+        (L.Occur.SHOULD, L.TermQuery("quick")),
+    ])
+    daat = mf_index.search(q, k=10, mode="daat").collect()
+    taat = mf_index.search(q, k=10, mode="taat64").collect()
+    assert [r["conv_id"] for r in daat] == ["c0"]
+    assert [r["conv_id"] for r in taat] == ["c0"]
+    assert taat[0]["score"] == pytest.approx(daat[0]["score"], rel=1e-6)
