@@ -119,3 +119,80 @@ def test_query_set_daat_equals_taat(engine):
         taat = [(r["segment_ord"], r["doc_id"]) for r in
                 s.search(q, k=K, mode="taat64", fetch_keys=False).collect()]
         assert daat == taat, (terms, mode)
+
+
+@pytest.fixture(scope="module")
+def engine_pos(spark, tmp_root):
+    pdf = transcripts_pdf(N_CONVS)
+    idx = f"{tmp_root}/e2e_pos_{time.time_ns()}"
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(n_segments=6, n_term_buckets=8, positions=True))
+    s = Searcher(spark, idx)
+    addr = {
+        (r["conv_id"], r["turn_idx"]): (r["segment_ord"], r["doc_id"])
+        for r in s.docmap().select("conv_id", "turn_idx", "segment_ord",
+                                   "doc_id").collect()
+    }
+    return s, addr
+
+
+def brute_force_phrase(addr, phrase_terms, k):
+    """Independent exact-phrase f32 BM25: positions straight from the
+    analyzer (pre-RemoveLong ordinals), chain count at consecutive
+    positions, weight = (f32 sum of idfs) * (1 + k1)."""
+    pdf = transcripts_pdf(N_CONVS)
+    docs = []
+    for r in pdf.itertuples():
+        terms, poss = tokenize_default(r.text)
+        docs.append((r.conv_id, int(r.turn_idx), terms, poss))
+    N = len(docs)
+    total_tokens = sum(len(d[2]) for d in docs)
+    avgdl = F32(F32(total_tokens) / F32(N))
+    dfs = {t: sum(1 for d in docs if t in set(d[2])) for t in set(phrase_terms)}
+    if any(dfs[t] == 0 for t in phrase_terms):
+        return []
+    idf_sum = F32(0.0)
+    for t in phrase_terms:
+        idf_sum = F32(idf_sum + F32(np.log(
+            F32(1.0) + (F32(N - dfs[t]) + F32(0.5)) / (F32(dfs[t]) + F32(0.5)))))
+    w = F32(idf_sum * F32(2.2))
+    hits = []
+    for conv, turn, terms, poss in docs:
+        pos_of = {}
+        for t, p in zip(terms, poss):
+            pos_of.setdefault(t, set()).add(p)
+        starts = pos_of.get(phrase_terms[0], set())
+        count = sum(
+            1 for p in starts
+            if all((p + i) in pos_of.get(t, set())
+                   for i, t in enumerate(phrase_terms[1:], start=1))
+        )
+        if count == 0:
+            continue
+        fid = int(fieldnorm_to_id(np.array([len(terms)]))[0])
+        dl = F32(FIELD_NORMS_TABLE[fid])
+        norm = F32(F32(1.2) * (F32(0.25) + F32(0.75) * dl / avgdl))
+        score = F32(w * F32(F32(count) / F32(F32(count) + norm)))
+        hits.append((score, addr[(conv, turn)]))
+    hits.sort(key=lambda h: (-h[0], h[1]))
+    return hits[:k]
+
+
+def test_phrase_rank_identical_vs_independent_oracle(engine_pos):
+    s, addr = engine_pos
+    phrases = [("w0", "w1"), ("w1", "w0"), ("w2", "w0", "w1"),
+               ("w17", "w3"), ("w0", "zzz_missing")]
+    checked = 0
+    for terms in phrases:
+        got = [
+            ((r["segment_ord"], r["doc_id"]), r["score"])
+            for r in s.search(L.PhraseQuery(terms), k=K, mode="daat",
+                              fetch_keys=False).collect()
+        ]
+        exp = brute_force_phrase(addr, list(terms), K)
+        assert [g[0] for g in got] == [e[1] for e in exp], terms
+        for (a, sc), e in zip(got, exp):
+            assert sc == pytest.approx(float(e[0]), rel=1e-6), terms
+        if exp:
+            checked += 1
+    assert checked >= 3  # the query set must actually exercise matches
