@@ -152,3 +152,21 @@ def test_exists_syntax():
     assert P.parse("role:*") == L.ExistsQuery("role")
     # bare * is still AllQuery
     assert P.parse("*") == L.AllQuery()
+
+
+def test_parser_fuzz_never_crashes():
+    """Random query-ish strings: the parser returns a Query or raises
+    QueryParserError — never any other exception (the reference's lenient
+    parser contract, query_parser.rs parse_query_lenient)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    alphabet = list('ab c"()[]{}:^~*+-OR AND NOT IN TO 0159.\\é東')
+    for _ in range(400):
+        n = int(rng.integers(0, 30))
+        s = "".join(rng.choice(alphabet, size=n))
+        try:
+            q = P.parse(s)
+        except QueryParserError:
+            continue
+        assert isinstance(q, L.Query), s
