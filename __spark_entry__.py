@@ -56,7 +56,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Build (once per sf_dir per process) and open the fulltext index."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v4")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v5")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -83,7 +83,7 @@ def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Multi-field index: text + a scoped `lang` field with its own
     fieldnorms and per-field token totals (tantivy multi-field schema)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-mf-{tag}-v1")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-mf-{tag}-v2")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -393,7 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- JSON dynamic fields (src/core/json_utils.rs) --------------------
     def _json_searcher(s, d):
         tag = os.path.basename(os.path.normpath(d)) or "sf"
-        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v1")
+        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v2")
         if index_dir not in _SEARCHERS:
             cfg = IndexConfig(
                 text_col="props", key_cols=("event_id",),

@@ -56,6 +56,7 @@ from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
 from tantivy_spark.operators import blocks
 
 MANIFEST_NAME = "manifest.json"
+TERMS_DIR = "terms"
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -554,6 +555,45 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
 
 
 # --------------------------------------------------------------------------
+# stage 2.5: term dictionary (the FST analogue, materialized)
+# --------------------------------------------------------------------------
+
+def write_terms(spark: SparkSession, postings_df: DataFrame, terms_path: str,
+                mode: str = "overwrite",
+                segment_ords: list[int] | None = None) -> None:
+    """Materialize the term dictionary table — the persisted analogue of
+    tantivy's FST term dict (src/termdict/fst_termdict/, ARCHITECTURE.md
+    .term file role).
+
+    One row per (term, segment): the postings table minus its heavy
+    encoded-block columns, plus a `tlen` length column.  fuzzy/regex/
+    prefix expansion walks THIS table (length/prefix pruned, pushed to
+    parquet stats) instead of aggregating the full postings table per
+    query — the automaton ∩ term-dict walk of fuzzy_query.rs:80-106 /
+    regex_query.rs:57.  Size: tens of bytes per (term, segment) vs KBs
+    of blocks, so even an unpruned dictionary scan is ~100-1000x less IO
+    than the postings table; exact lookups still prune by tbucket dir +
+    term row-group stats.  Per-segment rows keep the table append-only
+    under merges/streaming commits (live-segment visibility stays
+    manifest-driven, like every other index table).
+    """
+    terms = postings_df
+    if segment_ords is not None:
+        terms = terms.filter(F.col("segment_ord").isin(list(segment_ords)))
+    terms = terms.select(
+        "term", "segment_ord", "doc_freq", "sum_tf", "tbucket",
+        F.length("term").alias("tlen"),
+    )
+    (
+        terms.repartition("tbucket")
+        .sortWithinPartitions("tbucket", "term", "segment_ord")
+        .write.mode(mode)
+        .partitionBy("tbucket")
+        .parquet(terms_path)
+    )
+
+
+# --------------------------------------------------------------------------
 # full build with checkpoint/resume + manifest
 # --------------------------------------------------------------------------
 
@@ -616,9 +656,17 @@ def build_index(
         _mark_done(index_dir, "postings")
         stage_times["postings"] = time.time() - t
 
+    postings_df = spark.read.parquet(postings_path)
+
+    # stage 2.5: term dictionary (near-free byproduct of the postings table)
+    if not (resume and _stage_done(index_dir, "terms")):
+        t = time.time()
+        write_terms(spark, postings_df, os.path.join(index_dir, TERMS_DIR))
+        _mark_done(index_dir, "terms")
+        stage_times["terms"] = time.time() - t
+
     # stage 3: stats + per-segment lineage, manifest committed LAST
     t = time.time()
-    postings_df = spark.read.parquet(postings_path)
     xf_aggs = [
         F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
     ]
@@ -661,6 +709,7 @@ def build_index(
 
     manifest = {
         "format_version": 1,
+        "terms_table": True,
         "config": json.loads(cfg.to_json()),
         "total_docs": int(sum(s["n_docs"] for s in segments)),
         "total_tokens": int(sum(s["n_tokens"] for s in segments)),

@@ -41,8 +41,10 @@ from pyspark.sql import functions as F
 from tantivy_spark.config import IndexConfig
 from tantivy_spark.operators.build import (
     MANIFEST_NAME,
+    TERMS_DIR,
     build_postings,
     load_manifest,
+    write_terms,
 )
 
 TOMBSTONES_DIR = "tombstones"
@@ -183,6 +185,17 @@ def merge_segments(spark: SparkSession, index_dir: str,
         .parquet(postings_path)
     )
 
+    # append the merged segment's term-dict rows (same visibility rules)
+    if os.path.exists(os.path.join(index_dir, TERMS_DIR)):
+        write_terms(
+            spark,
+            spark.read.parquet(postings_path).filter(
+                F.col("segment_ord") == new_ord
+            ),
+            os.path.join(index_dir, TERMS_DIR),
+            mode="append",
+        )
+
     xf_aggs = [
         F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
     ]
@@ -277,6 +290,16 @@ def garbage_collect(spark: SparkSession, index_dir: str,
         os.rename(tmp, postings_path)
         _sh.rmtree(old, ignore_errors=True)
         rewrote = True
+        # the term dict mirrors the postings table — rewrite it too
+        terms_path = os.path.join(index_dir, TERMS_DIR)
+        if os.path.exists(terms_path):
+            ttmp = terms_path + ".gc"
+            _sh.rmtree(ttmp, ignore_errors=True)
+            write_terms(spark, spark.read.parquet(postings_path), ttmp)
+            told = terms_path + ".old"
+            os.rename(terms_path, told)
+            os.rename(ttmp, terms_path)
+            _sh.rmtree(told, ignore_errors=True)
     return {"removed_docmap_segments": sorted(removed),
             "postings_rewritten": rewrote}
 

@@ -31,7 +31,7 @@ from tantivy_spark.config import IndexConfig
 from tantivy_spark.functions.bm25 import Bm25Params, Bm25Weight
 from tantivy_spark.functions.fieldnorm import FIELD_NORMS_TABLE
 from tantivy_spark.operators import kernel as K
-from tantivy_spark.operators.build import load_manifest, term_bucket_py
+from tantivy_spark.operators.build import TERMS_DIR, load_manifest, term_bucket_py
 from tantivy_spark.plans import logical as L
 
 _F32 = np.float32
@@ -69,6 +69,114 @@ def _fuzzy_distance(q: str, t: str, d: int, transposition_cost_one: bool,
 def _fuzzy_match(q: str, t: str, d: int, transposition_cost_one: bool,
                  prefix: bool) -> bool:
     return _fuzzy_distance(q, t, d, transposition_cost_one, prefix) is not None
+
+
+def _fuzzy_distances_batch(q: str, terms, d: int, transposition_cost_one: bool,
+                           prefix: bool) -> np.ndarray:
+    """Vectorized `_fuzzy_distance` over a whole candidate batch: one DP
+    where each cell update runs across ALL candidates as a numpy op
+    (the matrix-DP batching of the Levenshtein automaton walk,
+    fuzzy_query.rs:80-106).  Cost: len(q) x max_term_len vector ops per
+    Arrow batch instead of a Python DP per candidate.  Returns int32
+    distances, -1 where the term is farther than `d`."""
+    n_cand = len(terms)
+    if n_cand == 0:
+        return np.empty(0, dtype=np.int32)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n_cand)
+    maxlen = int(lens.max()) if n_cand else 0
+    m = len(q)
+    # padded char-code matrix (pad = -1, matches no query char)
+    T = np.full((n_cand, maxlen), -1, dtype=np.int32)
+    total = int(lens.sum())
+    if total:
+        flat = np.fromiter(
+            (ord(c) for t in terms for c in t), dtype=np.int32, count=total
+        )
+        row_idx = np.repeat(np.arange(n_cand), lens)
+        col_idx = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        T[row_idx, col_idx] = flat
+    qc = np.fromiter((ord(c) for c in q), dtype=np.int32, count=m)
+
+    prev = np.broadcast_to(
+        np.arange(maxlen + 1, dtype=np.int32), (n_cand, maxlen + 1)
+    ).copy()
+    prev2 = None
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cost = (T != qc[i - 1]).astype(np.int32)
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+            if transposition_cost_one and i > 1 and j > 1:
+                trans = (T[:, j - 1] == qc[i - 2]) & (T[:, j - 2] == qc[i - 1])
+                np.minimum(
+                    cur[:, j],
+                    np.where(trans, prev2[:, j - 2] + 1, np.int32(1 << 20)),
+                    out=cur[:, j],
+                )
+        prev2, prev = prev, cur
+    if prefix:
+        # min over prefixes of each candidate: mask cells past its length
+        mask = np.arange(maxlen + 1)[None, :] > lens[:, None]
+        dist = np.where(mask, np.int32(1 << 20), prev).min(axis=1)
+    else:
+        dist = prev[np.arange(n_cand), lens]
+    return np.where(dist <= d, dist, -1).astype(np.int32)
+
+
+_REGEX_SPECIAL = set(".[]{}()*+?|^$\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix the regex requires of every match —
+    conservatively "" when in doubt.  Used to push a `startswith` range
+    prune into the term-dict parquet scan before the rlike filter (the
+    automaton's can_match prefix narrowing over the sorted term dict)."""
+    # a top-level alternation makes ANY accumulated prefix unsound
+    # ("abc|xyz" matches strings not starting with "abc")
+    depth, j, n = 0, 0, len(pattern)
+    while j < n:
+        c = pattern[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "[":
+            close = pattern.find("]", j + 1)
+            if close == -1:
+                return ""
+            j = close + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return ""
+        j += 1
+
+    out: list[str] = []
+    i = 0
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 < n and pattern[i + 1] in _REGEX_SPECIAL:
+                nxt = pattern[i + 1]
+                if i + 2 < n and pattern[i + 2] in "*+?{":
+                    break  # quantified: escaped char is optional/repeated
+                out.append(nxt)
+                i += 2
+                continue
+            break  # \d, \w, ... — a class, not a literal
+        if c in _REGEX_SPECIAL:
+            break
+        if i + 1 < n and pattern[i + 1] in "*+?{":
+            break  # quantified literal may repeat/vanish
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class CompiledBoolean:
@@ -442,18 +550,50 @@ class Searcher:
         v = self._node_score(q, seg, did)
         return node(type(q).__name__, v)
 
+    def terms_table(self) -> DataFrame | None:
+        """The materialized per-segment term dictionary written at build
+        time (build.write_terms — the persisted FST analogue), filtered to
+        the manifest's live segments; None for pre-terms-table indexes."""
+        path = os.path.join(self.index_dir, TERMS_DIR)
+        if not (self.manifest.get("terms_table") or os.path.exists(path)):
+            return None
+        return self.spark.read.parquet(path).filter(
+            F.col("segment_ord").isin(sorted(self._live_segments))
+        )
+
     def term_dict(self) -> DataFrame:
-        """Global term dictionary (term, df) — the FST analogue, derived by
-        aggregating per-segment doc_freqs.  One shuffle on term, already
-        term-bucket partitioned so the agg is near-local."""
-        return self.postings().groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        """Global term dictionary (term, df) — the FST analogue.  Reads
+        the materialized terms table (tiny: no encoded-block columns);
+        falls back to aggregating the postings table only for indexes
+        built before the terms stage existed."""
+        tt = self.terms_table()
+        src = tt if tt is not None else self.postings()
+        return src.groupBy("term").agg(F.sum("doc_freq").alias("df"))
+
+    def _expansion_terms(self) -> DataFrame:
+        """Distinct (term, tlen) — the expansion walk surface.  Expansion
+        queries never need doc freqs, so this skips even the df agg."""
+        tt = self.terms_table()
+        if tt is not None:
+            return tt.select("term", "tlen").distinct()
+        return (
+            self.postings()
+            .select("term")
+            .distinct()
+            .withColumn("tlen", F.length("term"))
+        )
 
     def expand_regex(self, pattern: str) -> list[str]:
         """Terms matching an anchored regex (the reference's regex automaton
         over the term dict, src/query/regex_query.rs:57; tantivy anchors the
-        automaton to the full term)."""
+        automaton to the full term).  The pattern's literal prefix becomes a
+        `startswith` prune pushed into the term-dict parquet scan."""
         anchored = f"^(?:{pattern})$"
-        rows = self.term_dict().filter(F.col("term").rlike(anchored)).collect()
+        cands = self._expansion_terms()
+        lit = _regex_literal_prefix(pattern)
+        if lit:
+            cands = cands.filter(F.col("term").startswith(lit))
+        rows = cands.filter(F.col("term").rlike(anchored)).collect()
         return sorted(r["term"] for r in rows)
 
     def expand_fuzzy_scored(self, term: str, distance: int = 1,
@@ -461,31 +601,35 @@ class Searcher:
                             prefix: bool = False) -> list[tuple[str, int]]:
         """(term, edit distance) pairs within Levenshtein (or OSA, when
         transpositions cost 1) distance — the Levenshtein-automaton ∩
-        term-dict walk of src/query/fuzzy_query.rs:80-106, run as a
-        vectorized filter over the term dictionary (length-pruned, then
-        exact DP per candidate)."""
+        term-dict walk of src/query/fuzzy_query.rs:80-106: length pruning
+        pushed to the terms-table parquet scan, then one batched matrix DP
+        per Arrow batch (no per-candidate Python loop)."""
         q = term
         d = distance
-        cands = self.term_dict().select("term")
+        cands = self._expansion_terms()
         if not prefix:
             cands = cands.filter(
-                (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+                (F.col("tlen") >= len(q) - d) & (F.col("tlen") <= len(q) + d)
             )
         else:
-            cands = cands.filter(F.length("term") >= len(q) - d)
+            cands = cands.filter(F.col("tlen") >= len(q) - d)
 
         def match_batches(it):
             for pdf in it:
-                keep, dists = [], []
-                for t in pdf["term"]:
-                    dist = _fuzzy_distance(q, t, d, transposition_cost_one,
-                                           prefix)
-                    if dist is not None:
-                        keep.append(t)
-                        dists.append(dist)
-                yield pd.DataFrame({"term": keep, "dist": pd.array(dists, dtype="int32")})
+                terms = pdf["term"].to_numpy(dtype=object)
+                dists = _fuzzy_distances_batch(
+                    q, terms, d, transposition_cost_one, prefix
+                )
+                keep = dists >= 0
+                yield pd.DataFrame(
+                    {"term": terms[keep], "dist": dists[keep]}
+                )
 
-        rows = cands.mapInPandas(match_batches, schema="term string, dist int").collect()
+        rows = (
+            cands.select("term")
+            .mapInPandas(match_batches, schema="term string, dist int")
+            .collect()
+        )
         return sorted((r["term"], r["dist"]) for r in rows)
 
     def expand_fuzzy(self, term: str, distance: int = 1,
@@ -993,9 +1137,11 @@ class Searcher:
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Term-dict prefix scan, lowest terms first, capped at
-        max_expansions (phrase_prefix_query.rs:140-156 range scan)."""
+        max_expansions (phrase_prefix_query.rs:140-156 range scan).  The
+        startswith prune pushes to parquet stats (StringStartsWith) on the
+        term-sorted terms table."""
         rows = (
-            self.term_dict()
+            self._expansion_terms()
             .filter(F.col("term").startswith(prefix))
             .orderBy("term")
             .limit(max_expansions)

@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from tantivy_spark.config import IndexConfig
 from tantivy_spark.operators.build import (
     MANIFEST_NAME,
+    TERMS_DIR,
     build_docmap,
     build_postings_local,
     load_manifest,
+    write_terms,
 )
 
 
@@ -44,6 +46,7 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         os.makedirs(index_dir, exist_ok=True)
         manifest = {
             "format_version": 1,
+            "terms_table": True,
             "config": json.loads(cfg.to_json()),
             "total_docs": 0,
             "total_tokens": 0,
@@ -62,6 +65,16 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     )
     postings = build_postings_local(seg_dm, cfg)
     postings.write.mode("append").partitionBy("tbucket").parquet(postings_path)
+
+    # append this commit's term-dict rows (one new segment = append-only)
+    write_terms(
+        spark,
+        spark.read.parquet(postings_path).filter(
+            F.col("segment_ord") == next_ord
+        ),
+        os.path.join(index_dir, TERMS_DIR),
+        mode="append",
+    )
 
     xf_aggs = [
         F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
