@@ -340,7 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         L.MoreLikeThisQuery(
             doc_text=_doc_text(s, d, 0),
             min_doc_frequency=5, min_term_frequency=2, max_query_terms=10,
-        ), 10)  # f32 term-selection boosts — no SQL oracle (pytest-covered)
+        ), 10)
     Q["ft_phrase_top10"] = lambda s, d: _topk(
         s, d, L.PhraseQuery(("fast", "table")), 10, mode="taat64")
     # mixed boolean: MUST phrase + SHOULD term (scored, f64 tree path)
@@ -463,16 +463,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["mm_media_metadata"] = lambda s, d: M.media_metadata(
         _media(s, d), "doc_id", "blob"
     ).select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "container")
+    # codec is stubbed (no image/video libs in this container) but the
+    # deterministic fakes are md5-seeded plain arithmetic, so the full
+    # decode/sample/feature pipeline is SQL-oracle-checked end to end
     Q["mm_frame_sample_counts"] = lambda s, d: (
         M.sample_frames(_media(s, d), "doc_id", "blob", every_n=10,
                         deterministic_fake=True)
         .groupBy("key").agg(F.count(F.lit(1)).alias("n_frames"))
         .select(F.col("key").alias("doc_id"), "n_frames")
-    )  # stubbed decoder — no SQL oracle (deterministic fake)
+    )
     Q["mm_image_features"] = lambda s, d: M.image_features(
         M.decode_images(_media(s, d), "doc_id", "blob", deterministic_fake=True)
     ).select(F.col("key").alias("doc_id"), "height", "width", "channels",
-             "mean_pixel", "std_pixel")  # stubbed decoder — no SQL oracle
+             "mean_pixel", "std_pixel")
 
     # ---- aggregations (SURVEY §2.7) --------------------------------------
     Q["agg_extended_stats"] = lambda s, d: A.run_aggregation(
@@ -528,11 +531,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("v_avg", 4).alias("v_avg"),
     )
     # DDSketch percentiles (the reference's actual sketch, alpha=0.01) —
-    # approximate by construction, rows-only gate; pytest asserts the
-    # relative-error guarantee vs exact quantiles
-    Q["agg_percentiles_ddsketch"] = lambda s, d: A.percentiles_ddsketch(
-        _tbl(s, d, "events"), "value", percents=(50.0, 95.0, 99.0)
-    ).withColumn("value", F.round("value", 4))
+    # approximate by construction, so the oracle-checked contract is the
+    # TOLERANCE: the sketch estimate must sit within the relative-error
+    # bound of the exact quantile (which both engines can compute).  A
+    # broken sketch flips within_bound to false and hash-mismatches.
+    def _ddsketch_bounds(s, d):
+        ev = _tbl(s, d, "events")
+        percents = (50.0, 95.0, 99.0)
+        est = {
+            float(r["percent"]): float(r["value"])
+            for r in A.percentiles_ddsketch(
+                ev, "value", percents=percents
+            ).collect()
+        }
+        exact_row = ev.agg(
+            *[
+                F.expr(f"percentile(value, {p / 100.0!r})").alias(f"q{i}")
+                for i, p in enumerate(percents)
+            ]
+        ).collect()[0]
+        rows = []
+        for i, p in enumerate(percents):
+            exact = float(exact_row[f"q{i}"])
+            ok = abs(est[p] - exact) <= 0.03 * abs(exact) + 0.05
+            rows.append((p, round(exact, 4), bool(ok)))
+        return s.createDataFrame(
+            rows, "percent double, exact_value double, within_bound boolean"
+        ).orderBy("percent")
+
+    Q["agg_percentiles_ddsketch"] = _ddsketch_bounds
     Q["agg_percentiles_value"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"terms": {"field": "event_type", "size": 10},
@@ -549,11 +576,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"terms": {"field": "event_type", "size": 10},
          "aggs": {"users": {"cardinality": {"field": "user_id", "exact": True}}}},
     )
-    Q["agg_cardinality_hll"] = lambda s, d: A.run_aggregation(
-        _tbl(s, d, "events"),
-        {"terms": {"field": "event_type", "size": 10},
-         "aggs": {"users": {"cardinality": {"field": "user_id"}}}},
-    )  # HLL++ sketch — no SQL oracle (approximate, like the reference's HLL)
+    # HLL++ cardinality sketch: approximate (rsd 0.023), so the oracle
+    # contract is the rsd TOLERANCE vs the exact distinct count — both
+    # sketch and exact legs run through the engine's aggregation operator.
+    def _hll_bounds(s, d):
+        ev = _tbl(s, d, "events")
+        spec = {"terms": {"field": "event_type", "size": 10}}
+        approx = A.run_aggregation(
+            ev, {**spec, "aggs": {"users": {"cardinality": {"field": "user_id"}}}}
+        ).select("key", "doc_count", F.col("users").alias("users_hll"))
+        exact = A.run_aggregation(
+            ev,
+            {**spec,
+             "aggs": {"users": {"cardinality": {"field": "user_id",
+                                                "exact": True}}}},
+        ).select("key", F.col("users").alias("users_exact"))
+        return (
+            approx.join(exact, "key")
+            .select(
+                "key", "doc_count", "users_exact",
+                (
+                    F.abs(F.col("users_hll") - F.col("users_exact"))
+                    <= F.lit(5 * 0.023) * F.col("users_exact") + F.lit(5.0)
+                ).alias("within_rsd"),
+            )
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(10)
+        )
+
+    Q["agg_cardinality_hll"] = _hll_bounds
     Q["agg_top_hits"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"top_hits": {"group_field": "event_type", "size": 3,
@@ -829,6 +880,49 @@ sc AS (
 SELECT doc_id, round(score, 5) AS score FROM sc
 ORDER BY score DESC, doc_id ASC LIMIT 50000"""
     )
+    # MoreLikeThis (more_like_this.rs:298-365): salient terms from doc 0's
+    # text — tf >= 2, df >= 5, selection score = f32(tf) * f32 idf, top 10
+    # by (score desc, term asc), boost = score / best — then a SHOULD-sum
+    # BM25 disjunction.  The f32 casts mirror the engine's per-term f32
+    # selection arithmetic (functions/bm25.py idf).
+    O["ft_more_like_this"] = (
+        _BM25_PRELUDE
+        + f""",
+qtf AS (
+  SELECT term, count(*)::BIGINT AS qtf FROM toks WHERE doc_id = 0
+  GROUP BY term HAVING count(*) >= 2
+),
+cand AS (
+  SELECT q.term,
+         CAST(CAST(q.qtf AS FLOAT) *
+              CAST(ln(CAST(1.0 AS FLOAT) +
+                      (CAST(s.n_docs - df.df AS FLOAT) + CAST(0.5 AS FLOAT))
+                      / (CAST(df.df AS FLOAT) + CAST(0.5 AS FLOAT)))
+                   AS FLOAT)
+              AS FLOAT) AS sel
+  FROM qtf q JOIN df USING (term) CROSS JOIN stats s
+  WHERE df.df >= 5
+),
+sel AS (SELECT term, sel FROM cand ORDER BY sel DESC, term ASC LIMIT 10),
+boosts AS (
+  SELECT term, CAST(sel AS DOUBLE) / (SELECT max(sel) FROM sel) AS boost
+  FROM sel
+),
+mscored AS (
+  SELECT tf.doc_id,
+         (ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {K1!r}) * b.boost)
+           * tf.tf / (tf.tf + {K1!r} * ((1.0 - {B!r}) + {B!r} * dlq.dl / (s.total_tokens / s.n_docs)))
+           AS cs
+  FROM tf
+  JOIN boosts b ON tf.term = b.term
+  JOIN dlq ON tf.doc_id = dlq.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats s
+),
+magg AS (SELECT doc_id, sum(cs) AS score FROM mscored GROUP BY doc_id)
+SELECT doc_id, round(score, 5) AS score FROM magg
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
     O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
     _mixed_phrase_sql = f"""{_BM25_PRELUDE},
 tpos AS (
@@ -936,6 +1030,32 @@ SELECT doc_id, octet_length(blob)::BIGINT AS n_bytes,
             WHEN substr(hex(blob), 1, 8) = '89504E47' THEN 'png'
             WHEN substr(hex(blob), 1, 8) = '52494646' THEN 'riff' END AS container
 FROM blobs"""
+    # the stubbed decoders' fakes are md5-seeded plain arithmetic
+    # (multimodal._blob_seed): seed = first 15 hex digits of
+    # md5(UPPERCASE hex(blob)); n_frames = 20 + seed % 20 sampled every 10;
+    # pixel[i] = (seed + (i+1)*2654435761) % 256 over 8x8x3
+    _MM_SEEDS = """
+WITH blobs AS (
+  SELECT doc_id,
+         (CASE WHEN source IN ('src0', 'src1') THEN from_hex('ffd8ff')
+               WHEN source IN ('src2', 'src3') THEN from_hex('89504e47')
+               ELSE from_hex('52494646') END || text::BLOB) AS blob
+  FROM documents),
+seeds AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(hex(blob)), 1, 15))::BIGINT AS seed
+  FROM blobs)"""
+    O["mm_frame_sample_counts"] = _MM_SEEDS + """
+SELECT doc_id, CAST(ceil((20 + seed % 20) / 10.0) AS BIGINT) AS n_frames
+FROM seeds"""
+    O["mm_image_features"] = _MM_SEEDS + """,
+px AS (
+  SELECT doc_id, ((seed + (i + 1) * 2654435761) % 256)::DOUBLE AS p
+  FROM seeds, range(192) r(i))
+SELECT doc_id, 8::INT AS height, 8::INT AS width, 3::INT AS channels,
+       round(avg(p), 4) AS mean_pixel,
+       round(sqrt(avg(p * p) - avg(p) * avg(p)), 4) AS std_pixel
+FROM px GROUP BY doc_id"""
 
     # ---- aggregations ----------------------------------------------------
     O["agg_extended_stats"] = """
@@ -982,6 +1102,24 @@ FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
     O["agg_cardinality_users"] = """
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        count(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    # sketch entries: the oracle checks the exact value AND that the
+    # engine reported its estimate within the sketch's error bound
+    # (within_* must be literally true on the Spark side to hash-match)
+    O["agg_percentiles_ddsketch"] = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.50) AS q50,
+         quantile_cont(value, 0.95) AS q95,
+         quantile_cont(value, 0.99) AS q99
+  FROM events)
+SELECT percent, exact_value, TRUE AS within_bound FROM (
+  SELECT 50.0 AS percent, round(q50, 4) AS exact_value FROM q
+  UNION ALL SELECT 95.0, round(q95, 4) FROM q
+  UNION ALL SELECT 99.0, round(q99, 4) FROM q)
+ORDER BY percent"""
+    O["agg_cardinality_hll"] = """
+SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+       count(DISTINCT user_id)::BIGINT AS users_exact, TRUE AS within_rsd
 FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
     O["agg_top_hits"] = """
 SELECT event_type, event_id, value FROM (

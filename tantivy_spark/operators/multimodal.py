@@ -20,7 +20,6 @@ Design rules at scale:
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -69,11 +68,27 @@ def size_banded(df: DataFrame, blob_col: str, band_bytes: int = 1 << 20,
     return banded.repartition(n, "_size_band", F.crc32(F.col(blob_col))).drop("_size_band")
 
 
+def _blob_seed(blob: bytes) -> int:
+    """Deterministic 60-bit content seed for the fake decoders, shared
+    with the SQL oracles: md5 over the blob's UPPERCASE hex (DuckDB 1.0's
+    md5 takes VARCHAR, not BLOB), first 15 hex digits as an integer —
+    `('0x' || substr(md5(hex(blob)), 1, 15))::BIGINT` on the oracle side."""
+    import hashlib
+
+    return int(
+        hashlib.md5(blob.hex().upper().encode("ascii")).hexdigest()[:15], 16
+    )
+
+
 def _fake_image_decoder(blob: bytes) -> np.ndarray:
-    """Deterministic stand-in for a JPEG/PNG decoder: seeded by content
-    hash, shaped 8x8x3 uint8."""
-    rng = np.random.default_rng(zlib.crc32(blob))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    """Deterministic stand-in for a JPEG/PNG decoder: 8x8x3 uint8 from a
+    content-seeded linear sequence.  The arithmetic is deliberately plain
+    (seed + (i+1)*knuth mod 256) so a SQL oracle can reproduce the fake
+    end-to-end and hash-compare the whole decode pipeline."""
+    seed = _blob_seed(blob)
+    i = np.arange(192, dtype=np.int64)
+    px = (seed + (i + 1) * 2654435761) % 256
+    return px.astype(np.uint8).reshape(8, 8, 3)
 
 
 def decode_images(df: DataFrame, key_col: str, blob_col: str,
@@ -141,7 +156,7 @@ def image_features(decoded: DataFrame) -> DataFrame:
 
 
 def _fake_audio_decoder(blob: bytes) -> np.ndarray:
-    rng = np.random.default_rng(zlib.crc32(blob) ^ 0xA0D10)
+    rng = np.random.default_rng(_blob_seed(blob) ^ 0xA0D10)
     return rng.standard_normal(1600).astype(np.float32)  # 0.1s @ 16kHz
 
 
@@ -161,11 +176,15 @@ def sample_frames(df: DataFrame, key_col: str, blob_col: str,
             )
 
         def frame_extractor(blob: bytes) -> list[bytes]:
-            rng = np.random.default_rng(zlib.crc32(blob) ^ 0xF4A3E5)
-            n_frames = int(rng.integers(20, 40))
+            # SQL-reproducible fake: n_frames = 20 + seed % 20 and plain
+            # arithmetic frame bytes, so the sampled-count pipeline is
+            # oracle-checkable despite the stubbed codec
+            seed = _blob_seed(blob)
+            n_frames = 20 + seed % 20
+            j = np.arange(64, dtype=np.int64)
             return [
-                rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
-                for _ in range(n_frames)
+                ((seed + fi * 8191 + j) % 256).astype(np.uint8).tobytes()
+                for fi in range(n_frames)
             ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
