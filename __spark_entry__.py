@@ -673,7 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["text_fingerprint"] = lambda s, d: P.fingerprint(
         _tbl(s, d, "documents"), "doc_id")
     Q["text_rolling_fingerprint"] = lambda s, d: P.rolling_fingerprints(
-        _tbl(s, d, "documents"), "doc_id")  # kernel hashing — no SQL oracle
+        _tbl(s, d, "documents"), "doc_id")
 
     return Q
 
@@ -1245,5 +1245,34 @@ SELECT doc_id,
        md5(array_to_string(list_filter(string_split_regex(text, '[^a-z0-9]+'),
                                        t -> t <> '' AND length(t) < 40), ' ')) AS fingerprint
 FROM documents"""
+    # Rabin-Karp rolling min-hash: token hash = byte-poly fold mod 2^31-1
+    # base 131; window (8 tokens; whole doc when shorter) hash = token-hash
+    # fold base 1000003; doc value = min window hash (pipeline.py
+    # _poly_hash_strings/_window_hashes — same folds, vectorized)
+    O["text_rolling_fingerprint"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                             t -> t <> '' AND length(t) < 40) AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(tk, t -> list_reduce(
+           list_prepend(0::BIGINT,
+                        list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+           (a, c) -> (a * 131 + c) % 2147483647)) AS hs
+  FROM toks
+),
+wins AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT, hs[i:i+7]),
+                     (a, x) -> (a * 1000003 + x) % 2147483647) AS wh
+  FROM th, unnest(range(1, greatest(len(hs) - 7, 1) + 1)) r(i)
+  WHERE len(hs) > 0
+)
+SELECT d.doc_id AS key, coalesce(m.mn, 0)::BIGINT AS min_rolling_hash
+FROM documents d
+LEFT JOIN (SELECT doc_id, min(wh) AS mn FROM wins GROUP BY doc_id) m
+  USING (doc_id)"""
 
     return O

@@ -7,13 +7,14 @@ functions where possible, Arrow-vectorized pandas UDFs where not, shuffles
 only on bounded keys (shingle hash, LSH band, bucket id) — never all-pairs.
 
 Scale notes per operator are inline.  Deterministic by construction: all
-hashing is seeded arithmetic (crc32 / splitmix64-style mixing), no
-Date.now / Math.random anywhere.
+hashing is seeded arithmetic (polynomial mod 2^31-1 + splitmix64-style
+mixing), no Date.now / Math.random anywhere.  The signature kernels are
+batch-vectorized: one Arrow buffer pass + np.add/minimum.reduceat per
+batch — never a per-doc (let alone per-token) Python loop.
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -126,10 +127,117 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup detection
+# vectorized hashing kernels (shared by minhash / simhash / rolling)
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_POLY_M = 2147483647  # 2^31 - 1: SQL-safe modulus (no int64 overflow)
+_POLY_B = 131         # byte base for token hashing
+_ROLL_B = 1000003     # token-hash base for window/shingle composition
+
+
+def _poly_powers(n: int, base: int) -> np.ndarray:
+    out = np.empty(max(n, 1), dtype=np.int64)
+    p = 1
+    for i in range(len(out)):
+        out[i] = p
+        p = (p * base) % _POLY_M
+    return out
+
+
+def _token_offsets(tok_lists) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch column of token arrays -> (flat object array,
+    int64 per-doc offsets of length n_docs+1)."""
+    n = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    if starts[-1] == 0:
+        return np.empty(0, dtype=object), starts
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+    )
+    return flat, starts
+
+
+def _poly_hash_strings(strings: np.ndarray) -> np.ndarray:
+    """h(s) = fold over UTF-8 bytes of (acc*131 + byte) mod (2^31-1),
+    vectorized across the whole batch: one Arrow string buffer, one
+    exponent-aligned multiply, one np.add.reduceat — no per-string Python.
+    SQL-reproducible (for the ASCII corpus) as
+    list_reduce(list_prepend(0, codes), (a,c) -> (a*131 + c) % 2147483647).
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    import pyarrow as pa
+
+    arr = pa.array(strings, type=pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32).astype(np.int64)[: n + 1]
+    total = int(offs[-1])
+    if total == 0:
+        return np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[:total].astype(np.int64)
+    lens = np.diff(offs)
+    # each byte's exponent = its distance from the END of its string
+    exp = np.repeat(offs[1:], lens) - 1 - np.arange(total)
+    powers = _poly_powers(int(lens.max()), _POLY_B)
+    contrib = (data * powers[exp]) % _POLY_M
+    # reduceat over nonempty strings only (their starts strictly increase,
+    # so segments are exact even around empty strings), scatter back
+    out = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    out[nz] = np.add.reduceat(contrib, offs[:-1][nz]) % _POLY_M
+    return out
+
+
+def _window_hashes(th: np.ndarray, starts: np.ndarray,
+                   window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc rolling window hashes over token hashes, fully vectorized.
+
+    For a doc with L tokens: hashes of all L-window+1 windows (one
+    whole-doc window when 0 < L < window; none when L == 0), each
+    h = fold over the window of (acc*_ROLL_B + token_hash) mod (2^31-1)
+    — the Rabin-Karp composition, identical to the SQL
+    list_reduce(list_prepend(0, hs[i:i+w-1]), (a,x)->(a*1000003+x)%M).
+    Returns (flat window hashes, per-doc window offsets)."""
+    n_docs = len(starts) - 1
+    lens = np.diff(starts)
+    total = int(starts[-1])
+    wcounts = np.where(lens == 0, 0, np.maximum(lens - window + 1, 1))
+    woffs = np.concatenate(([0], np.cumsum(wcounts)))
+    out = np.empty(int(woffs[-1]), dtype=np.int64)
+    if len(out) == 0:
+        return out, woffs
+    powers = _poly_powers(window, _ROLL_B)
+
+    full = lens >= window
+    if full.any() and total >= window:
+        acc = np.zeros(total - window + 1, dtype=np.int64)
+        for j in range(window):
+            acc += (th[j: total - window + 1 + j] * powers[window - 1 - j]) % _POLY_M
+        acc %= _POLY_M
+        fc = wcounts[full]
+        rep = np.repeat(np.arange(len(fc)), fc)
+        intra = np.arange(int(fc.sum())) - np.repeat(np.cumsum(fc) - fc, fc)
+        src = np.repeat(starts[:-1][full], fc) + intra
+        dest = np.repeat(woffs[:-1][full], fc) + intra
+        out[dest] = acc[src]
+
+    short = (lens > 0) & (lens < window)
+    if short.any():
+        # one whole-doc window: segmented poly with from-end exponents
+        sl = lens[short]
+        s_starts = starts[:-1][short]
+        tot_s = int(sl.sum())
+        idx = np.repeat(s_starts, sl) + (
+            np.arange(tot_s) - np.repeat(np.cumsum(sl) - sl, sl)
+        )
+        exp = np.repeat(np.cumsum(sl), sl) - 1 - np.arange(tot_s)
+        contrib = (th[idx] * powers[exp]) % _POLY_M
+        seg_starts = np.concatenate(([0], np.cumsum(sl)[:-1]))
+        vals = np.add.reduceat(contrib, seg_starts) % _POLY_M
+        out[woffs[:-1][short]] = vals
+    return out, woffs
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -139,22 +247,17 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    if len(tokens) < n:
-        shingles = {" ".join(tokens)} if tokens else set()
-    else:
-        shingles = {" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in shingles),
-        dtype=np.uint64, count=len(shingles),
-    )
-
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup detection
+# ---------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
                        num_perm: int = 64, n: int = 3,
                        seed: int = 42) -> DataFrame:
-    """(key, sig array<long>) MinHash signatures — one Arrow batch at a
-    time, numpy (num_perm x n_shingles) min-reduce per doc.
+    """(key, sig array<long>) MinHash signatures, batch-vectorized: token
+    poly-hash over one Arrow buffer -> composed n-token shingle hashes
+    (_window_hashes) -> per-doc distinct -> (a*h+b) min-reduce per doc via
+    np.minimum.reduceat.  No per-doc Python loop anywhere.
 
     Scale: embarrassingly parallel map; signature is num_perm*8 bytes per
     doc regardless of text size — the shuffle payload reducer that makes
@@ -164,17 +267,41 @@ def minhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            keys = pdf[key_col].tolist()
-            sigs = []
-            for toks in pdf["_toks"]:
-                h = _shingle_hashes(list(toks), n)
-                if len(h) == 0:
-                    sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64).tolist())
-                    continue
-                # (a*h + b) mod p, min over shingles, vectorized
-                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"key": keys, "sig": sigs})
+            n_docs = len(pdf)
+            flat, starts = _token_offsets(pdf["_toks"])
+            th = _poly_hash_strings(flat)
+            wh, woffs = _window_hashes(th, starts, n)
+            # distinct shingle hashes per doc: sort within doc segments,
+            # drop consecutive duplicates (vectorized unique-per-segment)
+            wlens = np.diff(woffs)
+            doc_of = np.repeat(np.arange(n_docs), wlens)
+            order = np.lexsort((wh, doc_of))
+            whs, ds = wh[order], doc_of[order]
+            keep = np.ones(len(whs), dtype=bool)
+            if len(whs) > 1:
+                keep[1:] = (whs[1:] != whs[:-1]) | (ds[1:] != ds[:-1])
+            whs, ds = whs[keep], ds[keep]
+            ulens = np.bincount(ds, minlength=n_docs)
+            ustarts = np.concatenate(([0], np.cumsum(ulens)))[:-1]
+            sig_mat = np.full((n_docs, num_perm), _MERSENNE, dtype=np.int64)
+            nz = ulens > 0
+            if len(whs):
+                h = whs.astype(np.uint64)
+                # reduceat over nonempty docs only: their starts are
+                # strictly increasing, so segments are exact
+                starts_nz = ustarts[nz]
+                # permutations in chunks to bound the (chunk x shingles)
+                # intermediate at a few MB per batch
+                for lo in range(0, num_perm, 16):
+                    hi = min(lo + 16, num_perm)
+                    vals = (a[lo:hi, None] * h[None, :] + b[lo:hi, None]) % _MERSENNE
+                    mins = np.minimum.reduceat(vals, starts_nz, axis=1)
+                    sig_mat[np.flatnonzero(nz)[:, None], np.arange(lo, hi)[None, :]] = (
+                        mins.T.astype(np.int64)
+                    )
+            yield pd.DataFrame(
+                {"key": pdf[key_col].tolist(), "sig": list(sig_mat.tolist())}
+            )
 
     prepped = df.select(
         F.col(key_col).alias(key_col), tokens_col(text_col).alias("_toks")
@@ -248,35 +375,38 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
 
 def simhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
                        bits: int = 64) -> DataFrame:
-    """64-bit SimHash over token crc32 hashes — vectorized sign-sum of
-    hash bit columns per doc."""
+    """64-bit SimHash — batch-vectorized: one poly-hash pass over the
+    flattened token buffer, splitmix64-style widening, then per-doc bit
+    sign-sums via np.add.reduceat.  No per-doc Python loop."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights_shift = np.arange(bits, dtype=np.uint64)
+        shifts = np.arange(bits, dtype=np.uint64)
         for pdf in it:
-            out = []
-            for toks in pdf["_toks"]:
-                toks = list(toks)
-                if not toks:
-                    out.append(0)
-                    continue
-                h32 = np.fromiter(
-                    (zlib.crc32(t.encode("utf-8")) for t in toks),
-                    dtype=np.uint64, count=len(toks),
-                )
-                # widen to 64 bits with a splitmix64-style mix (deterministic)
-                h = (h32 * np.uint64(0x9E3779B97F4A7C15))
+            n_docs = len(pdf)
+            flat, starts = _token_offsets(pdf["_toks"])
+            lens = np.diff(starts)
+            sig_out = np.zeros(n_docs, dtype=np.int64)
+            if len(flat):
+                # widen the 31-bit poly hash to 64 bits (deterministic mix)
+                h = _poly_hash_strings(flat).astype(np.uint64)
+                h *= np.uint64(0x9E3779B97F4A7C15)
                 h ^= h >> np.uint64(31)
                 h *= np.uint64(0xBF58476D1CE4E5B9)
                 h ^= h >> np.uint64(27)
-                bitmat = (h[:, None] >> weights_shift[None, :]) & np.uint64(1)
-                score = bitmat.astype(np.int64).sum(axis=0) * 2 - len(toks)
-                sig = np.uint64(0)
-                for i in range(bits):
-                    if score[i] > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
-                out.append(int(np.int64(sig)))  # store as signed i64
-            yield pd.DataFrame({"key": pdf[key_col].tolist(), "sig": out})
+                nz = lens > 0
+                starts_nz = starts[:-1][nz]
+                counts = np.zeros((int(nz.sum()), bits), dtype=np.int64)
+                for lo in range(0, bits, 16):  # bound the bit matrix
+                    hi = min(lo + 16, bits)
+                    bitmat = (
+                        (h[:, None] >> shifts[None, lo:hi]) & np.uint64(1)
+                    ).astype(np.int64)
+                    counts[:, lo:hi] = np.add.reduceat(bitmat, starts_nz, axis=0)
+                score = counts * 2 - lens[nz][:, None]
+                sig_bits = (score > 0).astype(np.uint64)
+                sigs = (sig_bits << shifts[None, :]).sum(axis=1)
+                sig_out[nz] = sigs.view(np.int64)  # two's-complement reinterp
+            yield pd.DataFrame({"key": pdf[key_col].tolist(), "sig": sig_out})
 
     prepped = df.select(F.col(key_col), tokens_col(text_col).alias("_toks"))
     ktype = dict(df.dtypes)[key_col]
@@ -562,30 +692,28 @@ def rolling_fingerprints(df: DataFrame, key_col: str, text_col: str = "text",
                          window: int = 8) -> DataFrame:
     """Rabin-Karp rolling hashes of token windows — the winnowing primitive
     for partial-overlap detection.  (key, min rolling hash) per doc; the
-    min-hash of windows is a cheap containment sketch."""
-    base = 1099511628211
-    mask = (1 << 64) - 1
+    min-hash of windows is a cheap containment sketch.
+
+    Batch-vectorized (_poly_hash_strings + _window_hashes + one
+    np.minimum.reduceat) and SQL-reproducible: token hash = byte poly
+    mod 2^31-1 base 131; window hash = token-hash fold base 1000003 —
+    both expressible as DuckDB list_reduce folds, so this entry is
+    oracle-checked despite being a 'kernel hashing' op."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            mins = []
-            for toks in pdf["_toks"]:
-                toks = list(toks)
-                if len(toks) < window:
-                    window_toks = [toks] if toks else []
-                else:
-                    window_toks = [toks[i:i + window] for i in range(len(toks) - window + 1)]
-                if not window_toks:
-                    mins.append(0)
-                    continue
-                hs = []
-                for wt in window_toks:
-                    h = 14695981039346656037
-                    for t in wt:
-                        h = ((h * base) & mask) ^ zlib.crc32(t.encode("utf-8"))
-                    hs.append(h - (1 << 64) if h >= (1 << 63) else h)  # as i64
-                mins.append(min(hs))
-            yield pd.DataFrame({"key": pdf[key_col].tolist(), "min_rolling_hash": mins})
+            n_docs = len(pdf)
+            flat, starts = _token_offsets(pdf["_toks"])
+            th = _poly_hash_strings(flat)
+            wh, woffs = _window_hashes(th, starts, window)
+            wlens = np.diff(woffs)
+            mins = np.zeros(n_docs, dtype=np.int64)
+            nz = wlens > 0
+            if len(wh) and nz.any():
+                mins[nz] = np.minimum.reduceat(wh, woffs[:-1][nz])
+            yield pd.DataFrame(
+                {"key": pdf[key_col].tolist(), "min_rolling_hash": mins}
+            )
 
     prepped = df.select(F.col(key_col), tokens_col(text_col).alias("_toks"))
     ktype = dict(df.dtypes)[key_col]

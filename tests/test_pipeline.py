@@ -229,3 +229,111 @@ def test_submit_job_driver_inprocess(spark, tmp_root, capsys):
     assert out["cmd"] == "query"
     assert len(out["hits"]) == 3
     assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
+
+
+# --------------------------------------------------------------------------
+# vectorized hashing kernels: batch implementation vs scalar reference
+# --------------------------------------------------------------------------
+
+def _scalar_poly(s: str) -> int:
+    h = 0
+    for by in s.encode("utf-8"):
+        h = (h * 131 + by) % 2147483647
+    return h
+
+
+def _scalar_windows(tokens: list[str], window: int) -> list[int]:
+    th = [_scalar_poly(t) for t in tokens]
+    if not th:
+        return []
+    wins = [th] if len(th) < window else [
+        th[i:i + window] for i in range(len(th) - window + 1)
+    ]
+    out = []
+    for w in wins:
+        h = 0
+        for x in w:
+            h = (h * 1000003 + x) % 2147483647
+        out.append(h)
+    return out
+
+
+def test_poly_hash_batch_matches_scalar():
+    import numpy as np
+
+    from tantivy_spark.operators.pipeline import _poly_hash_strings
+
+    rng = __import__("random").Random(7)
+    strs = ["", "a", "z9", "hello world"] + [
+        "".join(rng.choice("abc012") for _ in range(rng.randint(0, 30)))
+        for _ in range(500)
+    ] + [""]  # trailing empty exercises the reduceat clip
+    got = _poly_hash_strings(np.array(strs, dtype=object))
+    want = [_scalar_poly(s) for s in strs]
+    assert got.tolist() == want
+
+
+def test_window_hashes_batch_matches_scalar():
+    import numpy as np
+
+    from tantivy_spark.operators.pipeline import (
+        _poly_hash_strings,
+        _token_offsets,
+        _window_hashes,
+    )
+
+    rng = __import__("random").Random(11)
+    docs = [
+        ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+         for _ in range(rng.randint(0, 20))]
+        for _ in range(200)
+    ]
+    docs[0] = []          # leading empty doc
+    docs[5] = []          # interior empty doc
+    docs[-1] = []         # trailing empty doc
+    for window in (3, 8):
+        flat, starts = _token_offsets(pd.Series(docs))
+        th = _poly_hash_strings(flat)
+        wh, woffs = _window_hashes(th, starts, window)
+        for di, toks in enumerate(docs):
+            got = wh[woffs[di]:woffs[di + 1]].tolist()
+            assert got == _scalar_windows(toks, window), (di, window)
+
+
+def test_rolling_fingerprint_matches_scalar(spark):
+    from tantivy_spark.operators.pipeline import rolling_fingerprints
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "one two three four five six seven eight nine ten",
+            "short doc",
+            "",
+            "one two three four five six seven eight nine ten",  # dup of 0
+        ],
+    })
+    out = {r["key"]: r["min_rolling_hash"] for r in
+           rolling_fingerprints(spark.createDataFrame(pdf), "doc_id").collect()}
+    toks0 = pdf["text"][0].split()
+    assert out[0] == min(_scalar_windows(toks0, 8))
+    assert out[1] == min(_scalar_windows(["short", "doc"], 8))
+    assert out[2] == 0
+    assert out[3] == out[0]
+
+
+def test_simhash_batch_properties(spark):
+    """Identical docs -> identical sigs; near-identical docs -> small
+    hamming; empty doc -> 0 (batch path with mixed doc shapes)."""
+    from tantivy_spark.operators.pipeline import simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, base, base + " extra token", ""],
+    })
+    sigs = {r["key"]: r["sig"] for r in
+            simhash_signatures(spark.createDataFrame(pdf), "doc_id").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[3] == 0
+    ham = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 12
