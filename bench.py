@@ -57,6 +57,55 @@ def _fresh_spark(cores: int, app: str, shuffle_partitions: int | None = None):
     return s
 
 
+def _hw_envelope() -> dict:
+    """Spark-independent hardware scaling probe: aggregate memcpy
+    bandwidth and pure-CPU (L1-resident) throughput at 2 vs 8 worker
+    processes.  On this box memory bandwidth itself scales ~0.64 from
+    2 -> 8 workers while pure CPU scales ~1.0 — the envelope any
+    memory-touching job's 2 -> 8 thread efficiency lives inside (see
+    BENCH.md).  ~15 s total."""
+    import multiprocessing as mp
+
+    def mem_worker(q, seconds=2.0):
+        import time as _t
+
+        import numpy as _np
+
+        a = _np.zeros(64 * 1024 * 1024, dtype=_np.uint8)
+        b = _np.empty_like(a)
+        n, t0 = 0, _t.time()
+        while _t.time() - t0 < seconds:
+            _np.copyto(b, a)
+            n += 1
+        q.put(n * a.nbytes * 2 / (_t.time() - t0) / 1e9)
+
+    def cpu_worker(q, seconds=2.0):
+        import time as _t
+
+        x, n, t0 = 1, 0, _t.time()
+        while _t.time() - t0 < seconds:
+            for _ in range(100000):
+                x = (x * 1103515245 + 12345) % 2147483647
+            n += 100000
+        q.put(n / (_t.time() - t0) / 1e6)
+
+    def run(fn, nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=fn, args=(q,)) for _ in range(nproc)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return sum(q.get() for _ in ps)
+
+    mem2, mem8 = run(mem_worker, 2), run(mem_worker, 8)
+    cpu2, cpu8 = run(cpu_worker, 2), run(cpu_worker, 8)
+    return {
+        "membw_gbps_2w": round(mem2, 1),
+        "membw_gbps_8w": round(mem8, 1),
+        "membw_eff_2_to_8": round((mem8 / mem2) / 4, 3),
+        "cpu_eff_2_to_8": round((cpu8 / cpu2) / 4, 3),
+    }
+
+
 def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> dict:
     """Generate transcripts + build the full index at `cores` parallelism.
 
@@ -175,6 +224,9 @@ def main() -> None:
             "low": {k: v for k, v in r_low.items() if k != "index_dir"},
             "high": {k: v for k, v in r_high_s.items() if k != "index_dir"},
             "efficiency_low_to_high": round(eff, 3),
+            # the box's own scaling ceiling, measured Spark-free: any job
+            # that streams memory lives under membw_eff (BENCH.md)
+            "hardware_envelope": _hw_envelope(),
             "method": (
                 f"best-of-{len(runs_low)} per level (host noise isolation; "
                 "noise is one-sided slow, so per-leg max throughput "

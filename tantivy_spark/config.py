@@ -41,6 +41,13 @@ class IndexConfig:
     #: in the manifest, so scoped-term BM25 uses the field's avgdl exactly
     #: like the reference's per-field statistics (bm25.rs:33-51).
     extra_fields: tuple[str, ...] = ()
+    #: stage-2 dataflow: "salted" shuffles partial-aggregated (term, doc)
+    #: rows by (segment, term-shard) — fine-grained tasks, best wall-clock
+    #: at high parallelism; "local" encodes each whole segment in one task
+    #: (the reference's per-thread SegmentWriter shape) — no per-token
+    #: shuffle, least memory traffic, best scaling efficiency.  Segment
+    #: count must give enough tasks to fill the cluster in "local" mode.
+    postings_mode: str = "salted"
     k1: float = 1.2
     b: float = 0.75
 

@@ -68,37 +68,44 @@ def _needed_width(vals: np.ndarray) -> int:
 # LEB128 varint (tail blocks)
 # --------------------------------------------------------------------------
 
+def _vint_bytes(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 for an array of values at once -> (uint8 byte stream,
+    per-value byte counts).  Values must be < 2^53 (true of all doc
+    deltas / tfs / positions here) so the float64 exponent gives the
+    exact bit length."""
+    v = np.asarray(v, dtype=np.int64).astype(np.uint64)
+    bl = np.frexp(np.maximum(v, 1).astype(np.float64))[1]  # == bit_length
+    nb = (bl + 6) // 7
+    offs = np.cumsum(nb) - nb
+    total = int(offs[-1] + nb[-1]) if len(v) else 0
+    val_idx = np.repeat(np.arange(len(v)), nb)
+    j = (np.arange(total) - np.repeat(offs, nb)).astype(np.uint64)
+    b = ((v[val_idx] >> (np.uint64(7) * j)) & np.uint64(0x7F)).astype(np.uint8)
+    b[j < (nb[val_idx] - 1).astype(np.uint64)] |= 0x80
+    return b, nb
+
+
 def vint_encode(vals: np.ndarray) -> bytes:
-    out = bytearray()
-    for v in vals.tolist():
-        v = int(v)
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    vals = np.asarray(vals)
+    if len(vals) == 0:
+        return b""
+    return _vint_bytes(vals)[0].tobytes()
 
 
 def vint_decode(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, int]:
-    out = np.empty(n, dtype=np.uint64)
-    pos = 0
-    mv = memoryview(buf)
-    for i in range(n):
-        shift = 0
-        acc = 0
-        while True:
-            b = mv[pos]
-            pos += 1
-            acc |= (b & 0x7F) << shift
-            if not b & 0x80:
-                break
-            shift += 7
-        out[i] = acc
-    return out, pos
+    """Decode `n` LEB128 values — vectorized: find the first n terminal
+    bytes (high bit clear), then one shift-and-reduceat pass."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    raw = np.frombuffer(buf, dtype=np.uint8, count=min(len(buf), n * 10))
+    term = np.flatnonzero((raw & 0x80) == 0)[:n]
+    pos = int(term[n - 1]) + 1
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = term[:-1] + 1
+    shifts = (np.arange(pos) - np.repeat(starts, term - starts + 1)).astype(np.uint64)
+    contrib = (raw[:pos] & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * shifts)
+    return np.add.reduceat(contrib, starts), pos
 
 
 # --------------------------------------------------------------------------
@@ -174,25 +181,61 @@ def encode_postings(
     }
 
 
+def encode_positions_flat(
+    flat_positions: np.ndarray, tfs: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Positions stream for MANY postings at once (the reference's
+    positions file shape, /root/reference/src/positions/mod.rs:8-26 —
+    per-posting delta LEB128; we use the vint form uniformly).
+
+    `flat_positions` holds each posting's positions consecutively;
+    `tfs[i]` is posting i's count.  One segmented sort, one delta pass,
+    one vectorized vint encode — no per-posting Python.  Returns
+    (byte stream, int64 per-posting byte offsets)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n_post = len(tfs)
+    if n_post == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    if (tfs <= 0).any():
+        # empty postings (not produced by the build, but keep the codec
+        # total): encode the nonempty ones, point empties at the next start
+        nz = tfs > 0
+        enc, offs_nz = encode_positions_flat(
+            flat_positions, tfs[nz]
+        ) if nz.any() else (b"", np.empty(0, dtype=np.int64))
+        offs_with_end = np.append(offs_nz, len(enc))
+        return enc, offs_with_end[np.cumsum(nz) - nz]
+    starts = np.cumsum(tfs) - tfs
+    p = np.asarray(flat_positions, dtype=np.int64)
+    pidx = np.repeat(np.arange(n_post), tfs)
+    order = np.lexsort((p, pidx))
+    ps = p[order]
+    d = np.empty_like(ps)
+    d[0] = ps[0]
+    d[1:] = ps[1:] - ps[:-1]
+    first = starts  # tf >= 1 for every posting, so starts strictly increase
+    d[first] = ps[first]
+    b, nb = _vint_bytes(d)
+    post_bytes = np.add.reduceat(nb, first)
+    offs = np.cumsum(post_bytes) - post_bytes
+    return b.tobytes(), offs
+
+
 def encode_positions(positions_per_posting: list) -> tuple[bytes, np.ndarray]:
-    """Positions stream for one term: per posting, delta-encoded LEB128
-    varints of the sorted in-doc positions (the reference's positions file
-    shape, /root/reference/src/positions/mod.rs:8-26 — delta blocks; we use
-    the vint form uniformly).  Returns (pos_enc, pos_off int32[n]) where
-    posting i's positions start at byte pos_off[i]; the count equals tf_i.
-    """
-    parts: list[bytes] = []
-    offs = np.empty(len(positions_per_posting), dtype=np.int32)
-    off = 0
-    for i, ps in enumerate(positions_per_posting):
-        offs[i] = off
-        arr = np.sort(np.asarray(ps, dtype=np.int64))
-        deltas = np.diff(arr, prepend=0)
-        deltas[0] = arr[0] if len(arr) else 0
-        b = vint_encode(deltas)
-        parts.append(b)
-        off += len(b)
-    return b"".join(parts), offs
+    """Single-term convenience wrapper over `encode_positions_flat`."""
+    tfs = np.fromiter(
+        (len(p) for p in positions_per_posting), dtype=np.int64,
+        count=len(positions_per_posting),
+    )
+    if len(tfs) == 0:
+        return b"", np.empty(0, dtype=np.int32)
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64)
+                        for p in positions_per_posting if len(p)])
+        if tfs.sum() else np.empty(0, dtype=np.int64)
+    )
+    enc, offs = encode_positions_flat(flat, tfs)
+    return enc, offs.astype(np.int32)
 
 
 def decode_positions(

@@ -221,50 +221,128 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
 # stage 2: postings (explode -> tf agg -> block encode, skew-sharded)
 # --------------------------------------------------------------------------
 
+def _encode_runs(seg: int, term_of_run: np.ndarray, uniq_terms,
+                 doc_of_run: np.ndarray, tfs_all: np.ndarray,
+                 fn_of_run: np.ndarray, pos_flat: np.ndarray | None,
+                 n_term_buckets: int, positions: bool) -> pd.DataFrame:
+    """Encode term-sorted (term, doc) runs into posting rows — the shared
+    core of both encode paths (token-stream and pre-aggregated).
+
+    `term_of_run` must be rank-coded and sorted (runs grouped per term,
+    docs ascending within a term); `pos_flat` holds each run's positions
+    consecutively in run order (lengths = tfs_all).  Positions encode is
+    ONE cross-term vectorized pass (blocks.encode_positions_flat); rows
+    are assembled column-wise (no per-row dicts)."""
+    import zlib
+
+    term_boundary = np.flatnonzero(
+        np.diff(term_of_run, prepend=term_of_run[0] - 1)
+    )
+    term_ends = np.append(term_boundary[1:], len(term_of_run))
+    if positions:
+        pos_all_enc, pos_all_off = blocks.encode_positions_flat(
+            pos_flat, tfs_all
+        )
+
+    n_terms = len(term_boundary)
+    c_term: list[str] = []
+    c_doc_freq = np.empty(n_terms, dtype=np.int64)
+    c_sum_tf = np.empty(n_terms, dtype=np.int64)
+    c_max_tf = np.empty(n_terms, dtype=np.int64)
+    c_doc_enc: list[bytes] = []
+    c_tf_enc: list[bytes] = []
+    c_fn_enc: list[bytes] = []
+    c_bl: list[list] = []
+    c_bdo: list[list] = []
+    c_bto: list[list] = []
+    c_bmn: list[list] = []
+    c_bmt: list[list] = []
+    c_pe: list[bytes | None] = []
+    c_po: list[list | None] = []
+    c_tb = np.empty(n_terms, dtype=np.int64)
+
+    for ti, (lo, hi) in enumerate(zip(term_boundary, term_ends)):
+        term = str(uniq_terms[term_of_run[lo]])
+        tfs = tfs_all[lo:hi]
+        e = blocks.encode_postings(
+            doc_of_run[lo:hi], tfs, fn_of_run[lo:hi].astype(np.uint8)
+        )
+        c_term.append(term)
+        c_doc_freq[ti] = e["doc_freq"]
+        c_sum_tf[ti] = tfs.sum()
+        c_max_tf[ti] = tfs.max()
+        c_doc_enc.append(e["doc_enc"])
+        c_tf_enc.append(e["tf_enc"])
+        c_fn_enc.append(e["fnorm_enc"])
+        c_bl.append(e["block_last"].tolist())
+        c_bdo.append(e["block_doc_off"].tolist())
+        c_bto.append(e["block_tf_off"].tolist())
+        c_bmn.append(e["bm_norm_id"].tolist())
+        c_bmt.append(e["bm_tf"].tolist())
+        if positions:
+            bstart = int(pos_all_off[lo])
+            bend = (
+                int(pos_all_off[hi]) if hi < len(pos_all_off)
+                else len(pos_all_enc)
+            )
+            c_pe.append(pos_all_enc[bstart:bend])
+            c_po.append((pos_all_off[lo:hi] - bstart).astype(np.int32).tolist())
+        else:
+            c_pe.append(None)
+            c_po.append(None)
+        c_tb[ti] = zlib.crc32(term.encode("utf-8")) % n_term_buckets
+
+    return pd.DataFrame(
+        {
+            "term": c_term,
+            "segment_ord": np.full(n_terms, seg, dtype=np.int64),
+            "doc_freq": c_doc_freq,
+            "sum_tf": c_sum_tf,
+            "max_tf": c_max_tf,
+            "doc_enc": c_doc_enc,
+            "tf_enc": c_tf_enc,
+            "fnorm_enc": c_fn_enc,
+            "block_last": c_bl,
+            "block_doc_off": c_bdo,
+            "block_tf_off": c_bto,
+            "bm_norm_id": c_bmn,
+            "bm_tf": c_bmt,
+            "pos_enc": c_pe,
+            "pos_off": c_po,
+            "tbucket": c_tb,
+        },
+        columns=[f.name for f in POSTINGS_SCHEMA.fields],
+    )
+
+
 def _encode_group(pdf: pd.DataFrame, n_term_buckets: int,
                   positions: bool = False) -> pd.DataFrame:
     """Block-encode every term of one (segment_ord, shard) group.
 
-    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf[, positions]).
-    The pandas groupby below is the in-memory 'arena' analogue
-    (indexing_context.rs) — Spark's shuffle already grouped a bounded slice
-    of one segment here.
-    """
-    import zlib
-
-    pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf[, positions])
+    — already one row per (term, doc) run (Catalyst did the partial agg),
+    so this rank-codes terms, lexsorts (term, doc), and hands the runs to
+    the shared vectorized encoder.  No pandas groupby / per-term dict rows
+    (the round-1 shape) — the only remaining Python loop is the per-term
+    block encode itself."""
     seg = int(pdf["segment_ord"].iloc[0])
-    out_rows = []
-    for term, g in pdf.groupby("term", sort=False):
-        doc_ids = g["doc_id"].to_numpy(np.int64)
-        tfs = g["tf"].to_numpy(np.int64)
-        fns = g["fieldnorm_id"].to_numpy(np.int64).astype(np.uint8)
-        e = blocks.encode_postings(doc_ids, tfs, fns)
-        if positions:
-            pos_enc, pos_off = blocks.encode_positions(list(g["positions"]))
-        else:
-            pos_enc, pos_off = None, None
-        out_rows.append(
-            {
-                "term": term,
-                "segment_ord": seg,
-                "doc_freq": int(e["doc_freq"]),
-                "sum_tf": int(tfs.sum()),
-                "max_tf": int(tfs.max()),
-                "doc_enc": e["doc_enc"],
-                "tf_enc": e["tf_enc"],
-                "fnorm_enc": e["fnorm_enc"],
-                "block_last": e["block_last"].tolist(),
-                "block_doc_off": e["block_doc_off"].tolist(),
-                "block_tf_off": e["block_tf_off"].tolist(),
-                "bm_norm_id": e["bm_norm_id"].tolist(),
-                "bm_tf": e["bm_tf"].tolist(),
-                "pos_enc": pos_enc,
-                "pos_off": pos_off.tolist() if pos_off is not None else None,
-                "tbucket": zlib.crc32(term.encode("utf-8")) % n_term_buckets,
-            }
+    codes, uniq = pd.factorize(pdf["term"], sort=True)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((doc_ids, codes))
+    c_s = codes[order]
+    d_s = doc_ids[order]
+    tfs = pdf["tf"].to_numpy(np.int64)[order]
+    fns = pdf["fieldnorm_id"].to_numpy(np.int64)[order]
+    pos_flat = None
+    if positions:
+        pos_series = pdf["positions"].to_numpy(dtype=object)[order]
+        pos_flat = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_series])
+            if len(pos_series)
+            else np.empty(0, dtype=np.int64)
         )
-    return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    return _encode_runs(seg, c_s, uniq, d_s, tfs, fns, pos_flat,
+                        n_term_buckets, positions)
 
 
 def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
@@ -277,8 +355,6 @@ def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
     stream, factorize terms, lexsort (term, doc), run-length-encode the
     (term, doc) runs into tfs, then block-encode each term's list.
     """
-    import zlib
-
     pdf = pdf.sort_values("doc_id", kind="stable")
     seg = int(pdf["segment_ord"].iloc[0])
     counts = pdf["terms"].map(len).to_numpy(np.int64)
@@ -382,8 +458,6 @@ def _encode_token_stream(seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
     """Run-length + block encoding of one segment's rank-coded token
     stream (shared by the pandas and Arrow paths).  `codes` must be
     rank-coded: ascending code == lexicographic term order."""
-    import zlib
-
     order = np.lexsort((doc_rep, codes))  # stable: positions stay in doc order
     c_s, d_s, f_s = codes[order], doc_rep[order], fn_rep[order]
     if positions:
@@ -400,49 +474,13 @@ def _encode_token_stream(seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
     doc_of_run = d_s[run_starts]
     fn_of_run = f_s[run_starts]
 
-    # per-term slices over the run arrays (runs are term-sorted)
-    term_boundary = np.flatnonzero(
-        np.diff(term_of_run, prepend=term_of_run[0] - 1)
-    )
-    term_ends = np.append(term_boundary[1:], len(term_of_run))
-
-    out_rows = []
-    for ti, (lo, hi) in enumerate(zip(term_boundary, term_ends)):
-        term = str(uniq_terms[term_of_run[lo]])
-        doc_ids = doc_of_run[lo:hi]
-        tfs = tfs_all[lo:hi]
-        fns = fn_of_run[lo:hi].astype(np.uint8)
-        e = blocks.encode_postings(doc_ids, tfs, fns)
-        if positions:
-            pstart = run_starts[lo]
-            pos_lists = np.split(
-                p_s[pstart: pstart + int(tfs.sum())],
-                np.cumsum(tfs)[:-1],
-            )
-            pos_enc, pos_off = blocks.encode_positions(pos_lists)
-        else:
-            pos_enc, pos_off = None, None
-        out_rows.append(
-            {
-                "term": term,
-                "segment_ord": seg,
-                "doc_freq": int(e["doc_freq"]),
-                "sum_tf": int(tfs.sum()),
-                "max_tf": int(tfs.max()),
-                "doc_enc": e["doc_enc"],
-                "tf_enc": e["tf_enc"],
-                "fnorm_enc": e["fnorm_enc"],
-                "block_last": e["block_last"].tolist(),
-                "block_doc_off": e["block_doc_off"].tolist(),
-                "block_tf_off": e["block_tf_off"].tolist(),
-                "bm_norm_id": e["bm_norm_id"].tolist(),
-                "bm_tf": e["bm_tf"].tolist(),
-                "pos_enc": pos_enc,
-                "pos_off": pos_off.tolist() if pos_off is not None else None,
-                "tbucket": zlib.crc32(term.encode("utf-8")) % n_term_buckets,
-            }
-        )
-    return pd.DataFrame(out_rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    # per-(term, doc) runs in term-sorted order: each run's positions are
+    # the p_s slice starting at its run_start (lengths = tfs) — exactly
+    # the _encode_runs contract; positions encode happens there in ONE
+    # cross-term vectorized pass
+    pos_flat = p_s if positions else None
+    return _encode_runs(seg, term_of_run, uniq_terms, doc_of_run, tfs_all,
+                        fn_of_run, pos_flat, n_term_buckets, positions)
 
 
 def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -637,10 +675,13 @@ def build_index(
         # (segment, term-shard) tasks keep every core busy and bound any
         # hot term's postings by the segment size (segments are the salt).
         # The segment-local variant (build_postings_local) encodes whole
-        # segments in one task each — fewer/larger tasks, measured slower
-        # at high parallelism (stragglers), so it serves the incremental
-        # streaming path where batches are small.
-        postings = build_postings(docmap_df, cfg)
+        # segments in one task each (no per-token shuffle — least memory
+        # traffic); pick it via cfg.postings_mode="local" when segment
+        # count >> cores (it also serves the incremental streaming path).
+        if cfg.postings_mode == "local":
+            postings = build_postings_local(docmap_df, cfg)
+        else:
+            postings = build_postings(docmap_df, cfg)
         # hash-partition the write on (tbucket, term) — NOT
         # repartitionByRange, whose sampling pass would re-run the whole
         # encode pipeline.  Files stay term-sorted within each task, so
