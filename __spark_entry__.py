@@ -446,6 +446,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["coll_histogram_nchars"] = _coll_histogram
 
+    def _coll_sort_key(s, d):
+        # TopDocs sort-key framework (order_by SortKeyComputer analogue)
+        # + plan-side offset: page 2 of 'dup' docs ordered by a computed
+        # key.  The key includes ext_id so ordering is unique (ties would
+        # otherwise fall to the engine-internal DocAddress, which SQL
+        # cannot express).
+        sr = _searcher(s, d)
+        out = C.top_docs(
+            sr, L.TermQuery("dup"), limit=20, offset=5,
+            order_by=F.col("n_chars") * 100000 + F.col("ext_id"),
+            fast_fields=["ext_id", "n_chars"],
+        )
+        return out.select(F.col("ext_id").alias("doc_id"), "n_chars")
+
+    Q["coll_sort_key_page"] = _coll_sort_key
+
     # ---- multimodal binary columns ---------------------------------------
     def _media(s, d):
         docs = _tbl(s, d, "documents")
@@ -605,6 +621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["agg_cardinality_hll"] = _hll_bounds
+    # shard_size protocol + doc_count_error_upper_bound (bucket/term_agg/):
+    # each shard (user_id % 4) keeps its top-2 buckets before the merge;
+    # the error bound per key = sum over non-contributing shards of that
+    # shard's smallest kept count
+    Q["agg_terms_shard_error"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events").withColumn("shard", F.col("user_id") % 4),
+        {"terms": {"field": "event_type", "size": 3, "shard_size": 2,
+                   "shard_col": "shard", "show_doc_count_error": True}},
+    )
     Q["agg_top_hits"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"top_hits": {"group_field": "event_type", "size": 3,
@@ -1021,6 +1046,15 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'table')
   AND floor(d.n_chars / 50.0) >= 0 AND floor(d.n_chars / 50.0) < 10
 GROUP BY 1 ORDER BY 1"""
     )
+    O["coll_sort_key_page"] = (
+        _BM25_PRELUDE
+        + """
+SELECT doc_id, n_chars FROM (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+  ORDER BY d.n_chars * 100000 + d.doc_id DESC
+  LIMIT 20 OFFSET 5)"""
+    )
 
     # ---- multimodal ------------------------------------------------------
     O["mm_media_metadata"] = """
@@ -1126,6 +1160,25 @@ ORDER BY percent"""
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        count(DISTINCT user_id)::BIGINT AS users_exact, TRUE AS within_rsd
 FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_terms_shard_error"] = """
+WITH per AS (
+  SELECT user_id % 4 AS shard, event_type AS key, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+kept AS (
+  SELECT shard, key, cnt FROM (
+    SELECT shard, key, cnt,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, key ASC) AS rk
+    FROM per) WHERE rk <= 2),
+cutoff AS (SELECT shard, min(cnt) AS cut FROM kept GROUP BY shard),
+tot AS (SELECT sum(cut) AS total_cut FROM cutoff),
+merged AS (
+  SELECT k.key, sum(k.cnt)::BIGINT AS doc_count, sum(c.cut) AS cut_seen
+  FROM kept k JOIN cutoff c USING (shard) GROUP BY k.key)
+SELECT key, doc_count,
+       ((SELECT total_cut FROM tot) - cut_seen)::BIGINT
+         AS doc_count_error_upper_bound
+FROM merged ORDER BY doc_count DESC, key ASC LIMIT 3"""
     O["agg_top_hits"] = """
 SELECT event_type, event_id, value FROM (
   SELECT event_type, event_id, value,

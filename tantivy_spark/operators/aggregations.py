@@ -109,20 +109,92 @@ def _sub_metric_exprs(sub_aggs: dict | None) -> list:
 # bucket aggregations
 # --------------------------------------------------------------------------
 
+class AggregationLimitError(Exception):
+    """Bucket-count guard tripped — the reference's AggregationLimits
+    memory/bucket protection (src/aggregation/agg_limits.rs:22-34,
+    DEFAULT_BUCKET_LIMIT = 65_000)."""
+
+
+DEFAULT_BUCKET_LIMIT = 65_000  # agg_limits.rs:22-34
+
+
+def check_bucket_limit(df: DataFrame, key_col, max_buckets: int | None) -> None:
+    """Fail fast when a bucket agg would materialize more than
+    `max_buckets` distinct buckets (agg_limits.rs validate_and_add /
+    add_count semantics — we check up front since Catalyst aggregates in
+    one pass rather than incrementally)."""
+    if max_buckets is None:
+        return
+    n = df.select(key_col.alias("_k")).distinct().limit(max_buckets + 1).count()
+    if n > max_buckets:
+        raise AggregationLimitError(
+            f"aggregation would create > {max_buckets} buckets "
+            f"(reference DEFAULT_BUCKET_LIMIT={DEFAULT_BUCKET_LIMIT})"
+        )
+
+
 def terms_agg(df: DataFrame, field: str, size: int = 10,
               order_by: str = "count", missing=None,
-              sub_aggs: dict | None = None) -> DataFrame:
-    """Terms bucket: exact counts, order by count desc then key asc (the
-    reference's default order, bucket/term_agg), top `size` buckets."""
+              sub_aggs: dict | None = None,
+              shard_size: int | None = None, shard_col: str | None = None,
+              show_doc_count_error: bool = False,
+              max_buckets: int | None = None) -> DataFrame:
+    """Terms bucket, order by count desc then key asc (the reference's
+    default order, bucket/term_agg), top `size` buckets.
+
+    Default = exact exhaustive counts (error bound 0).  With `shard_size`
+    + `shard_col`, each shard keeps only its top `shard_size` buckets
+    before the merge — the reference/ES `shard_size` protocol — and
+    `show_doc_count_error` adds `doc_count_error_upper_bound`: for each
+    surviving key, the sum over NON-contributing shards of that shard's
+    smallest kept count (the worst case it could have missed) — the
+    term_agg error-bound algorithm (bucket/term_agg/)."""
     key = F.col(field)
     if missing is not None:
         key = F.coalesce(key, F.lit(missing))
-    g = df.groupBy(key.alias("key")).agg(*_sub_metric_exprs(sub_aggs))
-    if order_by == "count":
-        g = g.orderBy(F.desc("doc_count"), F.asc("key"))
-    else:
-        g = g.orderBy(F.asc("key"))
-    return g.limit(size)
+    check_bucket_limit(df, key, max_buckets)
+    if shard_size is None:
+        g = df.groupBy(key.alias("key")).agg(*_sub_metric_exprs(sub_aggs))
+        if show_doc_count_error:
+            g = g.withColumn(
+                "doc_count_error_upper_bound", F.lit(0).cast("long")
+            )
+        if order_by == "count":
+            g = g.orderBy(F.desc("doc_count"), F.asc("key"))
+        else:
+            g = g.orderBy(F.asc("key"))
+        return g.limit(size)
+
+    if shard_col is None:
+        raise ValueError("shard_size needs shard_col (the per-shard key)")
+    if sub_aggs:
+        raise ValueError("shard_size mode supports doc_count only")
+    per = (
+        df.groupBy(F.col(shard_col).alias("shard"), key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    kept = per.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= shard_size
+    ).drop("_rk")
+    cutoff = kept.groupBy("shard").agg(F.min("cnt").alias("cut"))
+    total_cut = cutoff.agg(F.sum("cut").alias("t")).collect()[0]["t"] or 0
+    merged = (
+        kept.join(F.broadcast(cutoff), "shard")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("cut").alias("_cut_seen"),
+        )
+    )
+    out = merged.select(
+        "key", "doc_count",
+        (F.lit(int(total_cut)) - F.col("_cut_seen"))
+        .cast("long").alias("doc_count_error_upper_bound"),
+    )
+    if not show_doc_count_error:
+        out = out.drop("doc_count_error_upper_bound")
+    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
 
 
 def histogram_agg(df: DataFrame, field: str, interval: float,
@@ -315,7 +387,12 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
     body = request[kind]
     if kind == "terms":
         return terms_agg(df, body["field"], body.get("size", 10),
-                         body.get("order", "count"), body.get("missing"), sub)
+                         body.get("order", "count"), body.get("missing"), sub,
+                         shard_size=body.get("shard_size"),
+                         shard_col=body.get("shard_col"),
+                         show_doc_count_error=body.get(
+                             "show_doc_count_error", False),
+                         max_buckets=body.get("max_buckets"))
     if kind == "histogram":
         return histogram_agg(df, body["field"], body["interval"], sub)
     if kind == "date_histogram":

@@ -41,20 +41,61 @@ def scored_frame(searcher: Searcher, query: L.Query,
 
 def top_docs(searcher: Searcher, query: L.Query, limit: int, offset: int = 0,
              order_by_field: str | None = None,
-             ascending: bool = False) -> DataFrame:
-    """TopDocs with offset, by score (default) or by a fast field
-    (TopDocs::order_by_u64_field / order_by_fast_field,
-    top_score_collector.rs:63-470).  Tie-break ascending DocAddress."""
-    if order_by_field is None:
-        out = searcher.top_docs_frame(query, k=limit + offset, mode="taat64")
+             ascending: bool = False,
+             order_by=None, tweak_score=None,
+             fast_fields: list[str] | None = None) -> DataFrame:
+    """TopDocs with offset — by score (default), by a fast field
+    (TopDocs::order_by_u64_field / order_by_fast_field), by an arbitrary
+    computed sort key, or with a recomputed score.
+
+    The sort-key framework (top_score_collector.rs:63-470,
+    src/collector/sort_key/):
+      * ``order_by``: a Column expression over the scored frame's columns
+        (score + requested fast fields), or a callable(frame) -> Column —
+        the SortKeyComputer analogue.
+      * ``tweak_score``: callable(frame) -> Column replacing the score
+        before ranking — the TweakedScoreTopCollector analogue.
+    Tie-break is ascending DocAddress (segment_ord, doc_id), as in
+    merge_fruits.
+
+    The offset stays IN the plan: orderBy + limit(offset+limit) keeps the
+    distributed per-partition TopK + TakeOrderedAndProject bound, then a
+    row_number window slices the <= offset+limit survivors (bounded, so
+    the single-partition window is a constant-size step) — no driver-side
+    collect/slice."""
+    from pyspark.sql import Window
+
+    fields = list(fast_fields or [])
+    if order_by_field is not None and order_by_field not in fields:
+        fields.append(order_by_field)
+    if order_by is None and order_by_field is not None:
+        order_by = F.col(order_by_field)
+
+    if order_by is None and tweak_score is None and not fields:
+        frame = searcher.top_docs_frame(query, k=limit + offset, mode="taat64")
+        sort_cols = [F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")]
     else:
-        scored = scored_frame(searcher, query, [order_by_field])
-        direction = F.asc(order_by_field) if ascending else F.desc(order_by_field)
-        out = scored.orderBy(
-            direction, F.asc("segment_ord"), F.asc("doc_id")
-        ).limit(limit + offset)
-    rows = out.collect()[offset: offset + limit]
-    return searcher.spark.createDataFrame(rows, out.schema) if rows else out.limit(0)
+        frame = scored_frame(searcher, query, fields)
+        if tweak_score is not None:
+            frame = frame.withColumn("score", tweak_score(frame))
+        if order_by is not None:
+            key = order_by(frame) if callable(order_by) else order_by
+            frame = frame.withColumn("_sort_key", key)
+            sort_cols = [
+                F.asc("_sort_key") if ascending else F.desc("_sort_key"),
+                F.asc("segment_ord"), F.asc("doc_id"),
+            ]
+        else:
+            sort_cols = [F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")]
+    out = frame.orderBy(*sort_cols).limit(limit + offset)
+    if offset:
+        w = Window.orderBy(*sort_cols)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset)
+            .drop("_rn")
+        )
+    return out.drop("_sort_key")
 
 
 def count(searcher: Searcher, query: L.Query) -> int:

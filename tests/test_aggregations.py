@@ -175,3 +175,59 @@ def test_percentiles_ddsketch_vs_exact(spark):
     for p in (5.0, 50.0, 95.0):
         true = sv[int(p / 100.0 * (len(sv) - 1))]
         assert abs(out[p] - true) / true <= 0.03  # alpha=0.01 + bucket slack
+
+
+# --------------------------------------------------------------------------
+# terms shard_size / error bound / bucket limits (round 2)
+# --------------------------------------------------------------------------
+
+def test_terms_shard_size_error_bound(spark):
+    import pandas as pd
+
+    from tantivy_spark.operators import aggregations as A
+
+    # shard 0 sees a:3 b:2 c:1; shard 1 sees b:3 c:2 a:1 — with
+    # shard_size=2 shard 0 drops c (cut=2), shard 1 drops a (cut=2)
+    rows = (
+        [("a", 0)] * 3 + [("b", 0)] * 2 + [("c", 0)] * 1
+        + [("b", 1)] * 3 + [("c", 1)] * 2 + [("a", 1)] * 1
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["t", "shard"]))
+    out = {r["key"]: r for r in A.terms_agg(
+        df, "t", size=10, shard_size=2, shard_col="shard",
+        show_doc_count_error=True,
+    ).collect()}
+    # a kept only by shard 0 -> count 3, error = shard 1's cut (2)
+    assert out["a"]["doc_count"] == 3
+    assert out["a"]["doc_count_error_upper_bound"] == 2
+    # b kept by both -> exact, error 0
+    assert out["b"]["doc_count"] == 5
+    assert out["b"]["doc_count_error_upper_bound"] == 0
+    # c kept only by shard 1 -> count 2, error = shard 0's cut (2)
+    assert out["c"]["doc_count"] == 2
+    assert out["c"]["doc_count_error_upper_bound"] == 2
+
+
+def test_terms_exact_error_bound_zero(spark):
+    import pandas as pd
+
+    from tantivy_spark.operators import aggregations as A
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["a", "a", "b"]}))
+    out = A.terms_agg(df, "t", show_doc_count_error=True).collect()
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in out)
+
+
+def test_bucket_limit_guard(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from tantivy_spark.operators import aggregations as A
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": [f"k{i}" for i in range(50)]})
+    )
+    with _pt.raises(A.AggregationLimitError):
+        A.terms_agg(df, "t", max_buckets=10)
+    # under the limit: fine
+    assert len(A.terms_agg(df, "t", size=100, max_buckets=100).collect()) == 50
