@@ -393,7 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- JSON dynamic fields (src/core/json_utils.rs) --------------------
     def _json_searcher(s, d):
         tag = os.path.basename(os.path.normpath(d)) or "sf"
-        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v2")
+        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v3")
         if index_dir not in _SEARCHERS:
             cfg = IndexConfig(
                 text_col="props", key_cols=("event_id",),
@@ -404,7 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 load_manifest(index_dir)
             except FileNotFoundError:
                 build_index(
-                    s, _tbl(s, d, "events").select("event_id", "props"),
+                    s, _tbl(s, d, "events").select("event_id", "props", "ts"),
                     index_dir, cfg, resume=True,
                 )
             _SEARCHERS[index_dir] = Searcher(s, index_dir)
@@ -424,6 +424,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n_matching long")
 
     Q["json_field_count"] = _json_term_count
+
+    def _parsed_date_range(s, d):
+        # parsed json-path term + rfc3339 date-range bound
+        # (query_parser.rs:180,576-577 rfc3339 range terms; json path
+        # syntax query_parser.rs:516-560)
+        sr = _json_searcher(s, d)
+        q = QueryParser(
+            field="props", tokenizer="json", json_fields=("props",),
+        ).parse(
+            "props.k:69 AND "
+            "ts:[2024-01-05T00:00:00Z TO 2024-01-20T00:00:00Z}")
+        return (
+            sr.search(q, k=100000, mode="taat64")
+            .select("event_id").orderBy("event_id")
+        )
+
+    Q["ft_parsed_date_range"] = _parsed_date_range
 
     # ---- collectors (SURVEY §2.6) ----------------------------------------
     def _coll_topdocs_by_field(s, d):
@@ -1021,6 +1038,12 @@ WHERE json_extract_string(props, '$.k') = '69' ORDER BY event_id"""
     O["json_field_count"] = """
 SELECT count(*)::BIGINT AS n_matching FROM events
 WHERE json_extract_string(props, '$.k') = '69'"""
+    O["ft_parsed_date_range"] = """
+SELECT event_id FROM events
+WHERE json_extract_string(props, '$.k') = '69'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY event_id"""
 
     # ---- collectors ------------------------------------------------------
     O["coll_topdocs_by_fast_field"] = (

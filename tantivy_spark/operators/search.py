@@ -1445,6 +1445,23 @@ class Searcher:
                     value = int(value)
                 elif dtype in ("float", "double"):
                     value = float(value)
+                elif dtype.startswith("timestamp"):
+                    # rfc3339 bound (query_parser.rs:576-577
+                    # OffsetDateTime::parse(.., Rfc3339) -> DateTime::
+                    # from_utc); normalize to naive UTC to match the
+                    # stored naive-UTC fast-field values
+                    import datetime as _dt
+
+                    parsed = _dt.datetime.fromisoformat(
+                        value.replace("Z", "+00:00"))
+                    if parsed.tzinfo is not None:
+                        parsed = parsed.astimezone(
+                            _dt.timezone.utc).replace(tzinfo=None)
+                    value = parsed
+                elif dtype == "date":
+                    import datetime as _dt
+
+                    value = _dt.date.fromisoformat(value)
             except ValueError:
                 pass
         return F.lit(value)

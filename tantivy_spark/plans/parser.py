@@ -25,8 +25,15 @@ and the grammar crate query-grammar/src/query_grammar.rs.  Supported here:
 * `field: IN [v1 v2]` -> TermSetQuery (query_grammar.rs:637)
 * `field:*` -> ExistsQuery (query_grammar.rs:319-326)
 
-Out of scope (structured API covers them): fuzzy/regex literals, date
-math.
+* per-field boost (`set_field_boost`, query_parser.rs:294-300) and
+  per-field fuzzy (`set_field_fuzzy`, query_parser.rs:302-318)
+* rfc3339 timestamps as range bounds (query_parser.rs:180,576-577) —
+  typed at evaluation against the docmap column (operators/search.py
+  `_typed_bound`)
+
+Out of scope (structured API covers them): fuzzy/regex literals in the
+grammar itself, date *math* (e.g. `now-7d` — not in the reference
+grammar either).
 """
 
 from __future__ import annotations
@@ -78,6 +85,15 @@ class _Clause:
     query: L.Query
 
 
+@dataclass(frozen=True)
+class _JsonScope:
+    """A `jsonfield.path` scope: terms are path-prefixed the way the
+    `json` analyzer emits them (`path.sub:value`, json_utils.rs)."""
+
+    field: str  # the json field name itself (boost/fuzzy config key)
+    path: str   # path inside the json object ("k", "a.b"; "" = root)
+
+
 def _is_pure_negation(q: L.Query) -> bool:
     return isinstance(q, L.BooleanQuery) and all(
         occur == L.Occur.MUST_NOT for occur, _ in q.clauses
@@ -93,7 +109,10 @@ class QueryParser:
 
     def __init__(self, field: str = "text", tokenizer: str = "default",
                  positions: bool = True, default_conjunction: bool = False,
-                 extra_fields: tuple[str, ...] = ()):
+                 extra_fields: tuple[str, ...] = (),
+                 field_boosts: dict[str, float] | None = None,
+                 fuzzy_fields: dict[str, tuple] | None = None,
+                 json_fields: tuple[str, ...] = ()):
         self.field = field
         self.tokenizer = tokenizer
         self.positions = positions
@@ -101,7 +120,30 @@ class QueryParser:
         #: additional indexed fields (IndexConfig.extra_fields):
         #: `f:tok` parses to a scoped TermQuery over the multi-field index
         self.extra_fields = tuple(extra_fields)
+        #: per-field boost (QueryParser::set_field_boost,
+        #: query_parser.rs:294-300): multiplies every literal of the field
+        self.field_boosts = dict(field_boosts or {})
+        #: per-field fuzzy config (QueryParser::set_field_fuzzy,
+        #: query_parser.rs:302-318): field -> (prefix, distance,
+        #: transpose_cost_one); single-token literals of the field parse
+        #: to FuzzyTermQuery
+        self.fuzzy_fields = dict(fuzzy_fields or {})
+        #: JSON dynamic fields (query_parser.rs:516-560
+        #: `compute_path_triplets` + json_utils): `jsonfield.path:value`
+        #: parses to path-scoped terms `path:value` — the shape the `json`
+        #: analyzer emits at indexing
+        self.json_fields = tuple(json_fields)
         self.warnings: list[str] = []
+
+    def set_field_boost(self, field: str, boost: float) -> None:
+        """query_parser.rs:294-300 parity."""
+        self.field_boosts[field] = float(boost)
+
+    def set_field_fuzzy(self, field: str, prefix: bool, distance: int,
+                        transpose_cost_one: bool) -> None:
+        """query_parser.rs:302-318 parity."""
+        self.fuzzy_fields[field] = (bool(prefix), int(distance),
+                                    bool(transpose_cost_one))
 
     # -- public ------------------------------------------------------------
     def parse(self, q: str) -> L.Query:
@@ -212,7 +254,9 @@ class QueryParser:
             scope = None
             if not tok.startswith('"'):
                 field, _, tok = tok.partition(":")
-                if field in self.extra_fields:
+                if (jp := self._json_path(field)) is not None:
+                    scope = _JsonScope(field.split(".", 1)[0], jp)
+                elif field in self.extra_fields:
                     scope = field
                 elif field != self.field:
                     raise QueryParserError(
@@ -260,7 +304,9 @@ class QueryParser:
             scope = None
             if ":" in tok:
                 field, _, tok = tok.partition(":")
-                if field in self.extra_fields:
+                if (jp := self._json_path(field)) is not None:
+                    scope = _JsonScope(field.split(".", 1)[0], jp)
+                elif field in self.extra_fields:
                     scope = field
                 elif field != self.field:
                     raise QueryParserError(
@@ -282,7 +328,49 @@ class QueryParser:
             return float(toks[0][1:]), toks[1:]
         return 1.0, toks
 
-    def _parse_phrase(self, tok: str, scope: str | None = None) -> L.Query:
+    def _json_path(self, field: str) -> str | None:
+        """`props` -> "", `props.k.sub` -> "k.sub", non-json -> None."""
+        for jf in self.json_fields:
+            if field == jf:
+                return ""
+            if field.startswith(jf + "."):
+                return field[len(jf) + 1:]
+        return None
+
+    def _cfg_key(self, scope) -> str:
+        """Field name used for boost/fuzzy config lookup."""
+        if isinstance(scope, _JsonScope):
+            return scope.field
+        return scope or self.field
+
+    def _field_boost(self, q: L.Query, scope) -> L.Query:
+        """Wrap a literal of `scope` (None = default field) in the
+        configured field boost.  Multiplies with any query-language `^b`
+        (query_parser.rs:296-298: 'the two boosts are multiplied')."""
+        fb = self.field_boosts.get(self._cfg_key(scope), 1.0)
+        return L.BoostQuery(q, fb) if fb != 1.0 else q
+
+    def _term_or_fuzzy(self, term: str, scope) -> L.Query:
+        """Single-term literal -> FuzzyTermQuery when the field has a
+        fuzzy config (convert_literal_to_query, query_parser.rs:922-938:
+        only Term literals fuzz; phrases never do)."""
+        cfg = self.fuzzy_fields.get(self._cfg_key(scope))
+        if cfg is None:
+            return L.TermQuery(term)
+        prefix, distance, transpose_cost_one = cfg
+        return L.FuzzyTermQuery(
+            term, distance=distance,
+            transposition_cost_one=transpose_cost_one, prefix=prefix)
+
+    @staticmethod
+    def _scope_terms(terms: list[str], scope) -> list[str]:
+        if isinstance(scope, _JsonScope):
+            return [f"{scope.path}:{t}" for t in terms]
+        if scope is not None:
+            return [f"{scope}:{t}" for t in terms]
+        return terms
+
+    def _parse_phrase(self, tok: str, scope=None) -> L.Query:
         slop = 0
         m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+)|(\*))?$', tok)
         if not m:
@@ -291,9 +379,9 @@ class QueryParser:
         if m.group(2):
             slop = int(m.group(2))
         is_prefix = m.group(3) is not None
-        terms, _ = get_analyzer(self.tokenizer)(body)
-        if scope is not None:
-            terms = [f"{scope}:{t}" for t in terms]
+        analyzer = "default" if isinstance(scope, _JsonScope) else self.tokenizer
+        terms, _ = get_analyzer(analyzer)(body)
+        terms = self._scope_terms(terms, scope)
         if not terms:
             return L.EmptyQuery()
         if not self.positions and (len(terms) > 1 or is_prefix):
@@ -302,26 +390,29 @@ class QueryParser:
                 "(FieldDoesNotHavePositionsIndexed)"
             )
         if is_prefix:
-            return L.PhrasePrefixQuery(tuple(terms))
+            return self._field_boost(L.PhrasePrefixQuery(tuple(terms)), scope)
         if len(terms) == 1:
-            return L.TermQuery(terms[0])
-        return L.PhraseQuery(tuple(terms), slop=slop)
+            # a one-token quoted phrase is a Term literal in the reference
+            # AST, so field-fuzzy applies to it too
+            return self._field_boost(self._term_or_fuzzy(terms[0], scope), scope)
+        return self._field_boost(L.PhraseQuery(tuple(terms), slop=slop), scope)
 
-    def _literal(self, tok: str, scope: str | None = None) -> L.Query | None:
+    def _literal(self, tok: str, scope=None) -> L.Query | None:
         """Analyze a bare literal (generate_literals_for_str,
         query_parser.rs: multi-token literal -> phrase when positions).
-        `scope` prefixes terms with their field (multi-field index)."""
-        terms, _ = get_analyzer(self.tokenizer)(tok)
+        `scope` prefixes terms with their field (multi-field index) or
+        json path (json dynamic field)."""
+        analyzer = "default" if isinstance(scope, _JsonScope) else self.tokenizer
+        terms, _ = get_analyzer(analyzer)(tok)
         if not terms:
             return None
-        if scope is not None:
-            terms = [f"{scope}:{t}" for t in terms]
+        terms = self._scope_terms(terms, scope)
         if len(terms) == 1:
-            return L.TermQuery(terms[0])
+            return self._field_boost(self._term_or_fuzzy(terms[0], scope), scope)
         if self.positions:
-            return L.PhraseQuery(tuple(terms))
+            return self._field_boost(L.PhraseQuery(tuple(terms)), scope)
         self.warnings.append(
             f"literal {tok!r} analyzed to {len(terms)} tokens but the index "
             "has no positions; degrading to OR of terms"
         )
-        return L.BooleanQuery.union(terms)
+        return self._field_boost(L.BooleanQuery.union(terms), scope)

@@ -170,3 +170,81 @@ def test_parser_fuzz_never_crashes():
         except QueryParserError:
             continue
         assert isinstance(q, L.Query), s
+
+
+# -- per-field config (query_parser.rs:294-318) ---------------------------
+
+def test_field_boost_multiplies_literals():
+    p = QueryParser()
+    p.set_field_boost("text", 2.0)
+    assert p.parse("abc") == L.BoostQuery(L.TermQuery("abc"), 2.0)
+    # query-language boost multiplies (wraps) the field boost
+    assert p.parse("abc^3") == L.BoostQuery(
+        L.BoostQuery(L.TermQuery("abc"), 2.0), 3.0)
+    assert p.parse('"hello world"') == L.BoostQuery(
+        L.PhraseQuery(("hello", "world")), 2.0)
+
+
+def test_field_boost_scoped_field():
+    p = QueryParser(extra_fields=("lang",))
+    p.set_field_boost("lang", 4.0)
+    q = p.parse("lang:en abc")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.BoostQuery(L.TermQuery("lang:en"), 4.0)),
+        (L.Occur.SHOULD, L.TermQuery("abc")),
+    ])
+
+
+def test_field_fuzzy_single_term_literals():
+    # reference test_set_field_fuzzy (query_parser.rs:1999-2037)
+    p = QueryParser()
+    p.set_field_fuzzy("text", False, 1, True)
+    assert p.parse("abc") == L.FuzzyTermQuery(
+        "abc", distance=1, transposition_cost_one=True, prefix=False)
+    # a one-token quoted phrase is a Term literal -> fuzzy applies
+    assert p.parse('"abc"') == L.FuzzyTermQuery(
+        "abc", distance=1, transposition_cost_one=True, prefix=False)
+    # multi-token phrases never fuzz (convert_literal_to_query:922-938)
+    assert p.parse('"hello world"') == L.PhraseQuery(("hello", "world"))
+
+
+def test_field_fuzzy_prefix_params():
+    p = QueryParser()
+    p.set_field_fuzzy("text", True, 2, False)
+    assert p.parse("abc") == L.FuzzyTermQuery(
+        "abc", distance=2, transposition_cost_one=False, prefix=True)
+
+
+def test_field_fuzzy_only_configured_field():
+    p = QueryParser(extra_fields=("lang",))
+    p.set_field_fuzzy("lang", False, 1, True)
+    assert p.parse("abc") == L.TermQuery("abc")
+    assert p.parse("lang:en") == L.FuzzyTermQuery(
+        "lang:en", distance=1, transposition_cost_one=True, prefix=False)
+
+
+# -- json dynamic-field paths (query_parser.rs:516-560) -------------------
+
+def test_json_path_literal():
+    p = QueryParser(field="props", tokenizer="json", json_fields=("props",))
+    assert p.parse("props.k:69") == L.TermQuery("k:69")
+    assert p.parse("props.a.b:Hello") == L.TermQuery("a.b:hello")
+
+
+def test_json_path_phrase():
+    p = QueryParser(field="props", tokenizer="json", json_fields=("props",))
+    assert p.parse('props.a.b:"Hello World"') == L.PhraseQuery(
+        ("a.b:hello", "a.b:world"))
+
+
+def test_json_path_with_rfc3339_range():
+    p = QueryParser(field="props", tokenizer="json", json_fields=("props",))
+    q = p.parse(
+        "props.k:69 AND ts:[2024-01-05T00:00:00Z TO 2024-01-20T00:00:00Z}")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("k:69")),
+        (L.Occur.MUST, L.RangeQuery(
+            "ts", lower="2024-01-05T00:00:00Z",
+            upper="2024-01-20T00:00:00Z",
+            lower_inclusive=True, upper_inclusive=False)),
+    ])
