@@ -722,6 +722,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["text_rolling_fingerprint"] = lambda s, d: P.rolling_fingerprints(
         _tbl(s, d, "documents"), "doc_id")
 
+    def _multilang_stop(s, d):
+        # language-routed stop-word filtering (functions/analysis.py
+        # get_stopwords; reference stop_word_filter/mod.rs:36-67): each
+        # doc's lang selects its Snowball stop list.  Spark-first shape:
+        # explode tokens, broadcast anti-join the (lang, term) stop
+        # table, aggregate — no per-row Python, scales to any corpus.
+        from tantivy_spark.functions.analysis import get_stopwords
+
+        docs = _tbl(s, d, "documents")
+        rows = [(lang, w) for lang in ("de", "en", "es", "fr")
+                for w in sorted(get_stopwords(lang))]
+        stop = s.createDataFrame(rows, "lang string, term string")
+        toks = (
+            docs.select(
+                "doc_id", "lang",
+                F.explode(F.split(F.col("text"), "[^a-z0-9]+")).alias("term"))
+            .filter((F.col("term") != "") & (F.length("term") < 40))
+        )
+        kept = toks.join(F.broadcast(stop), ["lang", "term"], "left_anti")
+        return (
+            kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.countDistinct("term").alias("n_terms"))
+            .orderBy("lang")
+        )
+
+    Q["text_stopword_multilang"] = _multilang_stop
+
     return Q
 
 
@@ -1358,5 +1386,29 @@ SELECT d.doc_id AS key, coalesce(m.mn, 0)::BIGINT AS min_rolling_hash
 FROM documents d
 LEFT JOIN (SELECT doc_id, min(wh) AS mn FROM wins GROUP BY doc_id) m
   USING (doc_id)"""
+
+    # language-routed stop-word filtering; the per-language Snowball stop
+    # lists are inlined as VALUES (data tables — the logic under test is
+    # the tokenize/route/anti-join/aggregate pipeline)
+    from tantivy_spark.functions.analysis import get_stopwords
+
+    stop_vals = ",".join(
+        "('%s','%s')" % (lang, w.replace("'", "''"))
+        for lang in ("de", "en", "es", "fr")
+        for w in sorted(get_stopwords(lang))
+    )
+    O["text_stopword_multilang"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.term
+  FROM documents, unnest(string_split_regex(text, '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) < 40
+),
+stop(lang, term) AS (VALUES {stop_vals})
+SELECT toks.lang, count(*)::BIGINT AS n_kept,
+       count(DISTINCT toks.term)::BIGINT AS n_terms
+FROM toks
+WHERE NOT EXISTS (SELECT 1 FROM stop
+                  WHERE stop.lang = toks.lang AND stop.term = toks.term)
+GROUP BY toks.lang ORDER BY toks.lang"""
 
     return O

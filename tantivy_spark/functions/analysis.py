@@ -98,6 +98,54 @@ def tokenize_en_stem(text: str) -> tuple[list[str], list[int]]:
     return [stem(t) for t in terms], positions
 
 
+#: Stemmer dispatch per reference Language enum (stemmer.rs:17-37),
+#: accepting both enum-style names and ISO-639-1 codes.  All are the
+#: published Snowball algorithms (functions/snowball.py); English is
+#: Porter2 (functions/porter2.py).
+_STEMMER_LANGS = {
+    "english": "porter2", "en": "porter2",
+    "german": "german", "de": "german",
+    "french": "french", "fr": "french",
+    "spanish": "spanish", "es": "spanish",
+    "italian": "italian", "it": "italian",
+    "portuguese": "portuguese", "pt": "portuguese",
+    "russian": "russian", "ru": "russian",
+    "danish": "danish", "da": "danish",
+    "norwegian": "norwegian", "no": "norwegian",
+    "swedish": "swedish", "sv": "swedish",
+    "dutch": "dutch", "nl": "dutch",
+}
+
+
+def get_stemmer(language: str = "en"):
+    """Resolve a per-token stem function for `language` (reference
+    `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
+    languages the reference supports but we don't ship (Arabic, Czech,
+    Finnish, Greek, Hungarian, Polish, Romanian, Tamil, Turkish)."""
+    key = _STEMMER_LANGS[language.lower()]
+    if key == "porter2":
+        from tantivy_spark.functions.porter2 import stem
+
+        return stem
+    from tantivy_spark.functions import snowball
+
+    return getattr(snowball, f"stem_{key}")
+
+
+def get_stopwords(language: str = "en") -> frozenset[str]:
+    """Language stop-word list (reference StopWordFilter::new,
+    stop_word_filter/mod.rs:36-67; Snowball lists + Lucene English)."""
+    name = {"en": "english", "de": "german", "fr": "french",
+            "es": "spanish", "it": "italian", "pt": "portuguese",
+            "ru": "russian", "da": "danish", "no": "norwegian",
+            "sv": "swedish", "nl": "dutch", "fi": "finnish",
+            "hu": "hungarian", "cs": "czech", "pl": "polish",
+            }.get(language.lower(), language.lower())
+    from tantivy_spark.functions.stopwords_data import STOPWORDS
+
+    return STOPWORDS[name]
+
+
 # ---------------------------------------------------------------------------
 # composable pipeline builder — the TextAnalyzer::builder analogue
 # (src/tokenizer/tokenizer.rs: Tokenizer + TokenFilter chain)
@@ -192,8 +240,11 @@ def build_analyzer(tokenizer: str = "simple",
     filters (applied in order, each a tuple (name, *args)):
       ("remove_long", limit)  drop tokens with utf-8 byte length >= limit
       ("lowercase",)          per-char Unicode lowercase, no final sigma
-      ("stopword", words)     drop members (words iterable or "en")
-      ("stemmer",)            Porter2 English
+      ("stopword", words)     drop members (iterable, or a language
+                              name/ISO code: en de fr es it pt ru da
+                              no sv nl fi hu cs pl)
+      ("stemmer", lang)       Snowball stemmer (default "en" Porter2;
+                              de fr es it pt ru da no sv nl)
       ("alphanum_only",)      drop tokens with any non-alphanumeric char
                               (src/tokenizer/alphanum_only.rs)
       ("ascii_folding",)      fold diacritics to ASCII
@@ -217,12 +268,14 @@ def build_analyzer(tokenizer: str = "simple",
             steps.append(lambda tp: [(_lower_no_final_sigma(t), p) for t, p in tp])
         elif name == "stopword":
             words = args[0] if args else "en"
-            wset = LUCENE_ENGLISH_STOPWORDS if words == "en" else frozenset(words)
+            if isinstance(words, str):
+                wset = get_stopwords(words)
+            else:
+                wset = frozenset(words)
             steps.append(lambda tp, W=wset: [(t, p) for t, p in tp if t not in W])
         elif name == "stemmer":
-            from tantivy_spark.functions.porter2 import stem
-
-            steps.append(lambda tp: [(stem(t), p) for t, p in tp])
+            stem = get_stemmer(args[0] if args else "en")
+            steps.append(lambda tp, S_=stem: [(S_(t), p) for t, p in tp])
         elif name == "alphanum_only":
             steps.append(lambda tp: [(t, p) for t, p in tp if t.isalnum()])
         elif name == "ascii_folding":

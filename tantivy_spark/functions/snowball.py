@@ -1,0 +1,1202 @@
+"""Snowball stemmers for the reference's non-English languages.
+
+The reference routes `Stemmer::new(Language)` through the rust-stemmers
+crate (src/tokenizer/stemmer.rs:40-70), whose algorithms are the published
+Snowball stemming algorithms (https://snowballstem.org/algorithms/).  Each
+function here implements the corresponding *published algorithm
+description* (the prose specs, public since 2001-2006), not a translation
+of any generated code: German, French, Spanish, Italian, Portuguese,
+Russian, plus the structurally-simple Scandinavian trio (Danish,
+Norwegian, Swedish).
+
+English stays in functions/porter2.py (Porter2, 109 parity vectors).
+
+Shared machinery: every Snowball stemmer is defined over the regions
+
+* R1 — the region after the first non-vowel following a vowel,
+* R2 — R1 of R1,
+* RV — language-specific (Romance: see `_rv_romance`; Russian: after the
+  first vowel),
+
+with "suffix in R1" meaning the suffix starts at or after the region
+start.  We carry region *offsets* and test `len(word) - len(suffix) >=
+offset`.
+"""
+
+from __future__ import annotations
+
+
+def _r1_r2(word: str, vowels: str) -> tuple[int, int]:
+    """Standard R1/R2 start offsets (snowballstem.org/texts/r1r2.html)."""
+
+    def after_nonvowel_after_vowel(start: int) -> int:
+        i = start
+        n = len(word)
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        # word[i] is the first non-vowel after a vowel (or end)
+        return min(i + 1, n)
+
+    r1 = after_nonvowel_after_vowel(0)
+    r2 = after_nonvowel_after_vowel(r1)
+    return r1, r2
+
+
+def _rv_romance(word: str, vowels: str) -> int:
+    """RV for French/Spanish/Italian/Portuguese (same definition in all
+    four specs): if the second letter is a consonant, RV is the region
+    after the next following vowel; if the first two letters are vowels,
+    RV is the region after the next consonant; otherwise (consonant-vowel
+    start) RV is the region after the third letter.  RV = end of word if
+    those positions can't be found."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        for i in range(2, n):
+            if word[i] in vowels:
+                return i + 1
+        return n
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, n):
+            if word[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+def _longest_suffix(word: str, *suffixes: str) -> str | None:
+    """Longest of `suffixes` the word ends with (no region test).
+
+    Snowball's `[substring] among(... Rx action ...)` picks the longest
+    *matching* suffix first, then runs that branch's region test — a long
+    match failing its branch condition does NOT fall back to a shorter
+    one.  Use this + an explicit region test for un-limited amongs; use
+    `_longest_in` when the among runs under `setlimit tomark pV` (the
+    limit constrains the match itself, with backtracking)."""
+    best = None
+    for s in suffixes:
+        if word.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def _longest_in(word: str, region: int, suffixes) -> str | None:
+    """Longest suffix that matches AND fits inside the region.  This is
+    Snowball's `setlimit ... [substring] among(...)` semantics: the
+    region limit constrains the *match*, so a longer suffix crossing the
+    limit backtracks to a shorter in-region one (unlike branch-internal
+    condition tests, which fail the whole among)."""
+    best = None
+    for s in suffixes:
+        if word.endswith(s) and len(word) - len(s) >= region and \
+                (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+# ===========================================================================
+# German — snowballstem.org/algorithms/german/stemmer.html
+# ===========================================================================
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = "bdfghklmnrt"
+_DE_ST_ENDING = "bdfghklmnt"
+
+
+def stem_german(word: str) -> str:
+    if not word:
+        return word
+    # preliminary: ß -> ss; mark u/y between vowels as consonants (U/Y)
+    word = word.replace("ß", "ss")
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS and \
+                chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+
+    vowels = _DE_VOWELS  # U/Y are uppercase, hence non-vowels now
+    r1, r2 = _r1_r2(word, vowels)
+    # R1 adjusted so that the region before it has at least 3 letters
+    r1 = max(r1, 3) if len(word) >= 3 else len(word)
+
+    # step 1
+    suf = _longest_suffix(word, "em", "ern", "er", "e", "en", "es", "s")
+    if suf == "s":
+        if len(word) >= 2 and word[-2] in _DE_S_ENDING and \
+                len(word) - 1 >= r1:
+            word = word[:-1]
+    elif suf is not None and len(word) - len(suf) >= r1:
+        word = word[: -len(suf)]
+        if suf in ("e", "en", "es") and word.endswith("niss"):
+            word = word[:-1]
+
+    # step 2
+    suf = _longest_suffix(word, "en", "er", "est", "st")
+    if suf == "st":
+        if len(word) >= 6 and word[-3] in _DE_ST_ENDING and \
+                len(word) - 2 >= r1:
+            word = word[:-2]
+    elif suf is not None and len(word) - len(suf) >= r1:
+        word = word[: -len(suf)]
+
+    # step 3 (d-suffixes)
+    suf = _longest_suffix(
+        word, "end", "ung", "ig", "ik", "isch", "lich", "heit", "keit")
+    if suf in ("end", "ung"):
+        if len(word) - len(suf) >= r2:
+            word = word[: -len(suf)]
+            if word.endswith("ig") and not word.endswith("eig") and \
+                    len(word) - 2 >= r2:
+                word = word[:-2]
+    elif suf in ("ig", "ik", "isch"):
+        if len(word) - len(suf) >= r2 and word[-len(suf) - 1: -len(suf)] != "e":
+            word = word[: -len(suf)]
+    elif suf in ("lich", "heit"):
+        if len(word) - len(suf) >= r2:
+            word = word[: -len(suf)]
+            tail = _longest_suffix(word, "er", "en")
+            if tail is not None and len(word) - 2 >= r1:
+                word = word[:-2]
+    elif suf == "keit":
+        if len(word) - len(suf) >= r2:
+            word = word[: -len(suf)]
+            tail = _longest_suffix(word, "lich", "ig")
+            if tail is not None and len(word) - len(tail) >= r2:
+                word = word[: -len(tail)]
+
+    # finally
+    word = word.replace("U", "u").replace("Y", "y")
+    return word.translate(str.maketrans("äöü", "aou"))
+
+
+# ===========================================================================
+# Russian — snowballstem.org/algorithms/russian/stemmer.html
+# ===========================================================================
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERFECTIVE_1 = ("в", "вши", "вшись")          # preceded by а/я
+_RU_PERFECTIVE_2 = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJECTIVE = (
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую", "юю",
+    "ая", "яя", "ою", "ею")
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")  # preceded by а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_REFLEXIVE = ("ся", "сь")
+_RU_VERB_1 = (                                     # preceded by а/я
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно")
+_RU_VERB_2 = (
+    "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+    "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю")
+_RU_NOUN = (
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я")
+_RU_SUPERLATIVE = ("ейш", "ейше")
+_RU_DERIVATIONAL = ("ост", "ость")
+
+
+def _ru_strip_group1(word: str, rv: int, group1, group2) -> str | None:
+    """One among() over a (group1: must be preceded by а/я, group2) pair;
+    returns the stripped word or None.  Longest in-RV match wins the
+    dispatch; a group1 winner whose preceded-by-а/я test then fails
+    fails the whole among (no backtracking on condition failure)."""
+    best = _longest_in(word, rv, tuple(group1) + tuple(group2))
+    if best is None:
+        return None
+    if best in group1:
+        pre = len(word) - len(best) - 1
+        if pre < rv or word[pre] not in "ая":
+            return None
+    return word[: -len(best)]
+
+
+def stem_russian(word: str) -> str:
+    if not word:
+        return word
+    word = word.replace("ё", "е")
+    n = len(word)
+    rv = n
+    for i, ch in enumerate(word):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    _, r2 = _r1_r2(word, _RU_VOWELS)
+
+    # step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
+    stripped = _ru_strip_group1(word, rv, _RU_PERFECTIVE_1, _RU_PERFECTIVE_2)
+    if stripped is not None:
+        word = stripped
+    else:
+        suf = _longest_in(word, rv, _RU_REFLEXIVE)
+        if suf:
+            word = word[: -len(suf)]
+        # adjectival = adjective, optionally preceded by participle
+        suf = _longest_in(word, rv, _RU_ADJECTIVE)
+        if suf:
+            word = word[: -len(suf)]
+            stripped = _ru_strip_group1(
+                word, rv, _RU_PARTICIPLE_1, _RU_PARTICIPLE_2)
+            if stripped is not None:
+                word = stripped
+        else:
+            stripped = _ru_strip_group1(word, rv, _RU_VERB_1, _RU_VERB_2)
+            if stripped is not None:
+                word = stripped
+            else:
+                suf = _longest_in(word, rv, _RU_NOUN)
+                if suf:
+                    word = word[: -len(suf)]
+
+    # step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+
+    # step 3: derivational (in R2)
+    suf = _longest_in(word, r2, _RU_DERIVATIONAL)
+    if suf:
+        word = word[: -len(suf)]
+
+    # step 4: one of (superlative [+ undouble нн]) | undouble нн | drop ь
+    # — a single among dispatching on the longest in-RV match, so only
+    # one branch runs (russian tidy_up)
+    suf = _longest_in(word, rv, ("ейше", "ейш", "н", "ь"))
+    if suf in ("ейше", "ейш"):
+        word = word[: -len(suf)]
+        if word.endswith("нн") and len(word) - 2 >= rv:
+            word = word[:-1]
+    elif suf == "н":
+        if word.endswith("нн") and len(word) - 2 >= rv:
+            word = word[:-1]
+    elif suf == "ь":
+        word = word[:-1]
+    return word
+
+
+# ===========================================================================
+# French — snowballstem.org/algorithms/french/stemmer.html
+# ===========================================================================
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(word: str) -> str:
+    """Prelude: u/i between vowels -> U/I, y next to a vowel -> Y,
+    u after q -> U, ë -> He, ï -> Hi.  `repeat goto(...)` leaves the
+    cursor BEFORE each match (the replacement is what stops re-matching),
+    so this is a strict left-to-right scan with no skipping: in `yy…`
+    the second y is marked (anchored on the first), and an ë consumed as
+    a pattern's trailing vowel still gets He-ified at its own turn."""
+    chars = list(word)
+    i = 0
+    while i < len(chars):
+        # keep retrying at this position until no alternative applies
+        # (each replacement disables its own alternative, so this ends);
+        # e.g. `ëy…`: alt 1 marks the y (ë anchors as a vowel), then the
+        # retry He-ifies the ë itself
+        c = chars[i]
+        nxt = chars[i + 1] if i + 1 < len(chars) else "\0"
+        nxt2 = chars[i + 2] if i + 2 < len(chars) else "\0"
+        if c in _FR_VOWELS and nxt in "ui" and nxt2 in _FR_VOWELS:
+            chars[i + 1] = nxt.upper()
+        elif c in _FR_VOWELS and nxt == "y":
+            chars[i + 1] = "Y"
+        elif c == "ë":
+            chars[i: i + 1] = ["H", "e"]
+        elif c == "ï":
+            chars[i: i + 1] = ["H", "i"]
+        elif c == "y" and nxt in _FR_VOWELS:
+            chars[i] = "Y"
+        elif c == "q" and nxt == "u":
+            chars[i + 1] = "U"
+        else:
+            i += 1
+    return "".join(chars)
+
+
+def _rv_french(word: str) -> int:
+    """French RV: after the third letter if the word begins with two
+    vowels, else after the first vowel not at the beginning; par/col/tap
+    prefixes define RV directly (spec 'exceptionally')."""
+    n = len(word)
+    if word[:3] in ("par", "col", "tap"):
+        return 3
+    if n >= 2 and word[0] in _FR_VOWELS and word[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if word[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+_FR_S1_G1 = ("ance", "iqUe", "isme", "able", "iste", "eux",
+             "ances", "iqUes", "ismes", "ables", "istes")
+_FR_S1_ATEUR = ("atrice", "ateur", "ation", "atrices", "ateurs", "ations")
+_FR_S1_ALL = _FR_S1_G1 + _FR_S1_ATEUR + (
+    "logie", "logies", "usion", "ution", "usions", "utions", "ence",
+    "ences", "ement", "ements", "ité", "ités", "if", "ive", "ifs",
+    "ives", "eaux", "aux", "euse", "euses", "issement", "issements",
+    "amment", "emment", "ment", "ments")
+
+_FR_2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it")
+
+_FR_2B_E = ("é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+            "eraIent", "erais", "erait", "eras", "erez", "eriez",
+            "erions", "erons", "eront", "ez", "iez")
+_FR_2B_A = ("âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait",
+            "ant", "ante", "antes", "ants", "as", "asse", "assent",
+            "asses", "assiez", "assions")
+
+
+def _fr_step1(word: str, r1: int, r2: int, rv: int):
+    """Returns (word, found_suffix, changed)."""
+    suf = _longest_suffix(word, *_FR_S1_ALL)
+    if suf is None:
+        return word, None, False
+    L = len(word) - len(suf)
+    changed = False
+    if suf in _FR_S1_G1:
+        if L >= r2:
+            word, changed = word[:L], True
+    elif suf in _FR_S1_ATEUR:
+        if L >= r2:
+            word, changed = word[:L], True
+            if word.endswith("ic"):
+                if len(word) - 2 >= r2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+    elif suf in ("logie", "logies"):
+        if L >= r2:
+            word, changed = word[:L] + "log", True
+    elif suf in ("usion", "ution", "usions", "utions"):
+        if L >= r2:
+            word, changed = word[:L] + "u", True
+    elif suf in ("ence", "ences"):
+        if L >= r2:
+            word, changed = word[:L] + "ent", True
+    elif suf in ("ement", "ements"):
+        if L >= rv:
+            word, changed = word[:L], True
+            if word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            elif word.endswith("eus"):
+                if len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif len(word) - 3 >= r1:
+                    word = word[:-3] + "eux"
+            elif (word.endswith("abl") or word.endswith("iqU")) and \
+                    len(word) - 3 >= r2:
+                word = word[:-3]
+            elif (word.endswith("ièr") or word.endswith("Ièr")) and \
+                    len(word) - 3 >= rv:
+                word = word[:-3] + "i"
+    elif suf in ("ité", "ités"):
+        if L >= r2:
+            word, changed = word[:L], True
+            if word.endswith("abil"):
+                if len(word) - 4 >= r2:
+                    word = word[:-4]
+                else:
+                    word = word[:-4] + "abl"
+            elif word.endswith("ic"):
+                if len(word) - 2 >= r2:
+                    word = word[:-2]
+                else:
+                    word = word[:-2] + "iqU"
+            elif word.endswith("iv") and len(word) - 2 >= r2:
+                word = word[:-2]
+    elif suf in ("if", "ive", "ifs", "ives"):
+        if L >= r2:
+            word, changed = word[:L], True
+            if word.endswith("at") and len(word) - 2 >= r2:
+                word = word[:-2]
+                if word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+    elif suf == "eaux":
+        word, changed = word[:L] + "eau", True
+    elif suf == "aux":
+        if L >= r1:
+            word, changed = word[:L] + "al", True
+    elif suf in ("euse", "euses"):
+        if L >= r2:
+            word, changed = word[:L], True
+        elif L >= r1:
+            word, changed = word[:L] + "eux", True
+    elif suf in ("issement", "issements"):
+        if L >= r1 and L > 0 and word[L - 1] not in _FR_VOWELS:
+            word, changed = word[:L], True
+    elif suf == "amment":
+        if L >= rv:
+            word, changed = word[:L] + "ant", True
+    elif suf == "emment":
+        if L >= rv:
+            word, changed = word[:L] + "ent", True
+    else:  # ment, ments — preceded by a vowel in RV
+        if L - 1 >= rv and L > 0 and word[L - 1] in _FR_VOWELS:
+            word, changed = word[:L], True
+    return word, suf, changed
+
+
+def stem_french(word: str) -> str:
+    if not word:
+        return word
+    word = _fr_mark(word)
+    r1, r2 = _r1_r2(word, _FR_VOWELS)
+    rv = _rv_french(word)
+
+    word, suf1, changed1 = _fr_step1(word, r1, r2, rv)
+    altered = changed1
+    if not changed1 or suf1 in ("amment", "emment", "ment", "ments"):
+        # step 2a: i-verb suffixes, preceded by a non-vowel (not the H
+        # marker) itself in RV
+        suf = _longest_in(word, rv, _FR_2A)
+        removed = False
+        if suf is not None:
+            pre = len(word) - len(suf) - 1
+            if pre >= rv and word[pre] not in _FR_VOWELS and \
+                    word[pre] != "H":
+                word = word[: -len(suf)]
+                removed = True
+        altered = removed
+        if not removed:
+            # step 2b
+            suf = _longest_in(word, rv, ("ions",) + _FR_2B_E + _FR_2B_A)
+            if suf == "ions":
+                if len(word) - 4 >= r2:
+                    word, altered = word[:-4], True
+            elif suf in _FR_2B_E:
+                word, altered = word[: -len(suf)], True
+            elif suf in _FR_2B_A:
+                word, altered = word[: -len(suf)], True
+                if word.endswith("e") and len(word) - 1 >= rv:
+                    word = word[:-1]
+
+    if altered:
+        # step 3
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # step 4: residual s (preceding char must exist and not be one of
+        # a i o u è s — except i as part of the Hi mark), then
+        # ion/ier/e/ë in RV
+        if word.endswith("s") and len(word) >= 2 and (
+            word[-3:-1] == "Hi" or word[-2] not in "aiouès"
+        ):
+            word = word[:-1]
+        suf = _longest_in(word, rv, ("ion", "ier", "ière", "Ier", "Ière",
+                                     "e", "ë"))
+        if suf == "ion":
+            if len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+                word = word[:-3]
+        elif suf in ("ier", "ière", "Ier", "Ière"):
+            word = word[: -len(suf)] + "i"
+        elif suf == "e":
+            word = word[:-1]
+        elif suf == "ë":
+            if word.endswith("guë"):
+                word = word[:-1]
+
+    # step 5: undouble
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+    # step 6: un-accent é/è followed by >=1 non-vowel at the end
+    j = len(word) - 1
+    k = 0
+    while j >= 0 and word[j] not in _FR_VOWELS:
+        j -= 1
+        k += 1
+    if k >= 1 and j >= 0 and word[j] in "éè":
+        word = word[:j] + "e" + word[j + 1:]
+
+    word = word.replace("He", "ë").replace("Hi", "ï").replace("H", "")
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ===========================================================================
+# Spanish — snowballstem.org/algorithms/spanish/stemmer.html
+# ===========================================================================
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+_ES_PRON = ("me", "se", "sela", "selo", "selas", "selos", "la", "le",
+            "lo", "las", "les", "los", "nos")
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_PRE_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_S1_DEL = ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "able", "ables", "ible", "ibles", "ista",
+              "istas", "oso", "osa", "osos", "osas", "amiento",
+              "amientos", "imiento", "imientos")
+_ES_S1_ADOR = ("adora", "ador", "ación", "adoras", "adores", "aciones",
+               "ante", "antes", "ancia", "ancias")
+_ES_S1_ALL = _ES_S1_DEL + _ES_S1_ADOR + (
+    "logía", "logías", "ución", "uciones", "encia", "encias", "amente",
+    "mente", "idad", "idades", "iva", "ivo", "ivas", "ivos")
+
+_ES_2A = ("ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas",
+          "yes", "yais", "yamos")
+_ES_2B_GU = ("en", "es", "éis", "emos")
+_ES_2B = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+    "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+    "eré", "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida", "ía",
+    "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste",
+    "an", "aban", "ían", "aran", "ieran", "asen", "iesen", "aron",
+    "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er", "ir",
+    "as", "abas", "adas", "idas", "ías", "aras", "ieras", "ases",
+    "ieses", "ís", "áis", "abais", "íais", "arais", "ierais", "aseis",
+    "ieseis", "asteis", "isteis", "ados", "idos", "amos", "ábamos",
+    "íamos", "imos", "áramos", "iéramos", "iésemos", "ásemos")
+
+
+def stem_spanish(word: str) -> str:
+    if not word:
+        return word
+    r1, r2 = _r1_r2(word, _ES_VOWELS)
+    rv = _rv_romance(word, _ES_VOWELS)
+
+    # step 0: attached pronoun after a gerund/infinitive ending in RV
+    pron = _longest_suffix(word, *_ES_PRON)
+    if pron is not None:
+        base = word[: -len(pron)]
+        pre = _longest_suffix(base, *(_ES_PRON_PRE_A + _ES_PRON_PRE_B +
+                                      ("yendo",)))
+        if pre is not None and len(base) - len(pre) >= rv:
+            if pre in _ES_PRON_PRE_A:
+                word = base.translate(str.maketrans("áéí", "aei"))
+            elif pre == "yendo":
+                if base[: -5].endswith("u"):
+                    word = base
+            else:
+                word = base
+
+    # step 1: standard suffix removal
+    changed1 = False
+    suf = _longest_suffix(word, *_ES_S1_ALL)
+    if suf is not None:
+        L = len(word) - len(suf)
+        if suf in _ES_S1_DEL:
+            if L >= r2:
+                word, changed1 = word[:L], True
+        elif suf in _ES_S1_ADOR:
+            if L >= r2:
+                word, changed1 = word[:L], True
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif suf in ("logía", "logías"):
+            if L >= r2:
+                word, changed1 = word[:L] + "log", True
+        elif suf in ("ución", "uciones"):
+            if L >= r2:
+                word, changed1 = word[:L] + "u", True
+        elif suf in ("encia", "encias"):
+            if L >= r2:
+                word, changed1 = word[:L] + "ente", True
+        elif suf == "amente":
+            if L >= r1:
+                word, changed1 = word[:L], True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    t = _longest_suffix(word, "os", "ic", "ad")
+                    if t is not None and len(word) - 2 >= r2:
+                        word = word[:-2]
+        elif suf == "mente":
+            if L >= r2:
+                word, changed1 = word[:L], True
+                t = _longest_suffix(word, "ante", "able", "ible")
+                if t is not None and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+        elif suf in ("idad", "idades"):
+            if L >= r2:
+                word, changed1 = word[:L], True
+                t = _longest_suffix(word, "abil", "ic", "iv")
+                if t is not None and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+        else:  # iva ivo ivas ivos
+            if L >= r2:
+                word, changed1 = word[:L], True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+
+    if not changed1:
+        # step 2a: verb suffixes beginning y, preceded by u (the u need
+        # not be in RV — the setlimit covers only the substring match)
+        suf = _longest_in(word, rv, _ES_2A)
+        removed = False
+        if suf is not None:
+            if word[: -len(suf)].endswith("u"):
+                word, removed = word[: -len(suf)], True
+        if not removed:
+            # step 2b
+            suf = _longest_in(word, rv, _ES_2B_GU + _ES_2B)
+            if suf is not None:
+                word = word[: -len(suf)]
+                if suf in _ES_2B_GU and word.endswith("gu"):
+                    word = word[:-1]
+
+    # step 3: residual suffix
+    suf = _longest_in(word, rv, ("os", "a", "o", "á", "í", "ó"))
+    if suf is not None:
+        word = word[: -len(suf)]
+    else:
+        suf = _longest_in(word, rv, ("e", "é"))
+        if suf is not None:
+            word = word[: -len(suf)]
+            if word.endswith("gu") and len(word) - 1 >= rv:
+                word = word[:-1]
+
+    return word.translate(str.maketrans("áéíóú", "aeiou"))
+
+
+# ===========================================================================
+# Italian — snowballstem.org/algorithms/italian/stemmer.html
+# ===========================================================================
+
+_IT_VOWELS = "aeiouàèìòù"
+
+_IT_PRON = ("ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti",
+            "vi", "sene", "gliela", "gliele", "glieli", "glielo",
+            "gliene", "mela", "mele", "meli", "melo", "mene", "tela",
+            "tele", "teli", "telo", "tene", "cela", "cele", "celi",
+            "celo", "cene", "vela", "vele", "veli", "velo", "vene")
+
+_IT_S1_DEL = ("anza", "anze", "ico", "ici", "ica", "ice", "iche",
+              "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+              "ibili", "ista", "iste", "isti", "istà", "istè", "istì",
+              "oso", "osi", "osa", "ose", "mente", "atrice", "atrici",
+              "ante", "anti")
+_IT_S1_AZIONE = ("azione", "azioni", "atore", "atori")
+_IT_S1_ALL = _IT_S1_DEL + _IT_S1_AZIONE + (
+    "logia", "logie", "uzione", "uzioni", "usione", "usioni", "enza",
+    "enze", "amento", "amenti", "imento", "imenti", "amente", "ità",
+    "ivo", "ivi", "iva", "ive")
+
+_IT_S2 = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco",
+    "iscono", "issero", "ita", "ite", "iti", "ito", "iva", "ivamo",
+    "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+    "ar", "ir")
+
+
+def _it_mark(word: str) -> str:
+    """Replace acute accents with grave; mark u/i between vowels and u
+    after q as U/I."""
+    word = word.translate(str.maketrans("áéíóú", "àèìòù"))
+    out = []
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        prev = out[-1] if out else "\0"
+        nxt = chars[i + 1] if i + 1 < n else "\0"
+        if c in "ui" and prev in _IT_VOWELS and nxt in _IT_VOWELS:
+            out.append(c.upper())
+        elif c == "u" and prev == "q":
+            out.append("U")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def stem_italian(word: str) -> str:
+    if not word:
+        return word
+    word = _it_mark(word)
+    r1, r2 = _r1_r2(word, _IT_VOWELS)
+    rv = _rv_romance(word, _IT_VOWELS)
+
+    # step 0: attached pronoun following ando/endo (delete) or
+    # ar/er/ir (replace with e), the ending in RV
+    pron = _longest_suffix(word, *_IT_PRON)
+    if pron is not None:
+        base = word[: -len(pron)]
+        pre = _longest_suffix(base, "ando", "endo", "ar", "er", "ir")
+        if pre is not None and len(base) - len(pre) >= rv:
+            word = base if pre in ("ando", "endo") else base + "e"
+
+    # step 1
+    changed1 = False
+    suf = _longest_suffix(word, *_IT_S1_ALL)
+    if suf is not None:
+        L = len(word) - len(suf)
+        if suf == "amente":
+            # amente before the plain-delete group (longest-match makes
+            # this unreachable via mente)
+            if L >= r1:
+                word, changed1 = word[:L], True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    t = _longest_suffix(word, "os", "ic", "abil")
+                    if t is not None and len(word) - len(t) >= r2:
+                        word = word[: -len(t)]
+        elif suf in _IT_S1_DEL:
+            if L >= r2:
+                word, changed1 = word[:L], True
+        elif suf in _IT_S1_AZIONE:
+            if L >= r2:
+                word, changed1 = word[:L], True
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif suf in ("logia", "logie"):
+            if L >= r2:
+                word, changed1 = word[:L] + "log", True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if L >= r2:
+                word, changed1 = word[:L] + "u", True
+        elif suf in ("enza", "enze"):
+            if L >= r2:
+                word, changed1 = word[:L] + "ente", True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if L >= rv:
+                word, changed1 = word[:L], True
+        elif suf == "ità":
+            if L >= r2:
+                word, changed1 = word[:L], True
+                t = _longest_suffix(word, "abil", "ic", "iv")
+                if t is not None and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+        else:  # ivo ivi iva ive
+            if L >= r2:
+                word, changed1 = word[:L], True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic") and len(word) - 2 >= r2:
+                        word = word[:-2]
+
+    # step 2: verb suffixes, if step 1 removed nothing
+    if not changed1:
+        suf = _longest_in(word, rv, _IT_S2)
+        if suf is not None:
+            word = word[: -len(suf)]
+
+    # step 3a: final vowel (and preceding i), both in RV
+    suf = _longest_in(word, rv, ("a", "e", "i", "o", "à", "è", "ì", "ò"))
+    if suf is not None:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= rv:
+            word = word[:-1]
+    # step 3b
+    suf = _longest_in(word, rv, ("ch", "gh"))
+    if suf is not None:
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ===========================================================================
+# Portuguese — snowballstem.org/algorithms/portuguese/stemmer.html
+# ===========================================================================
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_S1_DEL = ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+              "osos", "osas", "amento", "amentos", "imento", "imentos",
+              "ante", "antes", "ância")
+_PT_S1_ADOR = ("adora", "ador", "aça~o", "adoras", "adores", "aço~es")
+_PT_S1_ALL = _PT_S1_DEL + _PT_S1_ADOR + (
+    "logia", "logias", "uça~o", "uço~es", "ência", "ências", "amente",
+    "mente", "idade", "idades", "iva", "ivo", "ivas", "ivos", "ira",
+    "iras")
+
+_PT_S2 = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as",
+    "adas", "idas", "ias", "arias", "erias", "irias", "arás", "aras",
+    "erás", "eras", "irás", "avas", "es", "ardes", "erdes", "irdes",
+    "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+    "estes", "istes", "is", "ais", "iais", "eis", "aríeis", "eríeis",
+    "iríeis", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "ásseis", "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+    "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+    "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+    "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos",
+    "ermos", "irmos", "eu", "iu", "ou", "ira", "iras")
+
+
+def stem_portuguese(word: str) -> str:
+    if not word:
+        return word
+    # prelude: nasal vowels become two-char a~ / o~ sequences (treated
+    # as non-vowel for the region computation, per the spec)
+    word = word.replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = _r1_r2(word, _PT_VOWELS)
+    rv = _rv_romance(word, _PT_VOWELS)
+
+    # step 1
+    changed1 = False
+    suf = _longest_suffix(word, *_PT_S1_ALL)
+    if suf is not None:
+        L = len(word) - len(suf)
+        if suf == "amente":
+            if L >= r1:
+                word, changed1 = word[:L], True
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    t = _longest_suffix(word, "os", "ic", "ad")
+                    if t is not None and len(word) - 2 >= r2:
+                        word = word[:-2]
+        elif suf in _PT_S1_DEL:
+            if L >= r2:
+                word, changed1 = word[:L], True
+        elif suf in _PT_S1_ADOR:
+            # unlike es/fr/it, the pt ador/ação group has no inner
+            # ic-removal (comunicação -> comunic)
+            if L >= r2:
+                word, changed1 = word[:L], True
+        elif suf in ("logia", "logias"):
+            if L >= r2:
+                word, changed1 = word[:L] + "log", True
+        elif suf in ("uça~o", "uço~es"):
+            if L >= r2:
+                word, changed1 = word[:L] + "u", True
+        elif suf in ("ência", "ências"):
+            if L >= r2:
+                word, changed1 = word[:L] + "ente", True
+        elif suf == "mente":
+            if L >= r2:
+                word, changed1 = word[:L], True
+                t = _longest_suffix(word, "ante", "avel", "ível")
+                if t is not None and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+        elif suf in ("idade", "idades"):
+            if L >= r2:
+                word, changed1 = word[:L], True
+                t = _longest_suffix(word, "abil", "ic", "iv")
+                if t is not None and len(word) - len(t) >= r2:
+                    word = word[: -len(t)]
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if L >= r2:
+                word, changed1 = word[:L], True
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        else:  # ira iras -> ir when in RV and preceded by e
+            if L >= rv and word[:L].endswith("e"):
+                word, changed1 = word[:L] + "ir", True
+
+    # step 2: verb suffixes, if step 1 changed nothing
+    changed2 = False
+    if not changed1:
+        suf = _longest_in(word, rv, _PT_S2)
+        if suf is not None:
+            word, changed2 = word[: -len(suf)], True
+
+    if changed1 or changed2:
+        # step 3
+        if word.endswith("i") and len(word) - 1 >= rv and \
+                word[-2:-1] == "c":
+            word = word[:-1]
+    else:
+        # step 4: residual suffix
+        suf = _longest_in(word, rv, ("os", "a", "i", "o", "á", "í", "ó"))
+        if suf is not None:
+            word = word[: -len(suf)]
+
+    # step 5
+    suf = _longest_in(word, rv, ("e", "é", "ê"))
+    if suf is not None:
+        word = word[:-1]
+        if word.endswith("gu") and len(word) - 1 >= rv:
+            word = word[:-1]
+        elif word.endswith("ci") and len(word) - 1 >= rv:
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# ===========================================================================
+# Danish / Norwegian / Swedish — snowballstem.org/algorithms/<lang>/
+# (shared shape: adjusted R1, big step-1 among + valid s-ending,
+#  consonant-pair shortening, d-suffixes)
+# ===========================================================================
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_ENDING = "abcdfghjklmnoprtvyzå"
+_DA_S1 = ("hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+          "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+          "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+          "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret")
+
+
+def _scan_r1(word: str, vowels: str) -> int:
+    """R1 with the Scandinavian/German adjustment: at least 3 letters
+    before the region."""
+    r1, _ = _r1_r2(word, vowels)
+    return max(r1, 3) if len(word) >= 3 else len(word)
+
+
+def stem_danish(word: str) -> str:
+    if not word:
+        return word
+    r1 = _scan_r1(word, _DA_VOWELS)
+
+    # step 1 (setlimit to R1: the region constrains the match itself)
+    suf = _longest_in(word, r1, _DA_S1 + ("s",))
+    if suf == "s":
+        if len(word) >= 2 and word[-2] in _DA_S_ENDING:
+            word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+
+    # step 2: shorten gd dt gt kt
+    if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # step 3
+    if word.endswith("igst"):
+        word = word[:-2]
+    suf = _longest_in(word, r1, ("ig", "lig", "elig", "els", "løst"))
+    if suf == "løst":
+        word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+        if word[-2:] in ("gd", "dt", "gt", "kt") and len(word) - 2 >= r1:
+            word = word[:-1]
+
+    # step 4: undouble final double consonant in R1
+    if len(word) >= 2 and word[-1] == word[-2] and \
+            word[-1] not in _DA_VOWELS and len(word) - 1 >= r1:
+        word = word[:-1]
+    return word
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S1 = ("a", "e", "ede", "ande", "ende", "ane", "ene", "hetene",
+          "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+          "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets",
+          "et", "het", "ast")
+
+
+def stem_norwegian(word: str) -> str:
+    if not word:
+        return word
+    r1 = _scan_r1(word, _NO_VOWELS)
+
+    # step 1
+    suf = _longest_in(word, r1, _NO_S1 + ("s", "erte", "ert"))
+    if suf == "s":
+        ok = False
+        if len(word) >= 2:
+            pre = word[-2]
+            if pre in "bcdfghjlmnoprtvyz":
+                ok = True
+            elif pre == "k" and (len(word) < 3 or
+                                 word[-3] not in _NO_VOWELS):
+                ok = True
+        if ok:
+            word = word[:-1]
+    elif suf in ("erte", "ert"):
+        word = word[: -len(suf)] + "er"
+    elif suf is not None:
+        word = word[: -len(suf)]
+
+    # step 2: shorten dt vt
+    if word[-2:] in ("dt", "vt") and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # step 3
+    suf = _longest_in(word, r1, ("leg", "eleg", "ig", "eig", "lig",
+                                 "elig", "els", "lov", "elov", "slov",
+                                 "hetslov"))
+    if suf is not None:
+        word = word[: -len(suf)]
+    return word
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S1 = ("a", "arna", "erna", "heterna", "orna", "ad", "e", "ade",
+          "ande", "arne", "are", "aste", "en", "anden", "aren",
+          "heten", "ern", "ar", "er", "heter", "or", "as", "arnas",
+          "ernas", "ornas", "es", "ades", "andes", "ens", "arens",
+          "hetens", "erns", "at", "andet", "het", "ast")
+
+
+def stem_swedish(word: str) -> str:
+    if not word:
+        return word
+    r1 = _scan_r1(word, _SV_VOWELS)
+
+    # step 1
+    suf = _longest_in(word, r1, _SV_S1 + ("s",))
+    if suf == "s":
+        if len(word) >= 2 and word[-2] in "bcdfghjklmnoprtvy":
+            word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+
+    # step 2: shorten dd gd nn dt gt kt tt
+    if word[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt", "tt") and \
+            len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # step 3
+    suf = _longest_in(word, r1, ("lig", "ig", "els", "löst", "fullt"))
+    if suf in ("löst", "fullt"):
+        word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+    return word
+
+
+# ===========================================================================
+# Dutch — snowballstem.org/algorithms/dutch/stemmer.html
+# ===========================================================================
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_undouble(word: str) -> str:
+    if word[-2:] in ("kk", "dd", "tt"):
+        return word[:-1]
+    return word
+
+
+def stem_dutch(word: str) -> str:
+    if not word:
+        return word
+    # prelude: strip umlauts/acutes, mark initial y, y after vowel, and
+    # i between vowels as consonants
+    word = word.translate(str.maketrans("äëïöüáéíóú", "aeiouaeiou"))
+    chars = list(word)
+    n = len(chars)
+    out = []
+    for i, c in enumerate(chars):
+        prev = out[-1] if out else "\0"
+        nxt = chars[i + 1] if i + 1 < n else "\0"
+        if c == "y" and (i == 0 or prev in _NL_VOWELS):
+            out.append("Y")
+        elif c == "i" and prev in _NL_VOWELS and nxt in _NL_VOWELS:
+            out.append("I")
+        else:
+            out.append(c)
+    word = "".join(out)
+
+    # Regions are byte offsets: the dutch algorithm's "at least 3
+    # letters before R1" is a literal `$p1 < 3` on the byte cursor in
+    # the UTF-8 runtime (both the reference's rust-stemmers and
+    # PostgreSQL's snowball), so a leading 2-byte è shifts R1.
+    bpos = [0]
+    for c in word:
+        bpos.append(bpos[-1] + len(c.encode("utf-8")))
+    r1c, r2c = _r1_r2(word, _NL_VOWELS)
+    r1 = max(bpos[r1c], 3) if bpos[-1] >= 3 else bpos[-1]
+    r2 = bpos[r2c]
+
+    def in_r1(chars_left: int) -> bool:
+        return bpos[chars_left] >= r1
+
+    def in_r2(chars_left: int) -> bool:
+        return bpos[chars_left] >= r2
+
+    # step 1
+    suf = _longest_suffix(word, "heden", "ene", "en", "se", "s")
+    if suf == "heden":
+        if in_r1(len(word) - 5):
+            word = word[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        L = len(word) - len(suf)
+        if in_r1(L) and L > 0 and word[L - 1] not in _NL_VOWELS and \
+                word[L - 3: L] != "gem":
+            word = _nl_undouble(word[:L])
+    elif suf in ("se", "s"):
+        L = len(word) - len(suf)
+        if in_r1(L) and L > 0 and word[L - 1] not in _NL_VOWELS and \
+                word[L - 1] != "j":
+            word = word[:L]
+
+    # step 2: suffix e preceded by a non-vowel
+    e_removed = False
+    if word.endswith("e") and in_r1(len(word) - 1) and len(word) >= 2 \
+            and word[-2] not in _NL_VOWELS:
+        word = _nl_undouble(word[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if word.endswith("heid") and in_r2(len(word) - 4) and \
+            word[-5:-4] != "c":
+        word = word[:-4]
+        suf = _longest_suffix(word, "ene", "en")
+        if suf is not None:
+            L = len(word) - len(suf)
+            if in_r1(L) and L > 0 and word[L - 1] not in _NL_VOWELS and \
+                    word[L - 3: L] != "gem":
+                word = _nl_undouble(word[:L])
+
+    # step 3b: d-suffixes
+    suf = _longest_suffix(word, "end", "ing", "ig", "lijk", "baar", "bar")
+    if suf in ("end", "ing"):
+        if in_r2(len(word) - 3):
+            word = word[:-3]
+            if word.endswith("ig") and in_r2(len(word) - 2) and \
+                    word[-3:-2] != "e":
+                word = word[:-2]
+            else:
+                word = _nl_undouble(word)
+    elif suf == "ig":
+        if in_r2(len(word) - 2) and word[-3:-2] != "e":
+            word = word[:-2]
+    elif suf == "lijk":
+        if in_r2(len(word) - 4):
+            word = word[:-4]
+            if word.endswith("e") and in_r1(len(word) - 1) and \
+                    len(word) >= 2 and word[-2] not in _NL_VOWELS:
+                word = _nl_undouble(word[:-1])
+    elif suf == "baar":
+        if in_r2(len(word) - 4):
+            word = word[:-4]
+    elif suf == "bar":
+        if in_r2(len(word) - 3) and e_removed:
+            word = word[:-3]
+
+    # step 4: undouble vowel in C V V D shape
+    if len(word) >= 4 and word[-1] not in _NL_VOWELS and word[-1] != "I" \
+            and word[-2] == word[-3] and word[-2] in "aeou" \
+            and word[-4] not in _NL_VOWELS:
+        word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
