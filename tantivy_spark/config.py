@@ -48,6 +48,13 @@ class IndexConfig:
     #: shuffle, least memory traffic, best scaling efficiency.  Segment
     #: count must give enough tasks to fill the cluster in "local" mode.
     postings_mode: str = "salted"
+    #: index sorting (IndexSettings::sort_by_field, src/index/
+    #: index_meta.rs:288-398): (field, "asc"|"desc") orders docs within
+    #: each segment by that fast-field value, enabling early termination
+    #: for top-k-by-that-field scans.  None (default) keeps the stable
+    #: key_cols order.  key_cols remain the tiebreak either way, so the
+    #: assignment stays deterministic.
+    sort_by_field: tuple[str, str] | None = None
     k1: float = 1.2
     b: float = 0.75
 
@@ -55,6 +62,8 @@ class IndexConfig:
         d = asdict(self)
         d["key_cols"] = list(self.key_cols)
         d["extra_fields"] = list(self.extra_fields)
+        if self.sort_by_field is not None:
+            d["sort_by_field"] = list(self.sort_by_field)
         return json.dumps(d)
 
     @staticmethod
@@ -62,4 +71,6 @@ class IndexConfig:
         d = json.loads(s)
         d["key_cols"] = tuple(d["key_cols"])
         d["extra_fields"] = tuple(d.get("extra_fields", ()))
+        if d.get("sort_by_field") is not None:
+            d["sort_by_field"] = tuple(d["sort_by_field"])
         return IndexConfig(**d)

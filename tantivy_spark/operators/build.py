@@ -213,7 +213,14 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
 
     tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
 
-    w = Window.partitionBy("segment_ord").orderBy(*[F.col(c) for c in cfg.key_cols])
+    # index sorting (index_meta.rs:288-398): optional fast-field order
+    # first, key_cols as the deterministic tiebreak
+    order = [F.col(c) for c in cfg.key_cols]
+    if cfg.sort_by_field is not None:
+        fld, direction = cfg.sort_by_field
+        lead = F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
+        order = [lead] + order
+    w = Window.partitionBy("segment_ord").orderBy(*order)
     return tokenized.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
 
 

@@ -136,3 +136,87 @@ def test_stable_turn_order_invariant(spark, tmp_root):
         assert ids == list(range(len(rows)))  # dense, 0-based
         keys = [(r[1], r[2]) for r in rows]
         assert keys == sorted(keys)  # doc id order == stable key order
+
+
+def test_sort_by_field_index_sorting(spark, tmp_root):
+    """IndexSettings::sort_by_field (index_meta.rs:288-398): docs within
+    each segment are ordered by the fast field, and search results are
+    identical to the unsorted index (sorting only permutes doc ids)."""
+    src = transcripts_df(spark, 100, partitions=3).withColumn(
+        "n_chars", F.length("text"))
+    iu = f"{tmp_root}/sortfield_u_{time.time_ns()}"
+    ids = f"{tmp_root}/sortfield_d_{time.time_ns()}"
+    build_index(spark, src, iu, CFG)
+    build_index(
+        spark, src, ids,
+        IndexConfig(n_segments=4, n_term_buckets=4,
+                    sort_by_field=("n_chars", "desc")))
+
+    dm = spark.read.parquet(os.path.join(ids, "docmap"))
+    rows = dm.select("segment_ord", "doc_id", "n_chars").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.segment_ord, []).append((r.doc_id, r.n_chars))
+    for seg, pairs in by_seg.items():
+        pairs.sort()
+        vals = [v for _, v in pairs]
+        assert vals == sorted(vals, reverse=True), f"segment {seg} unsorted"
+
+    # same corpus, same scores — only the doc-id permutation changes
+    su, sd = Searcher(spark, iu), Searcher(spark, ids)
+    q = L.BooleanQuery.union(["the", "a", "spark"])
+    ru = {(r.conv_id, r.turn_idx): round(r.score, 4)
+          for r in su.search(q, k=10000).collect()}
+    rd = {(r.conv_id, r.turn_idx): round(r.score, 4)
+          for r in sd.search(q, k=10000).collect()}
+    assert ru == rd
+
+    # the setting round-trips through the manifest (config json)
+    import json as _json
+
+    m = load_manifest(ids)
+    assert tuple(m["config"]["sort_by_field"]) == ("n_chars", "desc")
+    cfg_rt = IndexConfig.from_json(_json.dumps(m["config"]))
+    assert cfg_rt.sort_by_field == ("n_chars", "desc")
+
+
+def test_ip_fast_field_range(spark, tmp_root):
+    """IpAddr fast field (field_type.rs:177-201): IPs normalize to
+    32-hex u128 strings (IPv4 via the v6-mapped block) and RangeQuery
+    serves numeric-order ranges over them, v4 and v6 mixed."""
+    from tantivy_spark.functions.ip import ip_hex_col, ip_range, ip_to_u128_hex
+
+    # v4 maps into ::ffff:0:0/96 — ordering interleaves correctly
+    assert ip_to_u128_hex("10.0.0.1") == ip_to_u128_hex("::ffff:10.0.0.1")
+    assert ip_to_u128_hex("10.0.0.2") > ip_to_u128_hex("10.0.0.1")
+    assert ip_to_u128_hex("2001:db8::1") > ip_to_u128_hex("255.255.255.255")
+
+    src = transcripts_df(spark, 60, partitions=2).withColumn(
+        "ip",
+        ip_hex_col(
+            F.when(F.col("turn_idx") % 7 == 0,
+                   F.concat(F.lit("2001:db8::"),
+                            F.conv(F.col("turn_idx").cast("string"), 10, 16)))
+            .otherwise(F.concat_ws(".", F.lit("10"), F.lit("0"),
+                                   (F.col("turn_idx") % 4).cast("string"),
+                                   (F.col("turn_idx") % 250).cast("string")))
+        ))
+    idx = f"{tmp_root}/ipidx_{time.time_ns()}"
+    build_index(spark, src, idx, CFG)
+    sr = Searcher(spark, idx)
+
+    got = sr.search(
+        ip_range("ip", "10.0.2.0", "10.0.3.255"), k=100000)
+    got_keys = {(r.conv_id, r.turn_idx) for r in got.collect()}
+    exp_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in src.collect()
+        if ip_to_u128_hex("10.0.2.0") <= r.ip <= ip_to_u128_hex("10.0.3.255")
+    }
+    assert got_keys == exp_keys and got_keys
+    # v6 upper range catches only the v6 docs
+    v6 = sr.search(ip_range("ip", "2001:db8::", "2001:db8::ffff"), k=100000)
+    v6_keys = {(r.conv_id, r.turn_idx) for r in v6.collect()}
+    assert v6_keys == {(r.conv_id, r.turn_idx) for r in src.collect()
+                      if r.turn_idx % 7 == 0}
+    assert v6_keys
