@@ -681,7 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).withColumn("jaccard", F.round("jaccard", 6))
     Q["dedup_simhash"] = lambda s, d: P.simhash_pairs(
         _tbl(s, d, "documents"), "doc_id", max_hamming=6
-    )  # sketch-based — no SQL oracle
+    )  # signature arithmetic is deterministic — full SQL oracle below
     Q["ann_cosine_top10"] = lambda s, d: P.brute_force_topk(
         _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
         "vec_id", "embedding", _qvec(s, d), k=10,
@@ -689,7 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["ann_lsh_top10"] = lambda s, d: P.lsh_bucket_topk(
         _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
         "vec_id", "embedding", _qvec(s, d), k=10,
-    ).withColumn("cosine", F.round("cosine", 6))  # approx — no SQL oracle
+    ).withColumn("cosine", F.round("cosine", 6))
+    # ^ hyperplanes are closed-form splitmix64 values, so the SQL oracle
+    #   recomputes buckets + probing + rerank exactly
     Q["ann_dot_top10"] = lambda s, d: P.brute_force_topk(
         _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
         "vec_id", "embedding", _qvec(s, d), k=10, metric="dot",
@@ -1386,6 +1388,105 @@ SELECT d.doc_id AS key, coalesce(m.mn, 0)::BIGINT AS min_rolling_hash
 FROM documents d
 LEFT JOIN (SELECT doc_id, min(wh) AS mn FROM wins GROUP BY doc_id) m
   USING (doc_id)"""
+
+    # LSH ANN end-to-end in SQL: the splitmix64 hyperplane values are
+    # recomputed exactly (mod-2^64 multiplies via 32-bit split), buckets
+    # = sign pattern over 8 planes, multi-probe = hamming<=1 on bucket
+    # ids, exact cosine rerank of the candidates (pipeline.py
+    # _hyperplanes/lsh_bucket_topk; n_planes=8, n_probe_bits=1, seed=42).
+    O["ann_lsh_top10"] = """
+WITH pl0 AS (SELECT ii.i // 64 AS p, ii.i % 64 AS d,
+        (ii.i + 43::HUGEINT * 11400714819323198485) % 18446744073709551616 AS z1
+        FROM unnest(range(512)) ii(i)),
+pl1 AS (SELECT p, d, xor(z1, z1 >> 30) AS a1 FROM pl0),
+pl2 AS (SELECT p, d, ((a1 % 4294967296) * 13787848793156543929
+         + ((((a1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296))
+         % 18446744073709551616 AS z2 FROM pl1),
+pl3 AS (SELECT p, d, xor(z2, z2 >> 27) AS a2 FROM pl2),
+pl4 AS (SELECT p, d, ((a2 % 4294967296) * 10723151780598845931
+         + ((((a2 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296))
+         % 18446744073709551616 AS z3 FROM pl3),
+planes AS (SELECT p, d,
+           (xor(z3, z3 >> 31)::DOUBLE / 18446744073709551616.0) * 2 - 1 AS val
+           FROM pl4),
+ve AS (SELECT e.vec_id, dd.d, e.embedding[dd.d + 1]::DOUBLE AS x
+       FROM embeddings e, unnest(range(64)) dd(d)),
+dots AS (SELECT ve.vec_id, planes.p, sum(ve.x * planes.val) AS dot
+         FROM ve JOIN planes USING (d) GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+            sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cands AS (SELECT b.vec_id FROM buckets b, qb
+          WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qb.bucket)) <= 1),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.embedding)::DOUBLE AS y
+  FROM embeddings e, qv WHERE e.vec_id IN (SELECT vec_id FROM cands)
+),
+sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    # SimHash end-to-end in SQL: 31-bit poly token hash (same fold as the
+    # rolling-fingerprint oracle), splitmix-style widening to 64 bits
+    # (exact mod-2^64 multiplies via 32-bit split on HUGEINT), per-doc
+    # bit sign-sums, two's-complement reinterpretation, then the SAME
+    # banded candidate rule the engine uses (pigeonhole on 16-bit chunks
+    # — exact for hamming<=3, band-limited above) + hamming filter.
+    # Mirrors pipeline.py simhash_signatures/simhash_pairs arithmetic.
+    O["dedup_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '' AND length(t) < 40) AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id, len(tk) AS n_toks,
+         unnest(list_transform(tk, t -> list_reduce(
+           list_prepend(0::BIGINT,
+                        list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+           (a, c) -> (a * 131 + c) % 2147483647)))::HUGEINT AS h
+  FROM toks WHERE len(tk) > 0
+),
+m1 AS (SELECT doc_id, n_toks,
+       ((h % 4294967296) * 11400714819323198485
+        + ((((h // 4294967296) * 11400714819323198485) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS a FROM th),
+x1 AS (SELECT doc_id, n_toks, xor(a, a >> 31) AS b FROM m1),
+m2 AS (SELECT doc_id, n_toks,
+       ((b % 4294967296) * 13787848793156543929
+        + ((((b // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296))
+       % 18446744073709551616 AS c FROM x1),
+x2 AS (SELECT doc_id, n_toks, xor(c, c >> 27) AS h64 FROM m2),
+bits AS (
+  SELECT doc_id, n_toks, bb.bit,
+         sum(CASE WHEN (h64 >> bb.bit) % 2 = 1 THEN 1 ELSE 0 END) AS cnt
+  FROM x2, unnest(range(64)) bb(bit)
+  GROUP BY 1, 2, 3
+),
+usig AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt * 2 - n_toks > 0
+                  THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         coalesce(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+                       ELSE u END, 0)::BIGINT AS s
+  FROM documents d LEFT JOIN usig ON d.doc_id = usig.doc_id
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       bit_count(xor(a.s, b.s))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 6
+  AND ( ((a.s >> 0)  & 65535) = ((b.s >> 0)  & 65535)
+     OR ((a.s >> 16) & 65535) = ((b.s >> 16) & 65535)
+     OR ((a.s >> 32) & 65535) = ((b.s >> 32) & 65535)
+     OR ((a.s >> 48) & 65535) = ((b.s >> 48) & 65535) )
+ORDER BY key_a, key_b"""
 
     # language-routed stop-word filtering; the per-language Snowball stop
     # lists are inlined as VALUES (data tables — the logic under test is

@@ -506,8 +506,20 @@ def brute_force_topk(df: DataFrame, key_col: str, vec_col: str,
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+    """Deterministic hyperplanes: splitmix64 over the flat (plane, dim)
+    index, mapped to uniform(-1, 1).  Sign-LSH only needs a symmetric
+    component distribution, and the closed-form arithmetic (vs a seeded
+    PRNG stream) makes the whole bucketing pipeline reproducible outside
+    numpy — the SQL oracle recomputes these exact values."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        seed_off = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    idx = np.arange(n_planes * dim, dtype=np.uint64) + seed_off
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    u = z.astype(np.float64) / 2.0 ** 64
+    return (2.0 * u - 1.0).reshape(n_planes, dim)
 
 
 def lsh_bucket_topk(df: DataFrame, key_col: str, vec_col: str,
