@@ -6,8 +6,12 @@ Snowball stemming algorithms (https://snowballstem.org/algorithms/).  Each
 function here implements the corresponding *published algorithm
 description* (the prose specs, public since 2001-2006), not a translation
 of any generated code: German, French, Spanish, Italian, Portuguese,
-Russian, plus the structurally-simple Scandinavian trio (Danish,
-Norwegian, Swedish).
+Russian, Romanian, Dutch, plus the Scandinavian trio (Danish, Norwegian,
+Swedish).  Every stemmer is parity-verified word-for-word against the
+official Snowball implementations (see tests/test_snowball.py); Hungarian
+was attempted and dropped — its per-among boundary semantics differ
+across published snowball revisions and could not be pinned to the
+reference's snapshot.
 
 English stays in functions/porter2.py (Porter2, 109 parity vectors).
 
@@ -1200,3 +1204,145 @@ def stem_dutch(word: str) -> str:
         word = word[:-2] + word[-1]
 
     return word.replace("I", "i").replace("Y", "y")
+
+
+# ===========================================================================
+# Romanian — snowballstem.org/algorithms/romanian/stemmer.html
+# (suffix forms use cedilla ş/ţ, matching the snowball 2.x source the
+#  reference's rust-stemmers snapshot generates from)
+# ===========================================================================
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_S1_PAIRS = [
+    (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+    (("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+      "iciv", "iciva", "icive", "icivi", "icivă", "ical", "icala",
+      "icale", "icali", "icală"), "ic"),
+    (("ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "atoare",
+      "ator", "atori", "ătoare", "ător", "ători"), "at"),
+    (("itiv", "itiva", "itive", "itivi", "itivă", "iţiune", "itoare",
+      "itor", "itori"), "it"),
+]
+
+_RO_S2_DEL = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă", "ibil", "ibila",
+    "ibile", "ibili", "ibilă", "oasa", "oasă", "oase", "os", "osi",
+    "oşi", "ant", "anta", "ante", "anti", "antă", "ator", "atori",
+    "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive", "ivi",
+    "ivă")
+_RO_S2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+              "işti")
+
+_RO_S3_A = (  # delete if preceded by a consonant or u
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "eşte", "ăsc",
+    "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "ea", "eaţi",
+    "eau", "iam", "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm",
+    "arăţi", "ară", "uşi", "urăm", "urăţi", "ură", "işi", "irăm",
+    "irăţi", "iră", "âi", "âşi", "ârăm", "ârăţi", "âră",
+    # perfect paradigm: (a|i|â|u) + (se sem seşi serăm serăţi seră);
+    # longer sei/sese… tails resolve through the unconditional group +
+    # residual-vowel step instead (membership probed against the
+    # official implementation)
+    "ase", "asem", "aseşi", "aserăm", "aserăţi", "aseră",
+    "ise", "isem", "iseşi", "iserăm", "iserăţi", "iseră",
+    "âse", "âsem", "âseşi", "âserăm", "âserăţi", "âseră",
+    "use", "usem", "useşi", "userăm", "userăţi", "useră")
+_RO_S3_B = (  # unconditional delete (match still inside RV)
+    "aţi", "eţi", "iţi", "âţi", "ăm", "em", "im", "âm", "se", "seşi",
+    "serăm", "serăţi", "seră", "sei", "sese", "sesem", "seseşi",
+    "seserăm", "seserăţi", "seseră")
+
+
+def stem_romanian(word: str) -> str:
+    if not word:
+        return word
+    # prelude: i/u between vowels -> I/U (both neighbors vowels)
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS and \
+                chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+
+    r1, r2 = _r1_r2(word, _RO_VOWELS)
+    rv = _rv_romance(word, _RO_VOWELS)
+
+    # step 0: removal of plurals (in R1)
+    suf = _longest_suffix(
+        word, "ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua",
+        "iei", "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia")
+    if suf is not None and len(word) - len(suf) >= r1:
+        L = len(word) - len(suf)
+        if suf in ("ul", "ului"):
+            word = word[:L]
+        elif suf == "aua":
+            word = word[:L] + "a"
+        elif suf in ("ea", "ele", "elor"):
+            word = word[:L] + "e"
+        elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            word = word[:L] + "i"
+        elif suf == "ile":
+            if not word[:L].endswith("ab"):
+                word = word[:L] + "i"
+        elif suf == "atei":
+            word = word[:L] + "at"
+        else:  # aţie aţia
+            word = word[:L] + "aţi"
+
+    # step 1: reduction of combining suffixes (R1, repeated)
+    step1_changed = False
+    while True:
+        all_s1 = tuple(s for sufs, _ in _RO_S1_PAIRS for s in sufs)
+        suf = _longest_suffix(word, *all_s1)
+        if suf is None or len(word) - len(suf) < r1:
+            break
+        rep = next(r for sufs, r in _RO_S1_PAIRS if suf in sufs)
+        word = word[: -len(suf)] + rep
+        step1_changed = True
+
+    # step 2: removal of standard suffixes (R2)
+    step2_changed = False
+    suf = _longest_suffix(word, *(_RO_S2_DEL + _RO_S2_IST +
+                                  ("iune", "iuni")))
+    if suf is not None and len(word) - len(suf) >= r2:
+        L = len(word) - len(suf)
+        if suf in ("iune", "iuni"):
+            if word[:L].endswith("ţ"):
+                word = word[: L - 1] + "t"
+                step2_changed = True
+        elif suf in _RO_S2_IST:
+            word = word[:L] + "ist"
+            step2_changed = True
+        else:
+            word = word[:L]
+            step2_changed = True
+
+    # step 3: verb suffixes (match constrained to RV with backtracking;
+    # the preceded-by test for group (a) sits outside the limit), only
+    # if steps 1-2 removed nothing
+    if not step1_changed and not step2_changed:
+        suf = _longest_in(word, rv, _RO_S3_A + _RO_S3_B)
+        if suf is not None:
+            L = len(word) - len(suf)
+            if suf in _RO_S3_B:
+                word = word[:L]
+            else:
+                # the preceded-by test runs inside the RV limit: the
+                # consonant-or-u must itself sit in RV
+                pre = word[L - 1] if L > 0 else ""
+                if pre and L - 1 >= rv and \
+                        (pre not in _RO_VOWELS or pre == "u"):
+                    word = word[:L]
+
+    # step 4: residual final vowel (longest match, then RV branch test)
+    suf = _longest_suffix(word, "a", "e", "i", "ie", "ă")
+    if suf is not None and len(word) - len(suf) >= rv:
+        word = word[: -len(suf)]
+
+    return word.replace("I", "i").replace("U", "u")
