@@ -144,7 +144,16 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     def tokenize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             texts = pdf[text_col]
-            if positions:
+            if tokenizer == "pretokenized":
+                # PreTokStr (src/schema/field_type.rs PreTokenizedString,
+                # src/tokenizer/tokenized_string.rs): the source column is
+                # array<string> of ready tokens; the analyzer is bypassed
+                # and positions are sequential token ordinals
+                terms = texts.map(
+                    lambda t: [str(x) for x in t] if t is not None else [])
+                if positions:
+                    poss = terms.map(lambda ts: list(range(len(ts))))
+            elif positions:
                 terms, poss = analysis.analyze_series_with_positions(texts, tokenizer)
             else:
                 terms = analysis.analyze_series(texts, tokenizer)
@@ -152,14 +161,17 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
             fn_ids = fieldnorm_to_id(counts)
             out = pdf.drop(columns=[text_col])
             if extra_fields:
+                # extra fields are plain strings even when the main field
+                # is pretokenized — analyze them with the default chain
+                xf_tok = "default" if tokenizer == "pretokenized" else tokenizer
                 xf_terms, xf_poss, xf_counts, xf_fns = {}, {}, {}, {}
                 for f in extra_fields:
                     col = pdf[f].astype("string").fillna("")
                     if positions:
-                        ts, ps = analysis.analyze_series_with_positions(col, tokenizer)
+                        ts, ps = analysis.analyze_series_with_positions(col, xf_tok)
                         xf_poss[f] = ps
                     else:
-                        ts = analysis.analyze_series(col, tokenizer)
+                        ts = analysis.analyze_series(col, xf_tok)
                     xf_terms[f] = ts
                     xf_counts[f] = ts.map(len).to_numpy(np.int64)
                     xf_fns[f] = np.asarray(fieldnorm_to_id(xf_counts[f]), np.int64)
@@ -648,8 +660,16 @@ def build_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = False,
+    plugins: dict[str, "Callable[[DataFrame], DataFrame]"] | None = None,
 ) -> dict:
-    """Build (or resume) the full index at ``index_dir``. Returns manifest."""
+    """Build (or resume) the full index at ``index_dir``. Returns manifest.
+
+    `plugins` is the SegmentPlugin extension surface (src/index/
+    segment_component.rs:31-33, src/plugin.rs): each named callable maps
+    the tokenized docmap frame to an extra table, written per segment
+    under ``plugin_<name>/`` in the index directory and listed in the
+    manifest; `Searcher.plugin(name)` reads it back.  Plugin frames must
+    keep the ``segment_ord`` column (the per-segment-component contract)."""
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     docmap_path = os.path.join(index_dir, "docmap")
@@ -713,6 +733,23 @@ def build_index(
         _mark_done(index_dir, "terms")
         stage_times["terms"] = time.time() - t
 
+    # stage 2.6: segment plugins (extra per-segment components)
+    for pname, pfn in sorted((plugins or {}).items()):
+        if resume and _stage_done(index_dir, f"plugin_{pname}"):
+            continue
+        t = time.time()
+        out = pfn(docmap_df)
+        if "segment_ord" not in out.columns:
+            raise ValueError(
+                f"plugin {pname!r} must keep the segment_ord column")
+        (
+            out.write.mode("overwrite")
+            .partitionBy("segment_ord")
+            .parquet(os.path.join(index_dir, f"plugin_{pname}"))
+        )
+        _mark_done(index_dir, f"plugin_{pname}")
+        stage_times[f"plugin_{pname}"] = time.time() - t
+
     # stage 3: stats + per-segment lineage, manifest committed LAST
     t = time.time()
     xf_aggs = [
@@ -765,6 +802,8 @@ def build_index(
         "stage_seconds": stage_times,
         "build_seconds": time.time() - t0,
     }
+    if plugins:
+        manifest["plugins"] = sorted(plugins)
     if cfg.extra_fields:
         # per-field exact token totals — the reference's per-field
         # total_num_tokens feeding per-field avgdl (bm25.rs:33-51,

@@ -342,6 +342,16 @@ class Searcher:
             os.path.join(self.index_dir, "postings")
         ).filter(F.col("segment_ord").isin(sorted(self._live_segments)))
 
+    def plugin(self, name: str) -> DataFrame:
+        """Read a SegmentPlugin component table written at build time
+        (build_index(plugins=...); segment_component.rs:31-33 analogue),
+        live-segment filtered like every other per-segment table."""
+        if name not in self.manifest.get("plugins", []):
+            raise KeyError(f"index has no plugin component {name!r}")
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, f"plugin_{name}")
+        ).filter(F.col("segment_ord").isin(sorted(self._live_segments)))
+
     def pruned_postings(self, terms: list[str]) -> DataFrame:
         """Partition-pruned + stats-pruned scan for exactly these terms."""
         buckets = sorted({term_bucket_py(t, self.cfg.n_term_buckets) for t in terms})

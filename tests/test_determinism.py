@@ -220,3 +220,58 @@ def test_ip_fast_field_range(spark, tmp_root):
     assert v6_keys == {(r.conv_id, r.turn_idx) for r in src.collect()
                       if r.turn_idx % 7 == 0}
     assert v6_keys
+
+
+def test_pretokenized_field(spark, tmp_root):
+    """PreTokStr ingestion (tokenized_string.rs): an array<string> source
+    column bypasses the analyzer; tokens index verbatim (no lowercasing,
+    no length filter) with sequential positions."""
+    src = transcripts_df(spark, 40, partitions=2).withColumn(
+        "toks", F.split(F.upper(F.col("text")), "[^A-Z0-9]+")
+    ).withColumn(
+        "toks", F.filter(F.col("toks"), lambda t: t != "")
+    ).drop("text").withColumnRenamed("toks", "text")
+    idx = f"{tmp_root}/pretok_{time.time_ns()}"
+    cfg = IndexConfig(n_segments=2, n_term_buckets=4, positions=True,
+                      tokenizer="pretokenized")
+    build_index(spark, src, idx, cfg)
+    sr = Searcher(spark, idx)
+    # tokens were NOT lowercased — the verbatim uppercase term matches
+    hits = sr.search(L.TermQuery("W0"), k=10000).collect()
+    assert hits
+    assert sr.count(L.TermQuery("w0")) == 0
+    # phrase over pretokenized sequential positions: take two adjacent
+    # tokens from a known doc and find that doc by phrase
+    row = src.filter(F.size("text") >= 2).select("conv_id", "turn_idx",
+                                                 "text").first()
+    pair = (row.text[0], row.text[1])
+    ph = sr.search(L.PhraseQuery(pair), k=10000, mode="daat").collect()
+    assert (row.conv_id, row.turn_idx) in {(r.conv_id, r.turn_idx) for r in ph}
+
+
+def test_segment_plugin_component(spark, tmp_root):
+    """SegmentPlugin extension surface (segment_component.rs:31-33): a
+    named callable writes an extra per-segment table at build time; the
+    Searcher reads it back live-segment-filtered."""
+    src = transcripts_df(spark, 30, partitions=2)
+    idx = f"{tmp_root}/plugin_{time.time_ns()}"
+
+    def tok_stats(docmap):
+        return docmap.groupBy("segment_ord").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("token_count").alias("tokens"),
+        )
+
+    m = build_index(spark, src, idx, CFG, plugins={"tok_stats": tok_stats})
+    assert m["plugins"] == ["tok_stats"]
+    sr = Searcher(spark, idx)
+    rows = sr.plugin("tok_stats").collect()
+    assert {r.segment_ord for r in rows} == set(range(4)) - (
+        set(range(4)) - {r.segment_ord for r in rows})
+    assert sum(r.docs for r in rows) == m["total_docs"]
+    with pytest.raises(KeyError):
+        sr.plugin("nope")
+    # resumed build skips the plugin stage (marker present)
+    m2 = build_index(spark, src, idx, CFG, resume=True,
+                     plugins={"tok_stats": tok_stats})
+    assert "plugin_tok_stats" not in m2["stage_seconds"]
