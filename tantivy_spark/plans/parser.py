@@ -53,6 +53,7 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         \(| \) |
+        [^\s():"]+:/(?:\\.|[^/])*/(?:\^\d+(?:\.\d+)?)?(?=[\s)]|$) |  # field:/regex/[^boost]
         [^\s():]+:\s*IN\s*\[[^\]]*\]   |  # field: IN [v1 v2 ...] set
         [^\s():]+:\s*[\[{][^\]}]*[\]}] |  # field:[a TO b] / {a TO b} range
         (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+|\*)?  |  # [field:]"phrase", ~slop or *
@@ -133,6 +134,7 @@ class QueryParser:
         #: parses to path-scoped terms `path:value` — the shape the `json`
         #: analyzer emits at indexing
         self.json_fields = tuple(json_fields)
+        self.regexes_allowed = False
         self.warnings: list[str] = []
 
     def set_field_boost(self, field: str, boost: float) -> None:
@@ -144,6 +146,12 @@ class QueryParser:
         """query_parser.rs:302-318 parity."""
         self.fuzzy_fields[field] = (bool(prefix), int(distance),
                                     bool(transpose_cost_one))
+
+    def allow_regexes(self) -> None:
+        """Permit `field:/pattern/` regex literals (query_parser.rs:328;
+        off by default — a regex in a query string errors otherwise,
+        query_parser.rs:873-879)."""
+        self.regexes_allowed = True
 
     # -- public ------------------------------------------------------------
     def parse(self, q: str) -> L.Query:
@@ -304,6 +312,20 @@ class QueryParser:
             scope = None
             if ":" in tok:
                 field, _, tok = tok.partition(":")
+                if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+                    # `field:/pattern/` regex literal (query_grammar.rs:703,
+                    # `\/` escape); gated + field-required like the
+                    # reference (query_parser.rs:865-885)
+                    if not self.regexes_allowed:
+                        raise QueryParserError("Regex queries are not allowed")
+                    if field != self.field and field not in self.extra_fields:
+                        raise QueryParserError(
+                            f"regex on unknown field {field!r}")
+                    pattern = tok[1:-1].replace("\\/", "/")
+                    q = L.RegexQuery(pattern)
+                    if boost != 1.0:
+                        q = L.BoostQuery(q, boost)
+                    return _Clause(occur, q), rest
                 if (jp := self._json_path(field)) is not None:
                     scope = _JsonScope(field.split(".", 1)[0], jp)
                 elif field in self.extra_fields:

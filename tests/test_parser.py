@@ -248,3 +248,24 @@ def test_json_path_with_rfc3339_range():
             upper="2024-01-20T00:00:00Z",
             lower_inclusive=True, upper_inclusive=False)),
     ])
+
+
+def test_regex_literal_gated():
+    # query_parser.rs:873-879: regexes error unless allow_regexes()
+    p = QueryParser()
+    with pytest.raises(QueryParserError):
+        p.parse("text:/joh?n/")
+    p.allow_regexes()
+    assert p.parse("text:/joh?n(ath[oa]n)/") == L.RegexQuery("joh?n(ath[oa]n)")
+    # escaped slash (query_grammar.rs test_regex_parser)
+    assert p.parse(r"text:/\/cgi-bin\/luci.*/") == L.RegexQuery("/cgi-bin/luci.*")
+    # boost applies (foo:/bar/^2)
+    assert p.parse("text:/bar/^2") == L.BoostQuery(L.RegexQuery("bar"), 2.0)
+    # composes in booleans
+    q = p.parse("table AND text:/val.*/")
+    assert q == L.BooleanQuery.new([
+        (L.Occur.MUST, L.TermQuery("table")),
+        (L.Occur.MUST, L.RegexQuery("val.*")),
+    ])
+    with pytest.raises(QueryParserError):
+        p.parse("zzz:/bar/")
