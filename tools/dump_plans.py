@@ -126,6 +126,41 @@ def main() -> None:
         fmt(P.minhash_lsh_pairs(docs, "doc_id", threshold=0.5)),
     ))
 
+    sections.append((
+        "SimHash banded candidate join",
+        "Pigeonhole chunk join (4×16-bit chunks of the 64-bit signature) "
+        "— candidate pairs come from equality buckets, never an all-pairs "
+        "product; the hamming filter runs post-join on two longs.",
+        fmt(P.simhash_pairs(docs, "doc_id", max_hamming=6)),
+    ))
+
+    sections.append((
+        "Language-routed stop-word filtering",
+        "Tokens explode JVM-side; the (lang, term) stop table is "
+        "**broadcast** and anti-joined — no shuffle of the corpus side, "
+        "partial/final aggregate pair on top.",
+        fmt(E.queries()["text_stopword_multilang"](spark, sf_dir)),
+    ))
+
+    sections.append((
+        "LSH bucket-pruned ANN",
+        "Bucket assignment is a pure Catalyst dot-product expression; the "
+        "probe set becomes an `IN` filter (partition-prunable when the "
+        "bucketed table is written partitioned by bucket), then exact "
+        "rerank + `TakeOrderedAndProject`.",
+        fmt(P.lsh_bucket_topk(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") != 0),
+            "vec_id", "embedding", E._qvec(spark, sf_dir), k=10)),
+    ))
+
+    sections.append((
+        "Parsed rfc3339 date-range + json-path term",
+        "The timestamp bound is typed to the docmap column and lands in "
+        "**PushedFilters** on the fast-field scan.",
+        fmt(E.queries()["ft_parsed_date_range"](spark, sf_dir)),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plans of the headline paths\n\n"
