@@ -3,11 +3,13 @@
 A 100 TB training-data pipeline carries media as `binary` columns with
 typed metadata alongside text.  The Spark-side plumbing here is real and
 tested — schemas, partitioning, Arrow batch shapes, mapInPandas
-signatures; the codec work itself (JPEG decode, resampling, frame
-extraction) is stubbed behind `decoder=` hooks because the image/audio
-libraries are not in this container.  Passing `deterministic_fake=True`
-swaps in a seeded fake decoder so the full pipeline is executable and
-assertable end-to-end.
+signatures.  Image decoding is REAL for PNG/BMP/PPM (the dependency-free
+numpy+zlib codec in `functions/imagecodec.py` is the default decoder);
+JPEG/WEBP and audio/video frame extraction need codec libraries absent
+from this container, so those stay behind `decoder=` injection hooks,
+with `deterministic_fake=True` swapping in a seeded fake decoder that
+keeps the full pipeline executable, assertable, and SQL-oracle-checkable
+end-to-end.
 
 Design rules at scale:
 * media rows are large and skewed -> repartition by byte-size bands
@@ -97,17 +99,21 @@ def decode_images(df: DataFrame, key_col: str, blob_col: str,
                   resize_to: tuple[int, int] | None = None) -> DataFrame:
     """blob -> (key, height, width, channels, pixels flat array<int>).
 
-    The real `decoder` (e.g. PIL/turbojpeg) is injected; without one this
-    raises NotImplementedError unless `deterministic_fake` — the container
-    has no image libs, the Spark plumbing is the deliverable (STUB).
-    `resize_to` applies nearest-neighbor resampling (pure numpy — real)."""
+    Default decoder: the REAL dependency-free codec
+    (`functions/imagecodec.decode_image`) — PNG (zlib inflate + scanline
+    unfiltering), BMP, PPM/PGM.  Formats that genuinely need codec
+    libraries (JPEG/WEBP/...) raise ValueError from it; inject a
+    `decoder=` (e.g. PIL/turbojpeg) for those, or pass
+    `deterministic_fake=True` for the seeded fake that the SQL oracle
+    reproduces.  `resize_to` applies nearest-neighbor resampling (pure
+    numpy)."""
     if decoder is None:
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "no image decoder available in this environment; pass "
-                "decoder= or deterministic_fake=True"
-            )
-        decoder = _fake_image_decoder
+        if deterministic_fake:
+            decoder = _fake_image_decoder
+        else:
+            from tantivy_spark.functions.imagecodec import decode_image
+
+            decoder = decode_image
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1,0 +1,161 @@
+"""Image codec tests — PNG unfiltering verified against an INDEPENDENT
+forward-filter implementation (written here straight from the PNG spec
+§9), hand-built BMP/PPM fixtures, and a sweep of real-world PNGs from
+the OS (produced by real encoders, exercising mixed filter types)."""
+
+import glob
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tantivy_spark.functions.imagecodec import (
+    decode_bmp, decode_image, decode_png, decode_ppm, encode_png,
+)
+
+
+# -- independent forward filtering (spec §9, written separately) -----------
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    h, w, c = img.shape
+    stride = w * c
+    cur = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = cur[y]
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = (row - left) % 256
+        elif ftype == 2:
+            filt = (row - prev) % 256
+        elif ftype == 3:
+            filt = (row - ((left + prev) // 2)) % 256
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            filt = (row - pred) % 256
+        out.append(ftype)
+        out += filt.astype(np.uint8).tobytes()
+        prev = row
+    return bytes(out)
+
+
+def _png_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(_forward_filter(img, ftype)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_unfilter_inverts_every_filter(ftype, channels):
+    rng = np.random.default_rng(ftype * 10 + channels)
+    img = rng.integers(0, 256, size=(13, 7, channels), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_with_filter(img, ftype)), img)
+
+
+def test_png_roundtrip_own_encoder():
+    rng = np.random.default_rng(0)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(5, 9, c), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_palette():
+    # hand-built 2x2 paletted image
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R G B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    img = decode_png(blob)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[0, 1]) == (0, 255, 0)
+    assert tuple(img[1, 0]) == (0, 0, 255)
+
+
+def test_bmp_24bit_bottom_up_with_padding():
+    # 3x2 24-bit BMP: rows padded to 4 bytes, stored bottom-up, BGR
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+         [[1, 2, 3], [4, 5, 6], [7, 8, 9]]], dtype=np.uint8)  # RGB, top-down
+    row_bytes = (3 * 3 + 3) & ~3  # 12
+    data = bytearray()
+    for y in (1, 0):  # bottom-up
+        row = bytearray()
+        for x in range(3):
+            r, g, b = px[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (row_bytes - len(row))
+        data += row
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(data),
+                         2835, 2835, 0, 0))
+    img = decode_bmp(bytes(hdr + data))
+    assert np.array_equal(img, px)
+
+
+def test_ppm_with_comment():
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = b"P6\n# a comment\n2 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(blob), px)
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    assert np.array_equal(decode_ppm(b"P5\n3 2\n255\n" + gray.tobytes()), gray)
+
+
+def test_unsupported_formats_raise():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\xff\xd8\xff\xe0jpeg...")
+    with pytest.raises(ValueError, match="interlaced"):
+        # Adam7 flag set
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)))
+        decode_png(blob)
+
+
+def test_real_world_png_sweep():
+    """Real encoders emit mixed filters and palette/RGBA variants; every
+    supported system PNG must decode to its IHDR dimensions and survive a
+    re-encode/decode roundtrip."""
+    files = sorted(glob.glob("/usr/share/**/*.png", recursive=True))[:40]
+    if not files:
+        pytest.skip("no system PNGs")
+    decoded = 0
+    for f in files:
+        blob = open(f, "rb").read()
+        w, h = struct.unpack(">II", blob[16:24])
+        try:
+            img = decode_png(blob)
+        except ValueError:
+            continue  # honestly-unsupported variant (interlaced, 16-bit…)
+        assert img.shape[:2] == (h, w), f
+        assert np.array_equal(decode_png(encode_png(img)), img), f
+        decoded += 1
+    assert decoded >= 10
