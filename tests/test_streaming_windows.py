@@ -88,3 +88,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_root):
     q.awaitTermination(120)
     keys = [r.etype for r in spark.sql(f"select * from {name}").collect()]
     assert sorted(keys) == ["k1", "k2"]
+
+
+def test_sessionize_stateful_operator(spark, tmp_root):
+    """applyInPandasWithState sessionization: in-batch gap splitting plus
+    watermark-driven event-time timeouts closing idle sessions across
+    checkpointed drains."""
+    from tantivy_spark.streaming.sessions import sessionize
+
+    src = f"{tmp_root}/sessrc_{time.time_ns()}"
+    # u1: two sessions inside one batch (events 00:00-00:01, then a gap
+    # > 5 min, events 00:10); u2: one session
+    _write_batch(spark, src, [
+        ("2024-01-01 00:00:00", "u1", 0.0),
+        ("2024-01-01 00:00:40", "u1", 0.0),
+        ("2024-01-01 00:01:00", "u1", 0.0),
+        ("2024-01-01 00:10:00", "u1", 0.0),
+        ("2024-01-01 00:00:30", "u2", 0.0),
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, etype string, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = sessionize(stream, "etype", "ts", gap_seconds=300,
+                     watermark="1 minute")
+    sink = f"{tmp_root}/sesssink_{time.time_ns()}"
+    ck = f"{tmp_root}/sessck_{time.time_ns()}"
+
+    def drain():
+        q = (out.writeStream.format("parquet").option("path", sink)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(180)
+        return sorted(
+            ((r.key, r.session_start.isoformat(), r.session_end.isoformat(),
+              r.n_events) for r in spark.read.parquet(sink).collect()))
+
+    first = drain()
+    # the in-batch gap split closes u1's first session immediately
+    assert ("u1", "2024-01-01T00:00:00", "2024-01-01T00:01:00", 3) in first
+
+    # batch 2 pushes the watermark far ahead -> remaining sessions time out
+    _write_batch(spark, src, [("2024-01-01 01:00:00", "u3", 0.0)])
+    second = drain()
+    assert ("u1", "2024-01-01T00:10:00", "2024-01-01T00:10:00", 1) in second
+    assert ("u2", "2024-01-01T00:00:30", "2024-01-01T00:00:30", 1) in second
