@@ -171,6 +171,9 @@ def _query_workload(spark, sf_dir: str) -> dict[str, float]:
         "agg_terms_event_type", "agg_date_histogram", "agg_percentiles_value",
         "agg_top_hits", "dedup_exact_stats",
         "ann_cosine_top10", "text_quality", "text_fingerprint",
+        # round-2 operators
+        "dedup_simhash", "dedup_minhash_lsh", "ann_lsh_top10",
+        "text_stopword_multilang", "ft_parsed_date_range",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).collect())
     return times
