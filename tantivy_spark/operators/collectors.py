@@ -68,6 +68,45 @@ def top_docs(searcher: Searcher, query: L.Query, limit: int, offset: int = 0,
     fields = list(fast_fields or [])
     if order_by_field is not None and order_by_field not in fields:
         fields.append(order_by_field)
+
+    # EARLY TERMINATION on a sorted index (the point of index sorting,
+    # index_meta.rs:288-398 + the reference's top-field collectors): when
+    # ordering a match-all by the index's own sort_by_field in the same
+    # direction, doc ids ARE the rank — read only the first
+    # (offset+limit) doc ids of each segment (a pruned docmap scan of
+    # k×n_segments rows; no scoring, no full scan).  Only sound with no
+    # pending deletes (same guard as the count fast path).
+    sbf = getattr(searcher.cfg, "sort_by_field", None)
+    if (sbf is not None
+            and isinstance(query, L.AllQuery)
+            and order_by is None and tweak_score is None
+            and order_by_field is not None
+            and tuple(sbf) == (order_by_field,
+                               "asc" if ascending else "desc")
+            and not searcher.tombstones()):
+        k = limit + offset
+        frame = (
+            searcher.docmap()
+            .filter(F.col("doc_id") < k)
+            .select("segment_ord", "doc_id", F.lit(1.0).alias("score"),
+                    *fields)
+        )
+        sort_cols = [
+            F.asc(order_by_field) if ascending else F.desc(order_by_field),
+            F.asc("segment_ord"), F.asc("doc_id"),
+        ]
+        out = frame.orderBy(*sort_cols).limit(k)
+        if offset:
+            from pyspark.sql import Window as _W
+
+            w = _W.orderBy(*sort_cols)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > offset)
+                .drop("_rn")
+            )
+        return out
+
     if order_by is None and order_by_field is not None:
         order_by = F.col(order_by_field)
 

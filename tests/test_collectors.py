@@ -132,3 +132,44 @@ def test_top_docs_offset_stays_in_plan(idx):
     full = C.top_docs(idx, L.TermQuery("apple"), limit=12).collect()
     page = df.collect()
     assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[2:5]]
+
+
+def test_sorted_index_early_termination(spark, tmp_root):
+    """Ordering a match-all by the index's own sort_by_field reads only
+    the first k doc ids per segment (doc_id IS the rank on a sorted
+    index) and returns exactly what the full-sort path returns."""
+    import time as _t
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.sources.transcripts import transcripts_df
+
+    src = transcripts_df(spark, 60, partitions=3).withColumn(
+        "n_chars", F.length("text"))
+    idx = f"{tmp_root}/etsort_{_t.time_ns()}"
+    build_index(spark, src, idx,
+                IndexConfig(n_segments=3, n_term_buckets=4,
+                            sort_by_field=("n_chars", "desc")))
+    sr = Searcher(spark, idx)
+
+    fast = C.top_docs(sr, L.AllQuery(), limit=15,
+                      order_by_field="n_chars", fast_fields=["conv_id"])
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # the early path filters doc_id < k at the scan — no join, no kernel
+    assert "doc_id" in plan and "Join" not in plan
+
+    # equivalence vs the general path (mismatched direction disables it)
+    slow = C.top_docs(sr, L.AllQuery(), limit=15,
+                      order_by_field="n_chars", ascending=True)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in slow_plan  # general path joins docmap fast fields
+
+    got = [(r.n_chars, r.conv_id) for r in fast.collect()]
+    exp = (
+        src.orderBy(F.desc("n_chars")).limit(200).collect()
+    )
+    # same multiset of n_chars for the top 15 (conv tiebreak differs:
+    # engine ties break by DocAddress)
+    exp_counts = sorted([r.n_chars for r in exp][:15], reverse=True)
+    assert sorted([v for v, _ in got], reverse=True) == exp_counts
