@@ -647,6 +647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"terms": {"field": "event_type", "size": 3, "shard_size": 2,
                    "shard_col": "shard", "show_doc_count_error": True}},
     )
+    Q["agg_terms_sum_other"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"terms": {"field": "event_type", "size": 3,
+                   "show_sum_other": True}},
+    )
     Q["agg_top_hits"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"top_hits": {"group_field": "event_type", "size": 3,
@@ -1213,6 +1218,16 @@ ORDER BY percent"""
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        count(DISTINCT user_id)::BIGINT AS users_exact, TRUE AS within_rsd
 FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_terms_sum_other"] = """
+WITH b AS (
+  SELECT event_type AS key, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+  ORDER BY doc_count DESC, key ASC LIMIT 3
+)
+SELECT key, doc_count,
+       ((SELECT count(event_type) FROM events)
+        - (SELECT sum(doc_count) FROM b))::BIGINT AS sum_other_doc_count
+FROM b ORDER BY doc_count DESC, key ASC"""
     O["agg_terms_shard_error"] = """
 WITH per AS (
   SELECT user_id % 4 AS shard, event_type AS key, count(*)::BIGINT AS cnt

@@ -138,6 +138,7 @@ def terms_agg(df: DataFrame, field: str, size: int = 10,
               sub_aggs: dict | None = None,
               shard_size: int | None = None, shard_col: str | None = None,
               show_doc_count_error: bool = False,
+              show_sum_other: bool = False,
               max_buckets: int | None = None) -> DataFrame:
     """Terms bucket, order by count desc then key asc (the reference's
     default order, bucket/term_agg), top `size` buckets.
@@ -148,7 +149,13 @@ def terms_agg(df: DataFrame, field: str, size: int = 10,
     `show_doc_count_error` adds `doc_count_error_upper_bound`: for each
     surviving key, the sum over NON-contributing shards of that shard's
     smallest kept count (the worst case it could have missed) — the
-    term_agg error-bound algorithm (bucket/term_agg/)."""
+    term_agg error-bound algorithm (bucket/term_agg/).
+
+    `show_sum_other` adds the ES/reference response field
+    `sum_other_doc_count` (docs in scope not covered by the returned
+    buckets) as a constant column: total via a broadcast 1-row
+    cross-join, bucket sum via an unpartitioned window over the <= size
+    returned rows — both bounded, no driver action."""
     key = F.col(field)
     if missing is not None:
         key = F.coalesce(key, F.lit(missing))
@@ -163,7 +170,10 @@ def terms_agg(df: DataFrame, field: str, size: int = 10,
             g = g.orderBy(F.desc("doc_count"), F.asc("key"))
         else:
             g = g.orderBy(F.asc("key"))
-        return g.limit(size)
+        out = g.limit(size)
+        if show_sum_other:
+            out = _with_sum_other(out, df, key)
+        return out
 
     if shard_col is None:
         raise ValueError("shard_size needs shard_col (the per-shard key)")
@@ -194,7 +204,23 @@ def terms_agg(df: DataFrame, field: str, size: int = 10,
     )
     if not show_doc_count_error:
         out = out.drop("doc_count_error_upper_bound")
-    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    out = out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    if show_sum_other:
+        out = _with_sum_other(out, df, key)
+    return out
+
+
+def _with_sum_other(buckets: DataFrame, df: DataFrame, key) -> DataFrame:
+    total = df.agg(F.count(key).alias("_tot"))
+    w_all = Window.partitionBy()
+    return (
+        buckets.crossJoin(F.broadcast(total))
+        .withColumn(
+            "sum_other_doc_count",
+            (F.col("_tot") - F.sum("doc_count").over(w_all)).cast("long"),
+        )
+        .drop("_tot")
+    )
 
 
 def histogram_agg(df: DataFrame, field: str, interval: float,
@@ -392,6 +418,7 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
                          shard_col=body.get("shard_col"),
                          show_doc_count_error=body.get(
                              "show_doc_count_error", False),
+                         show_sum_other=body.get("show_sum_other", False),
                          max_buckets=body.get("max_buckets"))
     if kind == "histogram":
         return histogram_agg(df, body["field"], body["interval"], sub)

@@ -3,6 +3,7 @@
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
 from tantivy_spark.operators import aggregations as A
 
 
@@ -231,3 +232,15 @@ def test_bucket_limit_guard(spark):
         A.terms_agg(df, "t", max_buckets=10)
     # under the limit: fine
     assert len(A.terms_agg(df, "t", size=100, max_buckets=100).collect()) == 50
+
+
+def test_terms_sum_other_doc_count(events):
+    out = A.run_aggregation(
+        events,
+        {"terms": {"field": "etype", "size": 2,
+                   "show_sum_other": True}},
+    ).collect()
+    assert len(out) == 2
+    total = events.filter(F.col("etype").isNotNull()).count()
+    covered = sum(r.doc_count for r in out)
+    assert all(r.sum_other_doc_count == total - covered for r in out)
