@@ -115,8 +115,8 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     sa = sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "key_a")
-        .join(F.broadcast(sb), "key_b")
+        common.join(sa.hint("shuffle_hash"), "key_a")
+        .join(sb.hint("shuffle_hash"), "key_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -343,7 +343,7 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     ).select("key", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
+        .join(banded.alias("y").hint("shuffle_hash"), ["band", "bh"])
         .filter(F.col("x.key") < F.col("y.key"))
         .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
         .distinct()
@@ -351,18 +351,30 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     # exact verification on the candidates only
     sh = shingles_df(df, key_col, text_col, n)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
-    pa = cand.join(sh.withColumnRenamed("key", "key_a"), "key_a")
+    # every join in the verification chain is large x large at corpus
+    # scale: pin them to shuffle joins so neither AQE stats nor caching
+    # can pick a broadcast (collecting a per-doc table on the driver)
+    pa = cand.join(sh.withColumnRenamed("key", "key_a").hint("shuffle_hash"),
+                   "key_a")
     inter = (
         pa.join(
-            sh.select(F.col("key").alias("key_b"), F.col("shingle")),
+            sh.select(F.col("key").alias("key_b"),
+                      F.col("shingle")).hint("shuffle_hash"),
             ["key_b", "shingle"],
         )
         .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        inter.join(F.broadcast(sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))), "key_a")
-        .join(F.broadcast(sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))), "key_b")
+        # per-doc `sizes` grows with the corpus — joining it must stay a
+        # shuffle join, never a forced broadcast (a 10^6-doc run blows
+        # spark.driver.maxResultSize collecting it on the driver)
+        inter.join(sizes.select(F.col("key").alias("key_a"),
+                                F.col("n_sh").alias("n_a")).hint("shuffle_hash"),
+                   "key_a")
+        .join(sizes.select(F.col("key").alias("key_b"),
+                           F.col("n_sh").alias("n_b")).hint("shuffle_hash"),
+              "key_b")
         .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
@@ -436,7 +448,7 @@ def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     ).select("key", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
     cand = (
         chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "cv"])
+        .join(chunks.alias("y").hint("shuffle_hash"), ["chunk", "cv"])
         .filter(F.col("x.key") < F.col("y.key"))
         .select(
             F.col("x.key").alias("key_a"), F.col("x.sig").alias("sig_a"),
