@@ -310,9 +310,22 @@ def minhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
     return prepped.mapInPandas(batches, schema=f"key {ktype}, sig array<long>")
 
 
+def _cap_buckets(rows: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Drop banding buckets with more than `cap` members before a bucket
+    self-join (count via map-side-combined groupBy + shuffle join back —
+    no windows over hot buckets, no broadcast of per-bucket counts)."""
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bc"))
+    return (
+        rows.join(counts.hint("shuffle_hash"), keys)
+        .filter(F.col("_bc") <= cap)
+        .drop("_bc")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, n: int = 3,
-                      threshold: float = 0.6, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.6, seed: int = 42,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     Plan: signatures -> explode into `bands` band-hash keys -> self-join on
@@ -323,6 +336,11 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     bucket — with r = num_perm/bands rows per band, collision probability
     for dissimilar docs is ~s^r, keeping buckets tiny.  Hot buckets (boiler-
     plate text) are exact-dup groups — handle via exact_dedup first.
+
+    `max_bucket` drops LSH buckets holding more than that many docs
+    before the self-join — the hot-bucket c^2 guard (such buckets are
+    boilerplate/exact-dup groups that exact_dedup should own).  Default
+    None = exact banded semantics (the oracle contract).
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, key_col, text_col, num_perm, n, seed)
@@ -341,6 +359,8 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
             )
         ).alias("bb"),
     ).select("key", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     cand = (
         banded.alias("x")
         .join(banded.alias("y").hint("shuffle_hash"), ["band", "bh"])
@@ -426,12 +446,20 @@ def simhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
     Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
     hamming<=3 shares at least one exact chunk), join per chunk, then
     verify the full distance — never an all-pairs product.
+
+    `max_bucket` drops chunk buckets larger than the cap before the
+    self-join — the hot-bucket c^2 guard.  Templated/short corpora
+    collapse into few distinct signatures and degenerate without it
+    (measured at 1.3M docs: 436M candidate pairs, BENCH.md "Scale
+    smoke"); near-identical docs dropped here are exact_dedup's job.
+    Default None = exact banded semantics (the oracle contract).
     """
     sigs = simhash_signatures(df, key_col, text_col).cache()
     chunks = sigs.select(
@@ -446,6 +474,8 @@ def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
             ])
         ).alias("c"),
     ).select("key", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    if max_bucket is not None:
+        chunks = _cap_buckets(chunks, ["chunk", "cv"], max_bucket)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y").hint("shuffle_hash"), ["chunk", "cv"])

@@ -337,3 +337,21 @@ def test_simhash_batch_properties(spark):
     assert sigs[3] == 0
     ham = bin((sigs[0] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
     assert ham <= 12
+
+
+def test_bucket_cap_guards(docs):
+    from tantivy_spark.operators import pipeline as P
+
+    # uncapped and generously-capped runs agree; cap=1 kills all buckets
+    base = {(r.key_a, r.key_b) for r in
+            P.minhash_lsh_pairs(docs, "id", threshold=0.4).collect()}
+    capped = {(r.key_a, r.key_b) for r in
+              P.minhash_lsh_pairs(docs, "id", threshold=0.4,
+                                  max_bucket=10_000).collect()}
+    assert base == capped
+    assert P.minhash_lsh_pairs(docs, "id", threshold=0.4,
+                               max_bucket=1).count() == 0
+    sh_base = P.simhash_pairs(docs, "id", max_hamming=6).count()
+    sh_cap = P.simhash_pairs(docs, "id", max_hamming=6,
+                             max_bucket=10_000).count()
+    assert sh_base == sh_cap
