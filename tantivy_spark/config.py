@@ -55,6 +55,14 @@ class IndexConfig:
     #: key_cols order.  key_cols remain the tiebreak either way, so the
     #: assignment stays deterministic.
     sort_by_field: tuple[str, str] | None = None
+    #: tokenize stage dataflow: True (default) runs the `default` analyzer
+    #: as pure Catalyst expressions (whole-stage codegen, no Python in the
+    #: docmap stage) whenever the config allows it (tokenizer="default",
+    #: positions=False); parity with the Python analyzer is pinned
+    #: per-codepoint (tools/probe_jvm_tokenize.py, tests/test_jvm_tokenize).
+    #: False forces the vectorized-pandas path (the parity oracle).
+    #: Non-default tokenizers / positions always use the pandas path.
+    jvm_tokenize: bool = True
     k1: float = 1.2
     b: float = 0.75
 

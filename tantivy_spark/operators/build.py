@@ -80,6 +80,14 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
+#: UDF-output schema: POSTINGS_SCHEMA minus tbucket — the bucket is a
+#: JVM-side crc32 expression added after the encode (the Python kernel
+#: never hashes term strings).
+POSTINGS_ENC_SCHEMA = T.StructType(
+    [f for f in POSTINGS_SCHEMA.fields if f.name != "tbucket"]
+)
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Driver-side term -> partition bucket; must equal the Spark-side
     crc32-based expression used at write time (java.util.zip.CRC32 == zlib)."""
@@ -90,6 +98,70 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 
 def _term_bucket_col(term_col, n_buckets: int):
     return F.pmod(F.crc32(term_col.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def _tokenize_jvm(base: DataFrame, text_col: str,
+                  extra_fields: tuple[str, ...]) -> DataFrame:
+    """Stage-1 tokenize as pure Catalyst expressions (default analyzer, no
+    positions): regexp_extract_all token split + octet_length RemoveLong +
+    lower — whole-stage codegen, zero Python workers in the docmap stage.
+    Output columns match the pandas path exactly (parity pinned by
+    tests/test_jvm_tokenize.py); the pandas analyzer remains the parity
+    oracle and serves every non-default chain.
+
+    Scale note: this is the 100-TB data path — tokenization happens
+    JVM-side at scan speed, so stage 1 is scan -> codegen -> shuffle by
+    segment with no Arrow serialization boundary.
+    """
+    from tantivy_spark.functions.fieldnorm import fieldnorm_id_col
+
+    passthrough = [F.col(f.name) for f in base.schema.fields
+                   if f.name != text_col]
+    main_terms = analysis.default_terms_jvm(F.col(text_col))
+    if not extra_fields:
+        return base.select(
+            *passthrough,
+            main_terms.alias("terms"),
+        ).withColumn("token_count", F.size("terms")).withColumn(
+            "fieldnorm_id", fieldnorm_id_col(F.col("token_count")))
+    # multi-field: scoped "f:token" terms appended after the main field's,
+    # each token carrying ITS field's quantized norm (the pandas path's
+    # combined_terms/combined_fns contract)
+    out = base.withColumn("__t_main", main_terms)
+    for f in extra_fields:
+        out = out.withColumn(
+            f"__t_{f}",
+            analysis.default_terms_jvm(F.col(f).cast("string")))
+    out = out.withColumn("token_count", F.size("__t_main")).withColumn(
+        "fieldnorm_id", fieldnorm_id_col(F.col("token_count")))
+    for f in extra_fields:
+        out = out.withColumn(
+            f"xf_tc_{f}", F.size(f"__t_{f}")
+        ).withColumn(f"xf_fn_{f}", fieldnorm_id_col(F.col(f"xf_tc_{f}")))
+    def _scoper(prefix: str):
+        # single-arg lambda: a second (defaulted) param would make PySpark
+        # treat it as transform's (element, index) signature
+        return lambda t: F.concat(F.lit(prefix), t)
+
+    terms = F.concat(
+        F.col("__t_main"),
+        *[F.transform(F.col(f"__t_{f}"), _scoper(f + ":"))
+          for f in extra_fields],
+    )
+    term_fns = F.concat(
+        F.array_repeat(F.col("fieldnorm_id"), F.size("__t_main")),
+        *[F.array_repeat(F.col(f"xf_fn_{f}"), F.size(f"__t_{f}"))
+          for f in extra_fields],
+    )
+    return out.select(
+        *passthrough,
+        terms.alias("terms"),
+        F.col("token_count"),
+        F.col("fieldnorm_id"),
+        term_fns.alias("term_fns"),
+        *[c for f in extra_fields
+          for c in (F.col(f"xf_tc_{f}"), F.col(f"xf_fn_{f}"))],
+    )
 
 
 def _marker(index_dir: str, stage: str) -> str:
@@ -216,14 +288,20 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     # .fast file role, ARCHITECTURE.md:161-166)
     base = source.withColumn("segment_ord", seg)
 
-    passthrough = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in base.schema.fields
-        if f.name != text_col
-    )
-    out_schema = f"{passthrough}, {tok_schema}"
+    if cfg.jvm_tokenize and tokenizer == "default" and not positions:
+        # default chain, no positions: tokenize stays JVM-side (whole-stage
+        # codegen) — the scale hot path; parity with the pandas analyzer is
+        # per-codepoint exact (tests/test_jvm_tokenize.py)
+        tokenized = _tokenize_jvm(base, text_col, extra_fields)
+    else:
+        passthrough = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in base.schema.fields
+            if f.name != text_col
+        )
+        out_schema = f"{passthrough}, {tok_schema}"
 
-    tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
+        tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
 
     # index sorting (index_meta.rs:288-398): optional fast-field order
     # first, key_cols as the deterministic tiebreak
@@ -240,178 +318,164 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
 # stage 2: postings (explode -> tf agg -> block encode, skew-sharded)
 # --------------------------------------------------------------------------
 
-def _encode_runs(seg: int, term_of_run: np.ndarray, uniq_terms,
-                 doc_of_run: np.ndarray, tfs_all: np.ndarray,
-                 fn_of_run: np.ndarray, pos_flat: np.ndarray | None,
-                 n_term_buckets: int, positions: bool) -> pd.DataFrame:
-    """Encode term-sorted (term, doc) runs into posting rows — the shared
-    core of both encode paths (token-stream and pre-aggregated).
-
-    `term_of_run` must be rank-coded and sorted (runs grouped per term,
-    docs ascending within a term); `pos_flat` holds each run's positions
-    consecutively in run order (lengths = tfs_all).  Positions encode is
-    ONE cross-term vectorized pass (blocks.encode_positions_flat); rows
-    are assembled column-wise (no per-row dicts)."""
-    import zlib
-
-    term_boundary = np.flatnonzero(
-        np.diff(term_of_run, prepend=term_of_run[0] - 1)
-    )
-    term_ends = np.append(term_boundary[1:], len(term_of_run))
-    if positions:
-        pos_all_enc, pos_all_off = blocks.encode_positions_flat(
-            pos_flat, tfs_all
-        )
-
-    n_terms = len(term_boundary)
-    c_term: list[str] = []
-    c_doc_freq = np.empty(n_terms, dtype=np.int64)
-    c_sum_tf = np.empty(n_terms, dtype=np.int64)
-    c_max_tf = np.empty(n_terms, dtype=np.int64)
-    c_doc_enc: list[bytes] = []
-    c_tf_enc: list[bytes] = []
-    c_fn_enc: list[bytes] = []
-    c_bl: list[list] = []
-    c_bdo: list[list] = []
-    c_bto: list[list] = []
-    c_bmn: list[list] = []
-    c_bmt: list[list] = []
-    c_pe: list[bytes | None] = []
-    c_po: list[list | None] = []
-    c_tb = np.empty(n_terms, dtype=np.int64)
-
-    for ti, (lo, hi) in enumerate(zip(term_boundary, term_ends)):
-        term = str(uniq_terms[term_of_run[lo]])
-        tfs = tfs_all[lo:hi]
-        e = blocks.encode_postings(
-            doc_of_run[lo:hi], tfs, fn_of_run[lo:hi].astype(np.uint8)
-        )
-        c_term.append(term)
-        c_doc_freq[ti] = e["doc_freq"]
-        c_sum_tf[ti] = tfs.sum()
-        c_max_tf[ti] = tfs.max()
-        c_doc_enc.append(e["doc_enc"])
-        c_tf_enc.append(e["tf_enc"])
-        c_fn_enc.append(e["fnorm_enc"])
-        c_bl.append(e["block_last"].tolist())
-        c_bdo.append(e["block_doc_off"].tolist())
-        c_bto.append(e["block_tf_off"].tolist())
-        c_bmn.append(e["bm_norm_id"].tolist())
-        c_bmt.append(e["bm_tf"].tolist())
-        if positions:
-            bstart = int(pos_all_off[lo])
-            bend = (
-                int(pos_all_off[hi]) if hi < len(pos_all_off)
-                else len(pos_all_enc)
-            )
-            c_pe.append(pos_all_enc[bstart:bend])
-            c_po.append((pos_all_off[lo:hi] - bstart).astype(np.int32).tolist())
-        else:
-            c_pe.append(None)
-            c_po.append(None)
-        c_tb[ti] = zlib.crc32(term.encode("utf-8")) % n_term_buckets
-
-    return pd.DataFrame(
-        {
-            "term": c_term,
-            "segment_ord": np.full(n_terms, seg, dtype=np.int64),
-            "doc_freq": c_doc_freq,
-            "sum_tf": c_sum_tf,
-            "max_tf": c_max_tf,
-            "doc_enc": c_doc_enc,
-            "tf_enc": c_tf_enc,
-            "fnorm_enc": c_fn_enc,
-            "block_last": c_bl,
-            "block_doc_off": c_bdo,
-            "block_tf_off": c_bto,
-            "bm_norm_id": c_bmn,
-            "bm_tf": c_bmt,
-            "pos_enc": c_pe,
-            "pos_off": c_po,
-            "tbucket": c_tb,
-        },
-        columns=[f.name for f in POSTINGS_SCHEMA.fields],
-    )
-
-
-def _encode_group(pdf: pd.DataFrame, n_term_buckets: int,
-                  positions: bool = False) -> pd.DataFrame:
-    """Block-encode every term of one (segment_ord, shard) group.
-
-    Input rows: (segment_ord, term, doc_id, fieldnorm_id, tf[, positions])
-    — already one row per (term, doc) run (Catalyst did the partial agg),
-    so this rank-codes terms, lexsorts (term, doc), and hands the runs to
-    the shared vectorized encoder.  No pandas groupby / per-term dict rows
-    (the round-1 shape) — the only remaining Python loop is the per-term
-    block encode itself."""
-    seg = int(pdf["segment_ord"].iloc[0])
-    codes, uniq = pd.factorize(pdf["term"], sort=True)
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    order = np.lexsort((doc_ids, codes))
-    c_s = codes[order]
-    d_s = doc_ids[order]
-    tfs = pdf["tf"].to_numpy(np.int64)[order]
-    fns = pdf["fieldnorm_id"].to_numpy(np.int64)[order]
-    pos_flat = None
-    if positions:
-        pos_series = pdf["positions"].to_numpy(dtype=object)[order]
-        pos_flat = (
-            np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_series])
-            if len(pos_series)
-            else np.empty(0, dtype=np.int64)
-        )
-    return _encode_runs(seg, c_s, uniq, d_s, tfs, fns, pos_flat,
-                        n_term_buckets, positions)
-
-
-def _encode_segment(pdf: pd.DataFrame, n_term_buckets: int,
-                    positions: bool) -> pd.DataFrame:
-    """Encode ALL postings of one segment in one vectorized pass.
-
-    This is the segment-local posting construction of the reference
-    (SegmentWriter + PostingsSerializer, segment_writer.rs:221-330,
-    postings_writer.rs:49-120) as a numpy kernel: flatten the token
-    stream, factorize terms, lexsort (term, doc), run-length-encode the
-    (term, doc) runs into tfs, then block-encode each term's list.
-    """
-    pdf = pdf.sort_values("doc_id", kind="stable")
-    seg = int(pdf["segment_ord"].iloc[0])
-    counts = pdf["terms"].map(len).to_numpy(np.int64)
-    if counts.sum() == 0:
-        return pd.DataFrame([], columns=[f.name for f in POSTINGS_SCHEMA.fields])
-    tokens = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
-    doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), counts)
-    if "term_fns" in pdf.columns:
-        # multi-field: each token carries its own field's fieldnorm
-        fn_rep = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in pdf["term_fns"]]
-        )
-    else:
-        fn_rep = np.repeat(pdf["fieldnorm_id"].to_numpy(np.int64), counts)
-    if positions:
-        pos_flat = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-        )
-    codes, uniq_terms = pd.factorize(pd.Series(tokens), sort=True)
-    return _encode_token_stream(
-        seg, codes, uniq_terms, doc_rep, fn_rep,
-        pos_flat if positions else None, n_term_buckets, positions,
-    )
-
-
-def _encode_segment_arrow(table, n_term_buckets: int,
-                          positions: bool, multi_field: bool):
-    """Arrow-native variant of `_encode_segment`: the token stream never
-    materializes as Python objects — list-flatten, doc-sort, and
-    dictionary-encode all run in Arrow C++ (combine_chunks / take /
-    flatten / dictionary_encode), then the same numpy run-length + block
-    encoding.  This is the build's hot loop; object-dtype pandas was the
-    memory-bandwidth bottleneck at high parallelism."""
+def _rank_coded_terms(str_array):
+    """Dictionary-encode an Arrow string array and rank-code it so that
+    ascending code == lexicographic term order (the factorize(sort=True)
+    contract).  Returns (codes int64, uniq_terms sorted Arrow array)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    denc = str_array.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = denc.dictionary
+    sort_perm = pc.array_sort_indices(dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(sort_perm), dtype=np.int64)
+    rank[sort_perm] = np.arange(len(sort_perm))
+    return rank[idx], dictionary.take(pa.array(sort_perm))
+
+
+_ENC_ARROW_SCHEMA = None
+
+
+def _postings_enc_arrow_schema():
+    global _ENC_ARROW_SCHEMA
+    if _ENC_ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _ENC_ARROW_SCHEMA = to_arrow_schema(POSTINGS_ENC_SCHEMA)
+    return _ENC_ARROW_SCHEMA
+
+
+def _assemble_postings_arrow(seg, uniq_terms, enc, fn_run, term_starts,
+                             pos_enc, pos_post_off, positions):
+    """Per-term postings Arrow table from the flat-encoder outputs with
+    ZERO per-term Python: binary columns are offset+buffer constructions
+    over the global byte streams, list columns are ListArray.from_arrays
+    over the flat block arrays.  (The round-2 shape — a pandas DataFrame
+    with per-term bytes objects and per-term list slices — was ~80% of
+    stage-2 wall time.)"""
+    import pyarrow as pa
+
+    schema = _postings_enc_arrow_schema()
+    n_terms = len(uniq_terms)
+    if n_terms == 0:
+        return schema.empty_table()
+
+    def binary_col(buf, off):
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(off.astype(np.int32).tobytes()),
+             pa.py_buffer(buf.tobytes())],
+        )
+
+    def list_col(flat, off, typ):
+        return pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=typ),
+        )
+
+    blk_off = enc["block_offsets"]
+    if positions:
+        # per-posting byte offsets -> per-term byte ranges + relative lists
+        pos_buf = np.frombuffer(pos_enc, dtype=np.uint8)
+        post_off_ext = np.append(pos_post_off, len(pos_buf))
+        term_byte_off = post_off_ext[term_starts]
+        pos_enc_col = binary_col(pos_buf, term_byte_off)
+        rel = (pos_post_off - np.repeat(
+            term_byte_off[:-1], np.diff(term_starts))).astype(np.int32)
+        pos_off_col = list_col(rel, term_starts, pa.int32())
+    else:
+        pos_enc_col = pa.nulls(n_terms, pa.binary())
+        pos_off_col = pa.nulls(n_terms, pa.list_(pa.int32()))
+
+    cols = [
+        uniq_terms,
+        pa.array(np.full(n_terms, seg, dtype=np.int32), type=pa.int32()),
+        pa.array(enc["doc_freq"].astype(np.int64)),
+        pa.array(enc["sum_tf"].astype(np.int64)),
+        pa.array(enc["max_tf"].astype(np.int64)),
+        binary_col(enc["doc_buf"], enc["doc_term_off"]),
+        binary_col(enc["tf_buf"], enc["tf_term_off"]),
+        binary_col(fn_run, term_starts),
+        list_col(enc["block_last"].astype(np.int64), blk_off, pa.int64()),
+        list_col(enc["block_doc_off"], blk_off, pa.int32()),
+        list_col(enc["block_tf_off"], blk_off, pa.int32()),
+        list_col(enc["bm_norm_id"], blk_off, pa.int32()),
+        list_col(enc["bm_tf"], blk_off, pa.int32()),
+        pos_enc_col,
+        pos_off_col,
+    ]
+    return pa.table(dict(zip(schema.names, cols))).cast(schema)
+
+
+def _encode_runs_arrow(seg, uniq_terms, doc_of_run, tfs_all, fn_of_run,
+                       pos_flat, term_starts, positions):
+    """Flat term-sorted runs -> posting rows: one cross-term block encode
+    (blocks.encode_postings_flat) + one cross-term positions encode +
+    the zero-copy Arrow assembly."""
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    fn_u8 = np.asarray(fn_of_run, dtype=np.uint8)
+    enc = blocks.encode_postings_flat(doc_of_run, tfs_all, fn_u8, term_starts)
+    if positions:
+        pos_enc, pos_post_off = blocks.encode_positions_flat(
+            pos_flat, tfs_all)
+    else:
+        pos_enc, pos_post_off = b"", None
+    return _assemble_postings_arrow(seg, uniq_terms, enc, fn_u8, term_starts,
+                                    pos_enc, pos_post_off, positions)
+
+
+def _encode_group_arrow(table, positions: bool):
+    """Encode one (segment_ord, term-shard) group of pre-aggregated
+    (term, doc, tf[, positions]) runs — the salted path's kernel.
+    All Arrow/numpy; no pandas, no per-term Python."""
     if table.num_rows == 0:
-        return pa.table([], schema=_postings_arrow_schema())
+        return _postings_enc_arrow_schema().empty_table()
+    table = table.combine_chunks()
+    seg = int(table.column("segment_ord")[0].as_py())
+    codes, uniq_terms = _rank_coded_terms(
+        table.column("term").combine_chunks())
+    doc_ids = table.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tfs = table.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    fns = table.column("fieldnorm_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc_ids, codes))
+    c_s, d_s = codes[order], doc_ids[order]
+    t_s, f_s = tfs[order], fns[order]
+    pos_flat = None
+    if positions:
+        pos_col = table.column("positions").combine_chunks()
+        flat_all = pos_col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_off = pos_col.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = np.diff(row_off)[order]
+        starts_sorted = row_off[:-1][order]
+        g = np.repeat(starts_sorted, lens) + (
+            np.arange(int(lens.sum()))
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        pos_flat = flat_all[g]
+    term_starts = np.append(
+        np.flatnonzero(np.diff(c_s, prepend=c_s[0] - 1)), len(c_s))
+    return _encode_runs_arrow(seg, uniq_terms, d_s, t_s, f_s, pos_flat,
+                              term_starts, positions)
+
+
+def _encode_segment_arrow(table, positions: bool, multi_field: bool):
+    """Encode ALL postings of one segment in one vectorized pass — the
+    reference's segment-local posting construction (SegmentWriter +
+    PostingsSerializer, segment_writer.rs:221-330,
+    postings_writer.rs:49-120) as an Arrow/numpy kernel: list-flatten the
+    token stream (never materialized as Python objects), rank-code terms,
+    lexsort (term, doc), run-length the (term, doc) runs into tfs, then
+    the cross-term flat block encode."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return _postings_enc_arrow_schema().empty_table()
     # doc order within the segment (shuffle delivers rows unordered)
     table = table.combine_chunks()
     table = table.take(pc.sort_indices(table.column("doc_id")))
@@ -420,28 +484,16 @@ def _encode_segment_arrow(table, n_term_buckets: int,
     terms_col = table.column("terms").combine_chunks()
     offsets = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     counts = np.diff(offsets)
-    total = int(counts.sum())
-    if total == 0:
-        return pa.table([], schema=_postings_arrow_schema())
-    flat = terms_col.flatten()
-
-    denc = flat.dictionary_encode()
-    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dictionary = denc.dictionary
-    # rank-code so ascending code == lexicographic term order (the
-    # factorize(sort=True) contract of the pandas path)
-    sort_perm = pc.array_sort_indices(dictionary).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    rank = np.empty(len(sort_perm), dtype=np.int64)
-    rank[sort_perm] = np.arange(len(sort_perm))
-    codes = rank[idx]
-    uniq_terms = dictionary.take(pa.array(sort_perm)).to_pylist()
+    if int(counts.sum()) == 0:
+        return _postings_enc_arrow_schema().empty_table()
+    codes, uniq_terms = _rank_coded_terms(terms_col.flatten())
 
     doc_rep = np.repeat(
         table.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
         counts,
     )
     if multi_field:
+        # each token carries its own field's fieldnorm
         fn_rep = table.column("term_fns").combine_chunks().flatten().to_numpy(
             zero_copy_only=False).astype(np.int64)
     else:
@@ -455,32 +507,9 @@ def _encode_segment_arrow(table, n_term_buckets: int,
         pos_flat = table.column("positions").combine_chunks().flatten(
         ).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    pdf = _encode_token_stream(
-        seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
-        n_term_buckets, positions,
-    )
-    return pa.Table.from_pandas(
-        pdf, schema=_postings_arrow_schema(), preserve_index=False
-    )
-
-
-def _postings_arrow_schema():
-    import pyarrow as pa
-
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    return to_arrow_schema(POSTINGS_SCHEMA)
-
-
-def _encode_token_stream(seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
-                         n_term_buckets, positions) -> pd.DataFrame:
-    """Run-length + block encoding of one segment's rank-coded token
-    stream (shared by the pandas and Arrow paths).  `codes` must be
-    rank-coded: ascending code == lexicographic term order."""
-    order = np.lexsort((doc_rep, codes))  # stable: positions stay in doc order
+    order = np.lexsort((doc_rep, codes))  # stable: positions stay doc-ordered
     c_s, d_s, f_s = codes[order], doc_rep[order], fn_rep[order]
-    if positions:
-        p_s = pos_flat[order]
+    p_s = pos_flat[order] if positions else None
 
     # run boundaries of equal (term, doc) -> tf per posting
     new_run = np.empty(len(c_s), dtype=bool)
@@ -492,18 +521,17 @@ def _encode_token_stream(seg, codes, uniq_terms, doc_rep, fn_rep, pos_flat,
     term_of_run = c_s[run_starts]
     doc_of_run = d_s[run_starts]
     fn_of_run = f_s[run_starts]
-
-    # per-(term, doc) runs in term-sorted order: each run's positions are
-    # the p_s slice starting at its run_start (lengths = tfs) — exactly
-    # the _encode_runs contract; positions encode happens there in ONE
-    # cross-term vectorized pass
-    pos_flat = p_s if positions else None
-    return _encode_runs(seg, term_of_run, uniq_terms, doc_of_run, tfs_all,
-                        fn_of_run, pos_flat, n_term_buckets, positions)
+    term_starts = np.append(
+        np.flatnonzero(np.diff(term_of_run, prepend=term_of_run[0] - 1)),
+        len(term_of_run),
+    )
+    # p_s is the per-run positions flat stream (lengths = tfs_all) already
+    return _encode_runs_arrow(seg, uniq_terms, doc_of_run, tfs_all,
+                              fn_of_run, p_s, term_starts, positions)
 
 
 def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Segment-local posting construction (the default, tantivy's shape).
+    """Segment-local posting construction (tantivy's shape).
 
     One task per segment builds that segment's complete postings in RAM
     (the reference's per-thread SegmentWriter arena), so the only shuffles
@@ -516,7 +544,6 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
     Memory bound: one segment's docmap batch must fit the task (size
     segments via cfg.n_segments; ~1-2M docs/segment at production scale).
     """
-    nb = cfg.n_term_buckets
     with_pos = cfg.positions
     multi = bool(cfg.extra_fields)
     cols = ["segment_ord", "doc_id", "fieldnorm_id", "terms"]
@@ -528,20 +555,24 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
         docmap.select(*cols)
         .groupBy("segment_ord")
         .applyInArrow(
-            lambda table: _encode_segment_arrow(table, nb, with_pos, multi),
-            schema=POSTINGS_SCHEMA,
+            lambda table: _encode_segment_arrow(table, with_pos, multi),
+            schema=POSTINGS_ENC_SCHEMA,
         )
+        .withColumn("tbucket",
+                    _term_bucket_col(F.col("term"), cfg.n_term_buckets))
     )
 
 
 def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = None) -> DataFrame:
-    """Flat (term, doc, tf) aggregation + per-term block encoding — the
-    shuffle-by-term variant (kept for segments too large for one task; the
-    default build uses build_postings_local).
+    """Flat (term, doc, tf) aggregation + cross-term block encoding — the
+    salted shuffle-by-term variant (the default: fine-grained tasks keep
+    every core busy and bound any hot term's postings by segment size).
 
     The groupBy below does map-side partial aggregation (Catalyst), so the
     shuffle carries one row per distinct (segment, term, doc) — not one row
-    per token occurrence.
+    per token occurrence.  The tbucket column is computed JVM-side (crc32)
+    after the encode, so the Arrow UDF never touches term strings in
+    Python.
     """
     if n_shards is None:
         n_shards = max(cfg.n_segments * 4, 32)
@@ -601,14 +632,17 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
     sharded = flat.withColumn(
         "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("int")
     )
-    nb = cfg.n_term_buckets
     with_pos = cfg.positions
     return (
         sharded.groupBy("segment_ord", "shard")
-        .applyInPandas(
-            lambda pdf: _encode_group(pdf, nb, with_pos), schema=POSTINGS_SCHEMA
+        .applyInArrow(
+            lambda table: _encode_group_arrow(table, with_pos),
+            schema=POSTINGS_ENC_SCHEMA,
         )
+        .withColumn("tbucket",
+                    _term_bucket_col(F.col("term"), cfg.n_term_buckets))
     )
+
 
 
 # --------------------------------------------------------------------------
