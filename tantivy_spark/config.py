@@ -41,13 +41,20 @@ class IndexConfig:
     #: in the manifest, so scoped-term BM25 uses the field's avgdl exactly
     #: like the reference's per-field statistics (bm25.rs:33-51).
     extra_fields: tuple[str, ...] = ()
-    #: stage-2 dataflow: "salted" shuffles partial-aggregated (term, doc)
-    #: rows by (segment, term-shard) — fine-grained tasks, best wall-clock
-    #: at high parallelism; "local" encodes each whole segment in one task
-    #: (the reference's per-thread SegmentWriter shape) — no per-token
-    #: shuffle, least memory traffic, best scaling efficiency.  Segment
-    #: count must give enough tasks to fill the cluster in "local" mode.
-    postings_mode: str = "salted"
+    #: stage-2 dataflow — all three produce byte-identical posting rows:
+    #: "segment" (default): one task per segment with direct pyarrow file
+    #:   IO (tantivy's per-thread SegmentWriter shape) — zero shuffles,
+    #:   zero JVM<->Python IPC, lineage collected in-pass; needs the index
+    #:   dir reachable from executors (local fs / NFS / object store).
+    #: "local": the same per-segment dataflow through Catalyst
+    #:   groupBy + applyInArrow — for storage pyarrow can't reach.
+    #: "salted": shuffle partial-aggregated (term, doc) rows by
+    #:   (segment, term-shard) — finer tasks, the fallback when segments
+    #:   are too large for one task.
+    #: Segment count must give enough tasks to fill the cluster, and one
+    #: segment's docmap batch must fit a task (size via n_segments;
+    #: ~1-2M docs/segment at production scale).
+    postings_mode: str = "segment"
     #: index sorting (IndexSettings::sort_by_field, src/index/
     #: index_meta.rs:288-398): (field, "asc"|"desc") orders docs within
     #: each segment by that fast-field value, enabling early termination

@@ -472,13 +472,13 @@ def _encode_segment_arrow(table, positions: bool, multi_field: bool):
     token stream (never materialized as Python objects), rank-code terms,
     lexsort (term, doc), run-length the (term, doc) runs into tfs, then
     the cross-term flat block encode."""
-    import pyarrow.compute as pc
-
     if table.num_rows == 0:
         return _postings_enc_arrow_schema().empty_table()
-    # doc order within the segment (shuffle delivers rows unordered)
-    table = table.combine_chunks()
-    table = table.take(pc.sort_indices(table.column("doc_id")))
+    # NOTE: no row-level doc sort — the shuffle delivers rows unordered,
+    # but the stable token-grain lexsort below fully establishes
+    # (term, doc, position) order on its own (doc ids are unique per row,
+    # and flatten preserves each row's ascending positions), so sorting
+    # the table first would just gather every term string twice.
     seg = int(table.column("segment_ord")[0].as_py())
 
     terms_col = table.column("terms").combine_chunks()
@@ -560,6 +560,102 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
         )
         .withColumn("tbucket",
                     _term_bucket_col(F.col("term"), cfg.n_term_buckets))
+    )
+
+
+def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
+                  multi_field: bool, extra_fields: tuple[str, ...]) -> dict:
+    """Encode ONE segment end-to-end inside one Spark task: read the
+    segment's docmap partition directly with pyarrow (no JVM round-trip),
+    run the flat block encoder, write term-bucketed parquet files, and
+    return the segment's lineage metrics.  Single-threaded by
+    construction (pyarrow pools pinned to 1) so cluster parallelism is
+    exactly the task parallelism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import zlib
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+
+    seg = int(seg_dir.rstrip("/").rsplit("=", 1)[1])
+    cols = ["doc_id", "fieldnorm_id", "terms", "token_count"]
+    if positions:
+        cols.append("positions")
+    if multi_field:
+        cols.append("term_fns")
+    cols += [f"xf_tc_{f}" for f in extra_fields]
+    t = pq.read_table(seg_dir, columns=cols, use_threads=False)
+    t = t.append_column(
+        "segment_ord", pa.array(np.full(len(t), seg, dtype=np.int32)))
+    out = _encode_segment_arrow(t, positions, multi_field)
+
+    terms = out.column("term").to_pylist()
+    tb = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % nb for s in terms),
+        dtype=np.int32, count=len(terms),
+    )
+    # rows are term-sorted, so each bucket's take keeps term order and
+    # parquet row-group term stats stay prune-friendly
+    for b in np.unique(tb):
+        sub = out.take(np.flatnonzero(tb == b))
+        bdir = os.path.join(out_path, f"tbucket={int(b)}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(sub, os.path.join(bdir, f"seg{seg}.parquet"))
+
+    metrics = {
+        "segment_ord": seg,
+        "n_docs": len(t),
+        "n_tokens": int(pc.sum(t.column("token_count")).as_py() or 0),
+        "n_terms": len(out),
+        "n_postings": int(pc.sum(out.column("doc_freq")).as_py() or 0),
+    }
+    if extra_fields:
+        metrics["field_tokens"] = {
+            f: int(pc.sum(t.column(f"xf_tc_{f}")).as_py() or 0)
+            for f in extra_fields
+        }
+    return metrics
+
+
+def build_postings_segment_files(spark: SparkSession, docmap_path: str,
+                                 postings_path: str,
+                                 cfg: IndexConfig) -> list[dict]:
+    """Per-segment postings build with direct file IO — the closest Spark
+    analogue of tantivy's per-thread SegmentWriter (index_writer.rs worker
+    threads each own one immutable segment): one Spark task per segment
+    reads that segment's docmap partition, encodes its complete postings,
+    and writes its term-bucket files.  ZERO shuffles and zero JVM<->Python
+    Arrow IPC — at 100 TB the only data movement is each task streaming
+    its own segment once.  Atomicity stays manifest-last (the index-level
+    commit protocol); task retries overwrite their own deterministic
+    filenames idempotently.
+
+    Requires docmap_path/postings_path on storage every executor reaches
+    (local[*], NFS, or object store via pyarrow.fs).  The DataFrame modes
+    ("local"/"salted") remain for environments without that property.
+
+    Returns per-segment lineage metrics (docs, tokens, terms, postings) —
+    collected from the same pass, so stage 3 needs no extra stats jobs.
+    """
+    import glob
+
+    seg_dirs = sorted(glob.glob(os.path.join(docmap_path, "segment_ord=*")))
+    if os.path.exists(postings_path):
+        import shutil
+
+        shutil.rmtree(postings_path)
+    os.makedirs(postings_path, exist_ok=True)
+    nb = cfg.n_term_buckets
+    positions = cfg.positions
+    multi = bool(cfg.extra_fields)
+    extra = tuple(cfg.extra_fields)
+    return (
+        spark.sparkContext.parallelize(seg_dirs, max(len(seg_dirs), 1))
+        .map(lambda d: _segment_task(d, postings_path, nb, positions,
+                                     multi, extra))
+        .collect()
     )
 
 
@@ -718,7 +814,12 @@ def build_index(
         # the window already shuffled by segment_ord (into
         # spark.sql.shuffle.partitions tasks); write directly from that
         # partitioning — re-repartitioning to exactly n_segments would be a
-        # balls-in-bins hash with straggler partitions holding 2+ segments
+        # balls-in-bins hash with straggler partitions holding 2+ segments.
+        # (A/B note: persisting the tokenized frame for the downstream
+        # stages was tried and reverted — the cached plan does not carry
+        # its partitioning under AQE, so the groupBy re-shuffle stays, and
+        # the extra cache-write pass costs more than the parquet re-read
+        # it saves on this box.)
         (
             docmap.sortWithinPartitions("segment_ord", "doc_id")
             .write.mode("overwrite")
@@ -730,31 +831,39 @@ def build_index(
 
     docmap_df = spark.read.parquet(docmap_path)
 
+    seg_metrics: list[dict] | None = None
     if not (resume and _stage_done(index_dir, "postings")):
         t = time.time()
-        # Salted-term-shuffle encode (the default): fine-grained
-        # (segment, term-shard) tasks keep every core busy and bound any
-        # hot term's postings by the segment size (segments are the salt).
-        # The segment-local variant (build_postings_local) encodes whole
-        # segments in one task each (no per-token shuffle — least memory
-        # traffic); pick it via cfg.postings_mode="local" when segment
-        # count >> cores (it also serves the incremental streaming path).
-        if cfg.postings_mode == "local":
-            postings = build_postings_local(docmap_df, cfg)
+        # "segment" (default): one task per segment with direct file IO —
+        # tantivy's per-thread SegmentWriter shape, zero shuffles; also
+        # returns per-segment lineage so stage 3 needs no stats jobs.
+        # "local" keeps the same dataflow through groupBy/applyInArrow
+        # (for storage layouts pyarrow can't reach); "salted" shuffles
+        # partial-aggregated (term, doc) rows by (segment, term-shard)
+        # for segments too large for one task.  Hot terms are bounded per
+        # reducer by segment size either way (segments are the salt).
+        if cfg.postings_mode == "segment":
+            seg_metrics = build_postings_segment_files(
+                spark, docmap_path, postings_path, cfg)
         else:
-            postings = build_postings(docmap_df, cfg)
-        # hash-partition the write on (tbucket, term) — NOT
-        # repartitionByRange, whose sampling pass would re-run the whole
-        # encode pipeline.  Files stay term-sorted within each task, so
-        # parquet row-group term stats still prune exact-term scans.
-        n_write = max(cfg.n_term_buckets, spark.sparkContext.defaultParallelism)
-        (
-            postings.repartition(n_write, "tbucket", "term")
-            .sortWithinPartitions("tbucket", "term", "segment_ord")
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(postings_path)
-        )
+            if cfg.postings_mode == "local":
+                postings = build_postings_local(docmap_df, cfg)
+            else:
+                postings = build_postings(docmap_df, cfg)
+            # hash-partition the write on (tbucket, term) — NOT
+            # repartitionByRange, whose sampling pass would re-run the
+            # whole encode pipeline.  Files stay term-sorted within each
+            # task, so parquet row-group term stats still prune
+            # exact-term scans.
+            n_write = max(cfg.n_term_buckets,
+                          spark.sparkContext.defaultParallelism)
+            (
+                postings.repartition(n_write, "tbucket", "term")
+                .sortWithinPartitions("tbucket", "term", "segment_ord")
+                .write.mode("overwrite")
+                .partitionBy("tbucket")
+                .parquet(postings_path)
+            )
         _mark_done(index_dir, "postings")
         stage_times["postings"] = time.time() - t
 
@@ -786,44 +895,50 @@ def build_index(
 
     # stage 3: stats + per-segment lineage, manifest committed LAST
     t = time.time()
-    xf_aggs = [
-        F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
-    ]
-    seg_doc_stats = {
-        int(r["segment_ord"]): r
-        for r in docmap_df.groupBy("segment_ord")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("token_count").alias("n_tokens"),
-            *xf_aggs,
-        )
-        .collect()
-    }
-    seg_post_stats = {
-        int(r["segment_ord"]): r
-        for r in postings_df.groupBy("segment_ord")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("doc_freq").alias("n_postings"),
-        )
-        .collect()
-    }
-    segments = []
-    for seg_ord in sorted(seg_doc_stats):
-        d = seg_doc_stats[seg_ord]
-        p = seg_post_stats.get(seg_ord)
-        seg_entry = {
-            "segment_ord": seg_ord,
-            "n_docs": int(d["n_docs"]),
-            "n_tokens": int(d["n_tokens"]),
-            "n_terms": int(p["n_terms"]) if p else 0,
-            "n_postings": int(p["n_postings"]) if p else 0,
+    if seg_metrics is not None:
+        # segment mode already collected lineage inside the encode tasks
+        segments = sorted(seg_metrics, key=lambda m: m["segment_ord"])
+    else:
+        xf_aggs = [
+            F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}")
+            for f in cfg.extra_fields
+        ]
+        seg_doc_stats = {
+            int(r["segment_ord"]): r
+            for r in docmap_df.groupBy("segment_ord")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("token_count").alias("n_tokens"),
+                *xf_aggs,
+            )
+            .collect()
         }
-        if cfg.extra_fields:
-            seg_entry["field_tokens"] = {
-                f: int(d[f"xf_tokens_{f}"] or 0) for f in cfg.extra_fields
+        seg_post_stats = {
+            int(r["segment_ord"]): r
+            for r in postings_df.groupBy("segment_ord")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("doc_freq").alias("n_postings"),
+            )
+            .collect()
+        }
+        segments = []
+        for seg_ord in sorted(seg_doc_stats):
+            d = seg_doc_stats[seg_ord]
+            p = seg_post_stats.get(seg_ord)
+            seg_entry = {
+                "segment_ord": seg_ord,
+                "n_docs": int(d["n_docs"]),
+                "n_tokens": int(d["n_tokens"]),
+                "n_terms": int(p["n_terms"]) if p else 0,
+                "n_postings": int(p["n_postings"]) if p else 0,
             }
-        segments.append(seg_entry)
+            if cfg.extra_fields:
+                seg_entry["field_tokens"] = {
+                    f: int(d[f"xf_tokens_{f}"] or 0)
+                    for f in cfg.extra_fields
+                }
+            segments.append(seg_entry)
     stage_times["stats"] = time.time() - t
 
     manifest = {

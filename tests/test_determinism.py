@@ -80,20 +80,28 @@ def test_resume_skips_completed_stages_and_is_identical(spark, tmp_root):
         assert seg["n_docs"] > 0 and seg["n_tokens"] > 0
         assert seg["n_terms"] > 0 and seg["n_postings"] > 0
 
+    def _tree_mtimes(sub):
+        out = {}
+        for root, _, files in os.walk(os.path.join(idx, sub)):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
     # simulate a crash after stage 1: drop the postings marker + manifest
+    dm_before = _tree_mtimes("docmap")
     os.remove(os.path.join(idx, "_done_postings"))
     os.remove(os.path.join(idx, "manifest.json"))
-    t0 = time.time()
     build_index(spark, src, idx, CFG, resume=True)
-    resumed_in = time.time() - t0
     assert _postings_fingerprint(spark, idx) == fp_before
+    assert _tree_mtimes("docmap") == dm_before  # stage 1 was skipped
 
-    # full resume (everything done) rebuilds only the manifest — fast path
-    t1 = time.time()
+    # full resume (everything done) rebuilds only the manifest
+    pm_before = _tree_mtimes("postings")
     m = build_index(spark, src, idx, CFG, resume=True)
-    full_resume_in = time.time() - t1
     assert m["total_docs"] == manifest["total_docs"]
-    assert full_resume_in < resumed_in  # skipped both heavy stages
+    assert _tree_mtimes("docmap") == dm_before      # skipped
+    assert _tree_mtimes("postings") == pm_before    # skipped
 
 
 def test_query_scan_is_partition_pruned(spark, tmp_root):
