@@ -288,21 +288,6 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     # .fast file role, ARCHITECTURE.md:161-166)
     base = source.withColumn("segment_ord", seg)
 
-    if cfg.jvm_tokenize and tokenizer == "default" and not positions:
-        # default chain, no positions: tokenize stays JVM-side (whole-stage
-        # codegen) — the scale hot path; parity with the pandas analyzer is
-        # per-codepoint exact (tests/test_jvm_tokenize.py)
-        tokenized = _tokenize_jvm(base, text_col, extra_fields)
-    else:
-        passthrough = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in base.schema.fields
-            if f.name != text_col
-        )
-        out_schema = f"{passthrough}, {tok_schema}"
-
-        tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
-
     # index sorting (index_meta.rs:288-398): optional fast-field order
     # first, key_cols as the deterministic tiebreak
     order = [F.col(c) for c in cfg.key_cols]
@@ -311,7 +296,29 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
         lead = F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
         order = [lead] + order
     w = Window.partitionBy("segment_ord").orderBy(*order)
-    return tokenized.withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+
+    if cfg.jvm_tokenize and tokenizer == "default" and not positions:
+        # default chain, no positions: tokenize stays JVM-side (whole-stage
+        # codegen) — the scale hot path; parity with the pandas analyzer is
+        # per-codepoint exact (tests/test_jvm_tokenize.py).  Tokenize runs
+        # BEFORE the segment window: A/B-measured — running it after the
+        # window (to shuffle raw text instead of token arrays) was ~1.5x
+        # slower at 8 cores (the post-window projection falls out of the
+        # scan stage's codegen pipeline), and only ~5% cheaper at 2.
+        tokenized = _tokenize_jvm(base, text_col, extra_fields)
+        return tokenized.withColumn(
+            "doc_id", (F.row_number().over(w) - 1).cast("int"))
+
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name != text_col
+    )
+    out_schema = f"{passthrough}, {tok_schema}"
+
+    tokenized = base.mapInPandas(tokenize_batches, schema=out_schema)
+    return tokenized.withColumn(
+        "doc_id", (F.row_number().over(w) - 1).cast("int"))
 
 
 # --------------------------------------------------------------------------
