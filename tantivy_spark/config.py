@@ -72,11 +72,27 @@ class IndexConfig:
     jvm_tokenize: bool = True
     k1: float = 1.2
     b: float = 0.75
+    #: per-field BM25 overrides, ((field, k1, b), ...) — the reference's
+    #: per-field Bm25Params (src/index/index_meta.rs:240-260: each text
+    #: field option carries its own k1/b).  Fields not listed use the
+    #: index-level k1/b above.  Applies to `extra_fields` entries (their
+    #: terms are scoped `field:token`); the main text field can be
+    #: overridden under the reserved name "" (empty string).
+    field_bm25: tuple[tuple[str, float, float], ...] = ()
+
+    def bm25_params_for_field(self, field: str | None) -> tuple[float, float]:
+        """(k1, b) for `field` (None/"" = the main text field)."""
+        key = field or ""
+        for f, k1, b in self.field_bm25:
+            if f == key:
+                return float(k1), float(b)
+        return self.k1, self.b
 
     def to_json(self) -> str:
         d = asdict(self)
         d["key_cols"] = list(self.key_cols)
         d["extra_fields"] = list(self.extra_fields)
+        d["field_bm25"] = [list(t) for t in self.field_bm25]
         if self.sort_by_field is not None:
             d["sort_by_field"] = list(self.sort_by_field)
         return json.dumps(d)
@@ -86,6 +102,8 @@ class IndexConfig:
         d = json.loads(s)
         d["key_cols"] = tuple(d["key_cols"])
         d["extra_fields"] = tuple(d.get("extra_fields", ()))
+        d["field_bm25"] = tuple(
+            tuple(t) for t in d.get("field_bm25", ()))
         if d.get("sort_by_field") is not None:
             d["sort_by_field"] = tuple(d["sort_by_field"])
         return IndexConfig(**d)

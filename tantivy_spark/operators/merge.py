@@ -159,18 +159,52 @@ def merge_segments(spark: SparkSession, index_dir: str,
         )
         dm = dm.join(dead, ["segment_ord", "doc_id"], "left_anti")
 
-    # re-assign dense doc ids in stable key order within the merged segment
-    w = Window.partitionBy().orderBy(*[F.col(c) for c in cfg.key_cols])
-    merged = (
+    # Re-assign dense doc ids in stable key order within the merged
+    # segment — DISTRIBUTED: a global row_number window would pull the
+    # whole merged segment through one task.  Instead: range-partition by
+    # the stable key (global order = partition order), count rows per
+    # partition (a tiny driver-side prefix sum — n_partitions entries),
+    # then doc_id = partition offset + within-partition rank.  The ids
+    # depend only on the key order, so the assignment is deterministic
+    # regardless of partition boundaries.
+    key_order = [F.col(c) for c in cfg.key_cols]
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    part_sorted = (
         dm.drop("segment_ord", "doc_id")
+        .repartitionByRange(n_parts, *key_order)
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the (sampled) range boundaries so the count pass and the
+        # id-assignment pass see identical partitioning
+        .persist()
+    )
+    counts = {
+        int(r["__pid"]): int(r["c"])
+        for r in part_sorted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy(*key_order)
+    merged = (
+        part_sorted
+        .withColumn(
+            "doc_id",
+            (off_map[F.col("__pid")] + F.row_number().over(w) - 1).cast("int"),
+        )
         .withColumn("segment_ord", F.lit(new_ord).cast("int"))
-        .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
+        .drop("__pid")
     )
 
     # write new docmap partition, new postings partitions (append)
     merged.sortWithinPartitions("doc_id").write.mode("append").partitionBy(
         "segment_ord"
     ).parquet(docmap_path)
+    part_sorted.unpersist()
 
     merged_dm = spark.read.parquet(docmap_path).filter(
         F.col("segment_ord") == new_ord

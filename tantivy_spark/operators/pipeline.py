@@ -325,7 +325,7 @@ def _cap_buckets(rows: DataFrame, keys: list, cap: int) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, n: int = 3,
                       threshold: float = 0.6, seed: int = 42,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 1024) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     Plan: signatures -> explode into `bands` band-hash keys -> self-join on
@@ -339,8 +339,11 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
 
     `max_bucket` drops LSH buckets holding more than that many docs
     before the self-join — the hot-bucket c^2 guard (such buckets are
-    boilerplate/exact-dup groups that exact_dedup should own).  Default
-    None = exact banded semantics (the oracle contract).
+    boilerplate/exact-dup groups that exact_dedup should own).  The
+    DEFAULT is the scale-safe cap (1024 members -> <= ~0.5M candidate
+    pairs per hot bucket); pass None explicitly for exact banded
+    semantics (what the oracle contract entry does — the bound only
+    drops buckets a templated corpus degenerates into).
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, key_col, text_col, num_perm, n, seed)
@@ -447,7 +450,7 @@ def simhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
                   max_hamming: int = 3,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = 1024) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming.
 
     Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
@@ -459,7 +462,8 @@ def simhash_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     collapse into few distinct signatures and degenerate without it
     (measured at 1.3M docs: 436M candidate pairs, BENCH.md "Scale
     smoke"); near-identical docs dropped here are exact_dedup's job.
-    Default None = exact banded semantics (the oracle contract).
+    The DEFAULT is the scale-safe cap (1024); pass None explicitly for
+    exact banded semantics (what the oracle contract entry does).
     """
     sigs = simhash_signatures(df, key_col, text_col).cache()
     chunks = sigs.select(

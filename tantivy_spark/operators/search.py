@@ -593,18 +593,30 @@ class Searcher:
             .withColumn("tlen", F.length("term"))
         )
 
-    def expand_regex(self, pattern: str) -> list[str]:
+    def expand_regex(self, pattern: str,
+                     max_expansions: int | None = 1024) -> list[str]:
         """Terms matching an anchored regex (the reference's regex automaton
         over the term dict, src/query/regex_query.rs:57; tantivy anchors the
         automaton to the full term).  The pattern's literal prefix becomes a
-        `startswith` prune pushed into the term-dict parquet scan."""
+        `startswith` prune pushed into the term-dict parquet scan.
+
+        `max_expansions` bounds the driver collect: the first N matches in
+        term order via TakeOrderedAndProject (bounded memory at any
+        vocabulary size — a broad pattern like `.*x.*` over a 10^9-term
+        dictionary would otherwise collect unboundedly; the reference's
+        automaton walk streams per segment and the related phrase-prefix
+        expansion caps at max_expansions, phrase_prefix_query.rs).  Pass
+        None for the unbounded exact expansion."""
         anchored = f"^(?:{pattern})$"
         cands = self._expansion_terms()
         lit = _regex_literal_prefix(pattern)
         if lit:
             cands = cands.filter(F.col("term").startswith(lit))
-        rows = cands.filter(F.col("term").rlike(anchored)).collect()
-        return sorted(r["term"] for r in rows)
+        matched = cands.filter(F.col("term").rlike(anchored))
+        if max_expansions is not None:
+            rows = matched.orderBy("term").limit(max_expansions).collect()
+            return [r["term"] for r in rows]  # already term-sorted
+        return sorted(r["term"] for r in matched.collect())
 
     def expand_fuzzy_scored(self, term: str, distance: int = 1,
                             transposition_cost_one: bool = True,
@@ -705,6 +717,25 @@ class Searcher:
     def avgdl64_for(self, term: str) -> float:
         return self.total_tokens_for(term) / self.total_docs
 
+    def _kb_for(self, term: str) -> tuple[float, float]:
+        """(k1, b) for the field a scoped term (`field:token`) belongs to
+        — per-field BM25 params like the reference's per-field options
+        (index_meta.rs:240-260); unscoped terms use the main field's."""
+        if not self.cfg.field_bm25:
+            return self.cfg.k1, self.cfg.b
+        f = term.split(":", 1)[0] if ":" in term else ""
+        if f and f not in self.cfg.extra_fields:
+            f = ""  # json-path scopes etc. score with the main field
+        return self.cfg.bm25_params_for_field(f)
+
+    def params_for(self, term: str | None) -> Bm25Params:
+        if term is None:
+            return self.params
+        k1, b = self._kb_for(term)
+        if (k1, b) == (self.cfg.k1, self.cfg.b):
+            return self.params
+        return Bm25Params(k1, b)
+
     def weight_for(self, term_df: int, boost: float = 1.0,
                    term: str | None = None) -> Bm25Weight | None:
         if term_df <= 0:
@@ -712,7 +743,7 @@ class Searcher:
         tt = self.total_tokens if term is None else self.total_tokens_for(term)
         avgdl = _F32(_F32(tt) / _F32(self.total_docs))
         w = Bm25Weight.for_one_term(
-            term_df, self.total_docs, avgdl, self.params
+            term_df, self.total_docs, avgdl, self.params_for(term)
         )
         return w.boost_by(boost)
 
@@ -1110,7 +1141,7 @@ class Searcher:
         w = Bm25Weight.for_terms(
             [dfs[t] for t in phrase.phrase_terms],
             self.total_docs, self.total_tokens_for(phrase.phrase_terms[0]),
-            self.params,
+            self.params_for(phrase.phrase_terms[0]),
         )
         return w.boost_by(boost)
 
@@ -1169,7 +1200,7 @@ class Searcher:
         )
         slot_terms: list[list[str]] = []
         for pat in q.patterns:
-            exp = self.expand_regex(pat)[: q.max_expansions]
+            exp = self.expand_regex(pat, max_expansions=q.max_expansions)
             if not exp:
                 return empty
             slot_terms.append(exp)
@@ -1223,7 +1254,7 @@ class Searcher:
             weight = Bm25Weight.for_terms(
                 [dfs[t] for t in fixed_terms],
                 self.total_docs, self.total_tokens_for(fixed_terms[0]),
-                self.params,
+                self.params_for(fixed_terms[0]),
             ).boost_by(boost)
         else:
             # degenerate single-slot prefix: every expansion scores like a
@@ -1271,7 +1302,7 @@ class Searcher:
             return empty
         N = self.total_docs
         avgdl = self.avgdl64_for(phrase.phrase_terms[0])
-        k1, b = self.cfg.k1, self.cfg.b
+        k1, b = self._kb_for(phrase.phrase_terms[0])
         idf_sum = sum(
             math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
             for t in phrase.phrase_terms
@@ -1346,7 +1377,7 @@ class Searcher:
                 return None
             N = self.total_docs
             avgdl = self.avgdl64_for(q.term)
-            k1, b = self.cfg.k1, self.cfg.b
+            k1, b = self._kb_for(q.term)
             w = math.log(1.0 + (N - dfs[q.term] + 0.5) / (dfs[q.term] + 0.5)) * (1.0 + k1)
             flat = self.flat_postings([q.term])
             norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
@@ -1540,7 +1571,6 @@ class Searcher:
         terms = sorted({t for _, t, _ in spec.clauses})
         dfs = self.doc_freqs(terms)
         N = self.total_docs
-        k1, b = self.cfg.k1, self.cfg.b
 
         flat = self.flat_postings(terms)
 
@@ -1555,14 +1585,18 @@ class Searcher:
                         [], "segment_ord int, doc_id int, score double"
                     )
                 continue
+            # per-field BM25 params ride in the broadcast weight rows
+            k1, b = self._kb_for(t)
             w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
-            wrows.append((t, occur, float(w), self.avgdl64_for(t)))
+            wrows.append((t, occur, float(w), self.avgdl64_for(t), k1, b))
         if not wrows:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
         wdf = self.spark.createDataFrame(
-            wrows, "term string, occur string, weight double, avgdl double")
+            wrows,
+            "term string, occur string, weight double, avgdl double, "
+            "k1 double, b double")
 
         norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         scored = (
@@ -1574,7 +1608,9 @@ class Searcher:
                 * F.col("tf")
                 / (
                     F.col("tf")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    + F.col("k1")
+                    * (F.lit(1.0) - F.col("b")
+                       + F.col("b") * F.col("dl") / F.col("avgdl"))
                 ),
             )
         )
@@ -1605,20 +1641,20 @@ class Searcher:
         terms = sorted({t for t, _ in spec.terms})
         dfs = self.doc_freqs(terms)
         N = self.total_docs
-        k1, b = self.cfg.k1, self.cfg.b
         wrows = []
         for t, boost in spec.terms:
             df_t = dfs[t]
             if df_t <= 0:
                 continue
+            k1, b = self._kb_for(t)
             w = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) * (1.0 + k1) * boost
-            wrows.append((t, float(w), self.avgdl64_for(t)))
+            wrows.append((t, float(w), self.avgdl64_for(t), k1, b))
         if not wrows:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
         wdf = self.spark.createDataFrame(
-            wrows, "term string, weight double, avgdl double")
+            wrows, "term string, weight double, avgdl double, k1 double, b double")
         flat = self.flat_postings(terms)
         norm_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         scored = (
@@ -1630,7 +1666,9 @@ class Searcher:
                 * F.col("tf")
                 / (
                     F.col("tf")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    + F.col("k1")
+                    * (F.lit(1.0) - F.col("b")
+                       + F.col("b") * F.col("dl") / F.col("avgdl"))
                 ),
             )
         )
@@ -1696,6 +1734,9 @@ def _from_json_dict(d: dict) -> IndexConfig:
     d = dict(d)
     d["key_cols"] = tuple(d["key_cols"])
     d["extra_fields"] = tuple(d.get("extra_fields", ()))
+    d["field_bm25"] = tuple(tuple(t) for t in d.get("field_bm25", ()))
+    if d.get("sort_by_field") is not None:
+        d["sort_by_field"] = tuple(d["sort_by_field"])
     return IndexConfig(**d)
 
 

