@@ -33,6 +33,46 @@ from tantivy_spark.plans import logical as L
 from tantivy_spark.plans.parser import QueryParser
 
 K1, B = 1.2, 0.75
+
+#: Deterministic multilingual sample rows appended to the documents slice
+#: for the language-ID entry — stopword-heavy sentences, one per in-repo
+#: stop list, reproduced verbatim as VALUES in the oracle SQL.
+_LANG_SAMPLES = (
+    (-101, "this is not only a house and we have also another way but it was so"),
+    (-102, "das ist nicht nur ein haus und wir haben auch einen anderen weg aber es war doch so"),
+    (-103, "ce n est pas une maison mais nous avons aussi un autre chemin et il y a donc une chose"),
+    (-104, "esto no es una casa pero nosotros tenemos otra cosa y por eso estaba con ellos"),
+    (-105, "questo non è una casa ma noi abbiamo anche un altro cammino e per questo era con loro"),
+    (-106, "isto não é uma casa mas nós temos também outro caminho e por isso estava com eles"),
+    (-107, "dit is niet alleen een huis en wij hebben ook een andere weg maar het was toch zo"),
+    (-108, "это не просто дом и мы были там даже когда он был со всеми нами"),
+    (-109, "det er ikke kun et hus og vi har også en anden vej men det var jo sådan her"),
+    (-110, "det er ikke bare et hus og vi har også en annen vei men det var no slik da"),
+    (-111, "det är inte bara ett hus och vi har också en annan väg men det var ju så här"),
+    (-112, "tämä ei ole vain talo ja me olemme myös siellä mutta se oli niin kuin ennen"),
+    (-113, "to nie jest tylko dom i my mamy także inne drogi ale to było jednak tak jak teraz"),
+    (-114, "to není jen dům a my máme také jiné cesty ale to bylo přece tak jako nyní"),
+    (-115, "ez nem csak egy ház és mi ott voltunk akkor is amikor ő volt velük együtt"),
+)
+
+
+def _lang_lexicon_values() -> str:
+    """(iso, word) VALUES rows for all 15 stop lists — the oracle's copy
+    of the language-ID model vocabulary."""
+    from tantivy_spark.functions.stopwords_data import STOPWORDS
+    from tantivy_spark.operators.pipeline import LANG_ID_LANGS
+
+    rows = []
+    for iso, name in LANG_ID_LANGS:
+        for w in sorted(STOPWORDS[name]):
+            rows.append("('%s','%s')" % (iso, w.replace("'", "''")))
+    return ",".join(rows)
+
+
+def _lang_samples_values() -> str:
+    return ",".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in _LANG_SAMPLES
+    )
 _IDX_ROOT = "/tmp/tantivy_spark_index"
 _SEARCHERS: dict[str, Searcher] = {}
 
@@ -752,8 +792,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("cosine", F.round("cosine", 6))
 
     Q["ann_ivf_top10"] = _ann_ivf
-    Q["text_lang_id"] = lambda s, d: P.language_id(
-        _tbl(s, d, "documents"), "doc_id")
+
+    def _lang_id_input(s, d):
+        # mixed-language slice: the (English-ish) documents corpus plus
+        # the deterministic multilingual sample rows — exercises all 15
+        # stop lists, reproduced verbatim as VALUES in the oracle SQL
+        base = _tbl(s, d, "documents").select("doc_id", "text")
+        extra = s.createDataFrame(
+            list(_LANG_SAMPLES), "doc_id long, text string")
+        return base.unionByName(extra)
+
+    Q["text_lang_id"] = lambda s, d: P.language_id(_lang_id_input(s, d),
+                                                   "doc_id")
     Q["text_quality"] = lambda s, d: P.quality_score(
         _tbl(s, d, "documents"), "doc_id")
     Q["text_token_counts"] = lambda s, d: P.token_counts(
@@ -1414,22 +1464,41 @@ sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
 -- nprobe = n_clusters -> IVF is exact, equals the flat cosine scan
 SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
-    O["text_lang_id"] = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '[^a-z0-9]+'),
-                             t -> t <> '' AND length(t) < 40) AS tk
-  FROM documents
+    # multi-language stopword-ratio argmax over the 15 in-repo stop
+    # lists, on the documents slice + the multilingual sample rows; the
+    # Unicode token rule ([\p{L}\p{N}]+ after lower, <40 utf-8 bytes)
+    # matches pipeline.language_id exactly (DuckDB RE2 == Java classes
+    # for these scripts)
+    O["text_lang_id"] = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_lang_samples_values()}) v(doc_id, text)
 ),
-feat AS (
-  SELECT doc_id, len(tk)::BIGINT AS n,
-         len(list_filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::BIGINT AS stop
-  FROM toks
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(coalesce(text, '')),
+                                        '[\\p{{L}}\\p{{N}}]+'),
+                     t -> strlen(t) < 40) AS tk
+  FROM src
+),
+n AS (SELECT doc_id, len(tk)::BIGINT AS n FROM toks),
+tok AS (SELECT doc_id, t.term FROM toks, unnest(tk) AS t(term)),
+lex(iso, w) AS (VALUES {_lang_lexicon_values()}),
+hits AS (
+  SELECT tok.doc_id, lex.iso, count(*)::BIGINT AS c
+  FROM tok JOIN lex ON tok.term = lex.w GROUP BY 1, 2
+),
+best AS (
+  SELECT h.doc_id, h.iso, h.c::DOUBLE / n.n AS r,
+         row_number() OVER (PARTITION BY h.doc_id
+                            ORDER BY h.c::DOUBLE / n.n DESC, h.iso ASC) AS rn
+  FROM hits h JOIN n ON h.doc_id = n.doc_id WHERE n.n > 0
 )
-SELECT doc_id,
-       CASE WHEN (CASE WHEN n > 0 THEN stop::DOUBLE / n ELSE 0.0 END) >= 0.02
-            THEN 'en' ELSE 'unk' END AS pred_lang,
-       round(CASE WHEN n > 0 THEN stop::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio
-FROM feat"""
+SELECT n.doc_id,
+       CASE WHEN b.r >= 0.02 THEN b.iso ELSE 'unk' END AS pred_lang,
+       round(coalesce(b.r, 0.0), 6) AS stopword_ratio
+FROM n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.doc_id"""
     O["text_quality"] = """
 WITH toks AS (
   SELECT doc_id, text, list_filter(string_split_regex(text, '[^a-z0-9]+'),

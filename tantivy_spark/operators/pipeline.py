@@ -686,24 +686,72 @@ def ivf_topk(df: DataFrame, key_col: str, vec_col: str, qvec: list[float],
 # text analysis: language id, quality, token counts, fingerprints
 # ---------------------------------------------------------------------------
 
-_EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+#: ISO code -> stopword-list name for the 15 in-repo Snowball lists —
+#: the language-ID model's vocabulary (functions/stopwords_data.py)
+LANG_ID_LANGS: tuple[tuple[str, str], ...] = (
+    ("cs", "czech"), ("da", "danish"), ("de", "german"), ("en", "english"),
+    ("es", "spanish"), ("fi", "finnish"), ("fr", "french"),
+    ("hu", "hungarian"), ("it", "italian"), ("nl", "dutch"),
+    ("no", "norwegian"), ("pl", "polish"), ("pt", "portuguese"),
+    ("ru", "russian"), ("sv", "swedish"),
+)
 
 
 def language_id(df: DataFrame, key_col: str, text_col: str = "text",
                 threshold: float = 0.02) -> DataFrame:
-    """N-gram-free heuristic language ID: English stopword token ratio.
+    """Multi-language stopword-ratio language ID over the 15 in-repo
+    Snowball stop lists: per-language hit ratio = |tokens in lang's stop
+    list| / |tokens|, prediction = argmax ratio (ties broken by ISO-code
+    order), 'unk' below `threshold` or for empty docs.
 
-    (A real model is a per-language char-n-gram profile; the Spark shape —
-    tokenize, ratio features, argmax — is identical.)  Pure Catalyst.
+    Pure Catalyst, zero shuffles: each language's hit count is a
+    size(filter(tokens, InSet)) expression — the whole classifier is one
+    embarrassingly-parallel projection, which beats an explode +
+    broadcast-lexicon join at 100 TB (no per-token row blow-up, no
+    per-doc aggregation shuffle).
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
-    ratio = F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
-    return df.select(
+    from tantivy_spark.functions.stopwords_data import STOPWORDS
+
+    # Unicode token rule (NOT the ASCII tokens_col): accented/Cyrillic
+    # stopwords must survive tokenization.  lower -> [\p{L}\p{N}]+ runs ->
+    # drop >=40-byte tokens; DuckDB RE2 reproduces the same class, which
+    # is what makes the oracle exact.
+    toks = F.filter(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(r"[\p{L}\p{N}]+"), F.lit(0)),
+        lambda t: F.octet_length(t) < F.lit(40),
+    )
+    df2 = df.select(F.col(key_col), toks.alias("_tk"))
+    n = F.size("_tk")
+
+    def _member(words):
+        # single-arg lambda: a defaulted second param would make PySpark
+        # treat it as filter's (element, index) signature
+        return lambda t: t.isin(*words)
+
+    # one named ratio column per language (a when-chain fold would embed
+    # each prior step's expression twice -> 3^15 nodes; this stays linear)
+    ratio_cols = []
+    for iso, name in LANG_ID_LANGS:
+        hits = F.size(F.filter(F.col("_tk"),
+                               _member(sorted(STOPWORDS[name]))))
+        r = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        ratio_cols.append(r.alias(f"_r_{iso}"))
+    df3 = df2.select(F.col(key_col), F.size("_tk").alias("_n"), *ratio_cols)
+    refs = [F.col(f"_r_{iso}") for iso, _ in LANG_ID_LANGS]
+    mx = F.greatest(*refs)
+    # argmax with ties to the first ISO code in order (the oracle's
+    # ORDER BY r DESC, iso ASC): coalesce picks the first equal-to-max
+    pred = F.coalesce(*[
+        F.when(F.col(f"_r_{iso}") == mx, F.lit(iso))
+        for iso, _ in LANG_ID_LANGS
+    ])
+    return df3.select(
         F.col(key_col),
-        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
-        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when((F.col("_n") > 0) & (mx >= threshold), pred)
+        .otherwise(F.lit("unk")).alias("pred_lang"),
+        F.round(mx, 6).alias("stopword_ratio"),
     )
 
 

@@ -196,8 +196,27 @@ def test_fingerprint_normalization(spark):
 
 def test_language_id(docs):
     r = {x["id"]: x for x in P.language_id(docs, "id").collect()}
-    assert r[4]["pred_lang"] == "en"  # two 'the' + 'over'... stopword-rich
+    # 'the quick brown fox jumps over the lazy dog': en hits {the, the},
+    # da hits {over, dog} ('dog' = Danish 'however') -> 2/9 tie, broken
+    # by ISO-code order (the argmax rule): 'da' < 'en'
+    assert r[4]["pred_lang"] == "da"
+    assert r[4]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
     assert r[0]["pred_lang"] == "unk"  # greek-letter salad, no stopwords
+
+
+def test_language_id_multilang():
+    """Each of the 15 stop lists wins on a sentence in its language."""
+    from tantivy_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(list(E._LANG_SAMPLES),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in P.language_id(df, "doc_id").collect()}
+    expected = ["en", "de", "fr", "es", "it", "pt", "nl", "ru",
+                "da", "no", "sv", "fi", "pl", "cs", "hu"]
+    assert [got[-101 - i] for i in range(15)] == expected
 
 
 def test_submit_job_driver_inprocess(spark, tmp_root, capsys):
