@@ -6,8 +6,9 @@ Arrow-batched decode UDF.  This module provides REAL decoders for the
 formats that need nothing beyond the standard library:
 
 * PNG  — full zlib inflate + scanline unfiltering (spec: RFC 2083 /
-  https://www.w3.org/TR/png/): bit depth 8, color types gray / RGB /
-  palette / gray+alpha / RGBA, non-interlaced.
+  https://www.w3.org/TR/png/): bit depths 8 and 16, color types gray /
+  RGB / palette / gray+alpha / RGBA, both non-interlaced and Adam7
+  interlaced (pass geometry pinned to the spec's 8x8 table).
 * BMP  — uncompressed BI_RGB 24/32-bit (bottom-up or top-down rows).
 * PPM/PGM — binary P6/P5.
 
@@ -17,7 +18,8 @@ explicitly unsupported (`ValueError`) — those genuinely need codec
 libraries, and the pipeline's deterministic-fake path covers their
 plumbing.
 
-Every decoder returns `uint8 (H, W, C)` with C in {1, 2, 3, 4}.
+Every decoder returns `(H, W, C)` with C in {1, 2, 3, 4} — uint8, or
+uint16 for 16-bit PNGs.
 """
 
 from __future__ import annotations
@@ -61,10 +63,10 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
         ft = ftypes[y]
         if ft == 0:
             rec = line.copy()
-        elif ft == 1:  # Sub
+        elif ft == 1:  # Sub: per-byte-phase modular prefix sum (vectorized)
             rec = line.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+            for r in range(bpp):
+                rec[r::bpp] = np.cumsum(rec[r::bpp], dtype=np.int64) % 256
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ft == 3:  # Average
@@ -88,6 +90,24 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out.astype(np.uint8)
 
 
+#: Adam7 pass geometry (PNG spec §8.2): (ystart, xstart, ystep, xstep)
+#: per pass, pinned against the spec's 8x8 pass-number table in
+#: tests/test_imagecodec.py.
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+)
+
+
+def _pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass (0 x 0 when empty)."""
+    return [
+        (max(0, -(-(width - xs) // xst)) if width > xs else 0,
+         max(0, -(-(height - ys) // yst)) if height > ys else 0)
+        for ys, xs, yst, xst in ADAM7_PASSES
+    ]
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     if not blob.startswith(_PNG_MAGIC):
         raise ValueError("png: bad signature")
@@ -105,19 +125,55 @@ def decode_png(blob: bytes) -> np.ndarray:
             idat += data
     if width is None:
         raise ValueError("png: missing IHDR")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise ValueError(f"png: unsupported bit depth {bit_depth}")
-    if interlace != 0:
-        raise ValueError("png: interlaced images unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"png: unsupported color type {color_type}")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("png: 16-bit palette images are invalid")
+    bps = bit_depth // 8           # bytes per sample
+    bpp = channels * bps           # filter byte distance (spec §9.2)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("png: decompressed size mismatch")
-    img = _unfilter(raw, height, stride, channels).reshape(
-        height, width, channels)
+
+    def bytes_to_img(rec: np.ndarray, h: int, w: int) -> np.ndarray:
+        if bps == 2:
+            return (
+                rec.reshape(h, w * channels, 2)
+                .reshape(h * w * channels * 2)
+                .view(">u2").astype(np.uint16)
+                .reshape(h, w, channels)
+            )
+        return rec.reshape(h, w, channels)
+
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("png: decompressed size mismatch")
+        img = bytes_to_img(_unfilter(raw, height, stride, bpp), height, width)
+    elif interlace == 1:
+        # Adam7 (spec §8.2): seven independently-filtered reduced images,
+        # scattered back onto the (ystart::ystep, xstart::xstep) grids
+        dt = np.uint16 if bps == 2 else np.uint8
+        img = np.zeros((height, width, channels), dtype=dt)
+        pos = 0
+        for (ys, xs, yst, xst), (pw, ph) in zip(ADAM7_PASSES,
+                                                _pass_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            sub = raw[pos: pos + need]
+            if len(sub) != need:
+                raise ValueError("png: decompressed size mismatch (adam7)")
+            pos += need
+            img[ys::yst, xs::xst] = bytes_to_img(
+                _unfilter(sub, ph, stride, bpp), ph, pw)
+        if pos != len(raw):
+            raise ValueError("png: trailing data after adam7 passes")
+    else:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+
     if color_type == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")
@@ -125,25 +181,49 @@ def decode_png(blob: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Minimal encoder (bit depth 8, filter 0, one IDAT) for tests and
-    fixture generation."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal encoder (filter 0 scanlines, one IDAT) for tests and
+    fixture generation: bit depth 8 (uint8 input) or 16 (uint16 input),
+    optionally Adam7-interlaced."""
+    img = np.ascontiguousarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        img = img.astype(np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     height, width, channels = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    depth = 16 if img.dtype == np.uint16 else 8
+
+    def row_bytes(a: np.ndarray) -> np.ndarray:
+        # (h, w, c) -> (h, w*c*bps) big-endian sample bytes
+        h = a.shape[0]
+        if depth == 16:
+            return a.astype(">u2").view(np.uint8).reshape(h, -1)
+        return a.reshape(h, -1)
+
+    def scanlines(a: np.ndarray) -> bytes:
+        rb = row_bytes(a)
+        return np.concatenate(
+            [np.zeros((rb.shape[0], 1), np.uint8), rb], axis=1).tobytes()
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    scan = np.concatenate(
-        [np.zeros((height, 1), np.uint8),
-         img.reshape(height, width * channels)], axis=1)
+    if interlace:
+        payload = b"".join(
+            scanlines(img[ys::yst, xs::xst])
+            for (ys, xs, yst, xst), (pw, ph) in zip(
+                ADAM7_PASSES, _pass_dims(width, height))
+            if pw and ph
+        )
+    else:
+        payload = scanlines(img)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IDAT", zlib.compress(payload))
             + chunk(b"IEND", b""))
 
 

@@ -130,6 +130,31 @@ def _fuzzy_distances_batch(q: str, terms, d: int, transposition_cost_one: bool,
 _REGEX_SPECIAL = set(".[]{}()*+?|^$\\")
 
 
+def _check_rust_regex_compat(pattern: str) -> None:
+    """Reject constructs the reference's regex engine does not support —
+    tantivy_fst::Regex / the Rust regex crate guarantees linear-time
+    matching and therefore has NO lookaround and NO backreferences
+    (regex_query.rs:64-66 surfaces the compile error as a query error).
+    Java regex would happily accept them, silently diverging."""
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 < n and pattern[i + 1].isdigit() and pattern[i + 1] != "0":
+                raise ValueError(
+                    f"backreference \\{pattern[i + 1]} is not supported by "
+                    "the reference regex engine (regex_query.rs)")
+            i += 2
+            continue
+        if c == "(" and pattern.startswith(
+            ("(?=", "(?!", "(?<=", "(?<!", "(?>"), i
+        ):
+            raise ValueError(
+                "lookaround / atomic groups are not supported by the "
+                "reference regex engine (regex_query.rs)")
+        i += 1
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix the regex requires of every match —
     conservatively "" when in doubt.  Used to push a `startswith` range
@@ -606,8 +631,17 @@ class Searcher:
         dictionary would otherwise collect unboundedly; the reference's
         automaton walk streams per segment and the related phrase-prefix
         expansion caps at max_expansions, phrase_prefix_query.rs).  Pass
-        None for the unbounded exact expansion."""
-        anchored = f"^(?:{pattern})$"
+        None for the unbounded exact expansion.
+
+        Semantics parity: the reference compiles tantivy_fst::Regex (the
+        Rust regex crate) whose classes are Unicode by default — the
+        `(?U)` flag gives Java the same `\\w`/`\\d`/`\\s`/`\\b` classes
+        and Unicode case folding for `(?i)` (pinned by the vectors in
+        tests/test_expansion.py); constructs the Rust engine REJECTS
+        (lookaround, backreferences) raise here too, like
+        RegexQuery::from_pattern's pattern error."""
+        _check_rust_regex_compat(pattern)
+        anchored = f"(?U)^(?:{pattern})$"
         cands = self._expansion_terms()
         lit = _regex_literal_prefix(pattern)
         if lit:

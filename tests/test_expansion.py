@@ -403,3 +403,68 @@ def test_expand_regex_bounded(exp_index):
     assert len(all_w) >= 2
     assert exp_index.expand_regex("w.*", max_expansions=2) == all_w[:2]
     assert exp_index.expand_regex("w.*", max_expansions=1024) == all_w
+
+
+@pytest.fixture(scope="module")
+def uni_index(spark, tmp_root):
+    """Unicode vocabulary for regex-semantics parity vectors."""
+    texts = [
+        "japan japon dairy d123ry étude über straße",
+        "日本 ｄａｔａ１２３ cafe café naïve",
+        "hello HÉLLO was lowercased ΣΟΦΟΣ",
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": [f"u{i}" for i in range(len(texts))],
+        "turn_idx": [0] * len(texts),
+        "text": texts,
+    })
+    idx = f"{tmp_root}/uni_exp_idx"
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(n_segments=2, n_term_buckets=4))
+    return Searcher(spark, idx)
+
+
+class TestRegexRustParity:
+    """Vectors pinning rlike behavior to the reference's regex engine
+    (tantivy_fst::Regex = the Rust regex crate, regex_query.rs:57):
+    Unicode-by-default classes and case folding via the (?U) Java flag;
+    unsupported constructs rejected like RegexQuery::from_pattern."""
+
+    def test_reference_test_patterns(self, uni_index):
+        # regex_query.rs test vectors: jap[ao]n matches, jap[A-Z]n empty
+        # (terms are lowercased by the analyzer)
+        assert uni_index.expand_regex("jap[ao]n") == ["japan", "japon"]
+        assert uni_index.expand_regex("jap[A-Z]n") == []
+        # doc-comment example d[ai]{2}ry
+        assert uni_index.expand_regex("d[ai]{2}ry") == ["dairy"]
+
+    def test_unicode_word_class(self, uni_index):
+        # Rust \w is Unicode: étude, über, straße, 日本 are all \w+
+        got = uni_index.expand_regex(r"\w+", max_expansions=None)
+        for t in ("étude", "über", "straße", "日本", "café"):
+            assert t in got, t
+
+    def test_unicode_digit_class(self, uni_index):
+        # Rust \d = \p{Nd} includes fullwidth digits (ｄａｔａ１２３
+        # lowercases/tokenizes to a term with fullwidth digits)
+        got = uni_index.expand_regex(r"d123ry|.*[\d]１?.*")
+        assert any("１" in t or "123" in t for t in got)
+        assert uni_index.expand_regex(r"\w*\d\w*") == sorted(
+            t for t in uni_index.expand_regex(r"\w+", max_expansions=None)
+            if any(ch.isdigit() for ch in t)
+        )
+
+    def test_unicode_case_insensitive(self, uni_index):
+        # (?i) folds Unicode in Rust; Java matches only with (?U)
+        assert uni_index.expand_regex("(?i)ÜBER") == ["über"]
+        assert uni_index.expand_regex("(?i)ÉTUDE") == ["étude"]
+
+    def test_unsupported_constructs_error(self, uni_index):
+        # the Rust engine has no lookaround / backreferences — the
+        # reference surfaces a pattern error; so do we
+        for pat in (r"jap(?=an)\w+", r"(?!x)japan", r"(?<=a)b",
+                    r"(a)\1", r"(?>atomic)"):
+            with pytest.raises(ValueError):
+                uni_index.expand_regex(pat)
+        # escaped digits and \0 are NOT backreferences
+        assert uni_index.expand_regex(r"d\d\d\dry") == ["d123ry"]

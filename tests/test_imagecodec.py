@@ -130,13 +130,19 @@ def test_ppm_with_comment():
 def test_unsupported_formats_raise():
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"\xff\xd8\xff\xe0jpeg...")
-    with pytest.raises(ValueError, match="interlaced"):
-        # Adam7 flag set
-        def chunk(t, d):
-            return (struct.pack(">I", len(d)) + t + d
-                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError, match="bit depth"):
+        # sub-byte depths stay declared-unsupported (Adam7 + 16-bit are
+        # now real, so only 1/2/4 remain out)
         blob = (b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)))
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)))
+        decode_png(blob)
+    with pytest.raises(ValueError, match="invalid"):
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)))
         decode_png(blob)
 
 
@@ -159,3 +165,97 @@ def test_real_world_png_sweep():
         assert np.array_equal(decode_png(encode_png(img)), img), f
         decoded += 1
     assert decoded >= 10
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace + 16-bit depth (round 3)
+# ---------------------------------------------------------------------------
+
+def test_adam7_pass_table_matches_spec():
+    """Pin the pass constants to the PNG spec's 8x8 pass-number figure
+    (spec §8.2) — breaks any symmetric encoder/decoder indexing bug."""
+    from tantivy_spark.functions.imagecodec import ADAM7_PASSES
+
+    spec = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    got = np.zeros((8, 8), dtype=int)
+    for pno, (ys, xs, yst, xst) in enumerate(ADAM7_PASSES, start=1):
+        got[ys::yst, xs::xst] = pno
+    assert got.tolist() == spec
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (2, 3, 3), (5, 5, 4),
+                                   (7, 9, 1), (8, 8, 3), (13, 4, 2),
+                                   (9, 16, 3)])
+def test_adam7_roundtrip_uint8(shape):
+    rng = np.random.default_rng(hash(shape) % (2**32))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint16).astype(np.uint8)
+    blob = encode_png(img, interlace=True)
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, img)
+    # and the same pixels as the non-interlaced encoding of the same image
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img)), out)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape", [(1, 2, 1), (5, 7, 3), (8, 8, 4)])
+def test_png16_roundtrip(shape, interlace):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    blob = encode_png(img, interlace=interlace)
+    out = decode_png(blob)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png16_byte_order():
+    img = np.array([[[0x0102]]], dtype=np.uint16)  # big-endian on the wire
+    out = decode_png(encode_png(img))
+    assert int(out[0, 0, 0]) == 0x0102
+
+
+def test_adam7_filtered_passes():
+    """Interlaced pass rows carry their OWN filter chain: hand-build an
+    IDAT whose passes use Up(2) and Sub(1) filters and check the recon."""
+    import struct
+    import zlib
+
+    from tantivy_spark.functions.imagecodec import (ADAM7_PASSES, _PNG_MAGIC,
+                                                    _pass_dims)
+
+    h = w = 4
+    img = (np.arange(h * w, dtype=np.uint8).reshape(h, w, 1) * 7 + 3) % 251
+    payload = bytearray()
+    for (ys, xs, yst, xst), (pw, ph) in zip(ADAM7_PASSES, _pass_dims(w, h)):
+        if not (pw and ph):
+            continue
+        sub = img[ys::yst, xs::xst, 0].astype(np.int32)
+        prev = np.zeros(pw, dtype=np.int32)
+        for y in range(ph):
+            if y == 0:  # Sub filter on the first row of every pass
+                row = sub[y].copy()
+                row[1:] = (sub[y][1:] - sub[y][:-1]) % 256
+                payload += bytes([1]) + bytes(row.astype(np.uint8))
+            else:       # Up filter on the rest
+                payload += bytes([2]) + bytes(
+                    ((sub[y] - prev) % 256).astype(np.uint8))
+            prev = sub[y]
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    blob = (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(payload)))
+            + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(blob), img)
