@@ -115,6 +115,7 @@ _STEMMER_LANGS = {
     "swedish": "swedish", "sv": "swedish",
     "dutch": "dutch", "nl": "dutch",
     "romanian": "romanian", "ro": "romanian",
+    "finnish": "finnish", "fi": "finnish",
 }
 
 
@@ -122,7 +123,7 @@ def get_stemmer(language: str = "en"):
     """Resolve a per-token stem function for `language` (reference
     `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
     languages the reference supports but we don't ship (Arabic, Czech,
-    Finnish, Greek, Hungarian, Polish, Tamil, Turkish)."""
+    Greek, Hungarian, Polish, Tamil, Turkish)."""
     key = _STEMMER_LANGS[language.lower()]
     if key == "porter2":
         from tantivy_spark.functions.porter2 import stem

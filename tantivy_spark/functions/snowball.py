@@ -1346,3 +1346,164 @@ def stem_romanian(word: str) -> str:
         word = word[: -len(suf)]
 
     return word.replace("I", "i").replace("U", "u")
+
+
+# ===========================================================================
+# Finnish — snowballstem.org/algorithms/finnish/stemmer.html
+# ===========================================================================
+#
+# Semantics pinned by PG-snowball probing (tools/probe_snowball.py):
+# suffix matches in steps 1-5 are limited to R1/R2 with backtracking
+# (setlimit tomark p1 for [substring]), while each branch's CONTEXT test
+# runs outside the limit; tidy's rules (a)-(d) run wholly inside R1
+# (their context chars must lie in R1 too), and rule (e) — one of a
+# double consonant followed by only vowels — is unlimited.
+
+_FI_VOWELS = "aeiouyäö"
+_FI_V2 = "aeiouäö"          # restricted vowels (no y)
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+
+
+def stem_finnish(word: str) -> str:
+    if not word:
+        return word
+    r1, r2 = _r1_r2(word, _FI_VOWELS)
+    ending_removed = False
+
+    # --- step 1: particles -------------------------------------------------
+    s = _longest_in(word, r1, (
+        "kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä", "sti"))
+    if s == "sti":
+        if len(word) - 3 >= r2:
+            word = word[:-3]
+    elif s is not None:
+        prev = word[-len(s) - 1: -len(s)]
+        if prev and prev in _FI_VOWELS + "nt":
+            word = word[:-len(s)]
+
+    # --- step 2: possessives ----------------------------------------------
+    s = _longest_in(word, r1, (
+        "si", "ni", "nsa", "nsä", "mme", "nne", "an", "än", "en"))
+    if s == "si":
+        if not word.endswith("ksi"):
+            word = word[:-2]
+    elif s == "ni":
+        word = word[:-2]
+        if word.endswith("kse"):
+            word = word[:-1] + "i"
+    elif s in ("nsa", "nsä", "mme", "nne"):
+        word = word[:-3]
+    elif s == "an":
+        if word[:-2].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+            word = word[:-2]
+    elif s == "än":
+        if word[:-2].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+            word = word[:-2]
+    elif s == "en":
+        if word[:-2].endswith(("lle", "ine")):
+            word = word[:-2]
+
+    # --- step 3: cases -----------------------------------------------------
+    # Among model (pinned by probing): 'siin/den/tten' (preceded by a
+    # restricted vowel + i), 'seen' (preceded by a long vowel) and 'a/ä'
+    # (preceded by consonant+vowel) carry their conditions as among TEST
+    # ROUTINES — on failure the substring search falls back to shorter
+    # in-region entries (tadenden -> the 'n' branch).  The hXn and
+    # tta/ttä conditions are BRANCH commands — their failure fails the
+    # whole step with no fallback (talohin, kattta stay).  All context
+    # tests look outside the region limit; matches must lie in R1.
+    _HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+            "hän": "ä", "hön": "ö"}   # no 'hun'/'hyn' (probed)
+    _CASES = ("han", "hen", "hin", "hon", "hän", "hön",
+              "siin", "den", "tten", "seen", "tta", "ttä",
+              "ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+              "lta", "ltä", "lle", "na", "nä", "ksi", "ine",
+              "a", "ä", "n")
+    cands = list(_CASES)
+    while True:
+        s = _longest_in(word, r1, cands)
+        if s is None:
+            break
+        if s in ("siin", "den", "tten"):
+            base = word[:-len(s)]
+            if base[-1:] == "i" and base[-2:-1] in _FI_V2:
+                word = base
+                ending_removed = True
+                break
+            cands.remove(s)         # test routine failed: search resumes
+            continue
+        if s == "seen":
+            if word[:-4].endswith(_FI_LONG):
+                word = word[:-4]
+                ending_removed = True
+                break
+            cands.remove(s)
+            continue
+        if s in ("a", "ä"):
+            base = word[:-1]
+            if base[-1:] in _FI_VOWELS and base[-2:-1] in _FI_CONS:
+                word = base
+                ending_removed = True
+            break                   # no shorter entry can match anyway
+        if s in _HXN:               # branch condition: no fallback
+            if word[:-3].endswith(_HXN[s]):
+                word = word[:-3]
+                ending_removed = True
+            break
+        if s in ("tta", "ttä"):     # branch condition: no fallback
+            if word[:-3].endswith("e"):
+                word = word[:-3]
+                ending_removed = True
+            break
+        if s == "n":
+            word = word[:-1]
+            ending_removed = True
+            if word.endswith(_FI_LONG) or word.endswith("ie"):
+                word = word[:-1]
+            break
+        word = word[:-len(s)]       # unconditional case endings
+        ending_removed = True
+        break
+
+    # --- step 4: other endings (R2) ----------------------------------------
+    s = _longest_in(word, r2, (
+        "mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+        "impi", "impa", "impä", "immi", "imma", "immä", "eja", "ejä"))
+    if s in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+        if not word[:-3].endswith("po"):
+            word = word[:-3]
+    elif s is not None:
+        word = word[:-len(s)]
+
+    # --- step 5: plurals ---------------------------------------------------
+    if ending_removed:
+        if word[-1:] in ("i", "j") and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        if (word.endswith("t") and len(word) - 1 >= r1
+                and word[-2:-1] in _FI_VOWELS):
+            word = word[:-1]
+            s = _longest_in(word, r2, ("mma", "imma"))
+            if s == "imma":
+                word = word[:-4]
+            elif s == "mma" and not word[:-3].endswith("po"):
+                word = word[:-3]
+
+    # --- step 6: tidy ------------------------------------------------------
+    # (a)-(d) wholly inside R1: the context char must be >= r1 as well
+    if word.endswith(_FI_LONG) and len(word) - 2 >= r1:
+        word = word[:-1]
+    if len(word) >= 2 and word[-1] in "aäei" and word[-2] in _FI_CONS             and len(word) - 2 >= r1:
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and len(word) - 2 >= r1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 2 >= r1:
+        word = word[:-1]
+    # (e) unlimited: one of a double consonant followed by only vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and word[i] in _FI_CONS and word[i - 1] == word[i]:
+        word = word[:i] + word[i + 1:]
+    return word
