@@ -192,12 +192,12 @@ def main() -> None:
     low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
     high = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
     # Scaling legs use a LARGER corpus than the headline run: round 3's
-    # build is ~2.5x faster, so at 12k convs the ~3.5 s of serial driver
+    # build is ~2.5x faster, so at 12k convs the ~2.4 s of serial driver
     # overhead (job planning, parquet commits, manifest) dominated the
     # high leg and masked the dataflow's scaling.  At 10^12 turns that
-    # overhead is nil; sizing the legs so it is <6% of the low leg
+    # overhead is nil; sizing the legs so it is <3% of the high leg
     # measures the property the north rule is about.
-    scale_convs = min(_N_CONVS * 2, 80000)
+    scale_convs = min(_N_CONVS * 3, 120000)
     scaling: dict = {}
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         # This sandbox host shows ±40% run-to-run variance (virtualized,

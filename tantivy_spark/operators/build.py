@@ -571,13 +571,19 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
-                  multi_field: bool, extra_fields: tuple[str, ...]) -> dict:
+                  multi_field: bool, extra_fields: tuple[str, ...],
+                  terms_path: str | None = None) -> dict:
     """Encode ONE segment end-to-end inside one Spark task: read the
     segment's docmap partition directly with pyarrow (no JVM round-trip),
     run the flat block encoder, write term-bucketed parquet files, and
     return the segment's lineage metrics.  Single-threaded by
     construction (pyarrow pools pinned to 1) so cluster parallelism is
-    exactly the task parallelism."""
+    exactly the task parallelism.
+
+    When `terms_path` is given the task also writes its slice of the term
+    dictionary (same rows `write_terms` would derive) in the same pass —
+    on a fresh build the dictionary is a free byproduct of the encode, so
+    stage 2.5 costs zero extra jobs."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -606,10 +612,22 @@ def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
     # rows are term-sorted, so each bucket's take keeps term order and
     # parquet row-group term stats stay prune-friendly
     for b in np.unique(tb):
-        sub = out.take(np.flatnonzero(tb == b))
+        idx = np.flatnonzero(tb == b)
+        sub = out.take(idx)
         bdir = os.path.join(out_path, f"tbucket={int(b)}")
         os.makedirs(bdir, exist_ok=True)
         pq.write_table(sub, os.path.join(bdir, f"seg{seg}.parquet"))
+        if terms_path is not None:
+            # term-dictionary slice: write_terms' row contract
+            # (term, segment_ord, doc_freq, sum_tf, tlen; tbucket as the
+            # partition dir), term-sorted like the postings rows
+            tsub = sub.select(["term", "segment_ord", "doc_freq", "sum_tf"])
+            tsub = tsub.append_column(
+                "tlen", pc.cast(pc.utf8_length(tsub.column("term")),
+                                pa.int32()))
+            tdir = os.path.join(terms_path, f"tbucket={int(b)}")
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(tsub, os.path.join(tdir, f"seg{seg}.parquet"))
 
     metrics = {
         "segment_ord": seg,
@@ -628,7 +646,8 @@ def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
 
 def build_postings_segment_files(spark: SparkSession, docmap_path: str,
                                  postings_path: str,
-                                 cfg: IndexConfig) -> list[dict]:
+                                 cfg: IndexConfig,
+                                 terms_path: str | None = None) -> list[dict]:
     """Per-segment postings build with direct file IO — the closest Spark
     analogue of tantivy's per-thread SegmentWriter (index_writer.rs worker
     threads each own one immutable segment): one Spark task per segment
@@ -648,12 +667,14 @@ def build_postings_segment_files(spark: SparkSession, docmap_path: str,
     """
     import glob
 
-    seg_dirs = sorted(glob.glob(os.path.join(docmap_path, "segment_ord=*")))
-    if os.path.exists(postings_path):
-        import shutil
+    import shutil
 
-        shutil.rmtree(postings_path)
-    os.makedirs(postings_path, exist_ok=True)
+    seg_dirs = sorted(glob.glob(os.path.join(docmap_path, "segment_ord=*")))
+    for p in (postings_path, terms_path):
+        if p and os.path.exists(p):
+            shutil.rmtree(p)
+        if p:
+            os.makedirs(p, exist_ok=True)
     nb = cfg.n_term_buckets
     positions = cfg.positions
     multi = bool(cfg.extra_fields)
@@ -661,7 +682,7 @@ def build_postings_segment_files(spark: SparkSession, docmap_path: str,
     return (
         spark.sparkContext.parallelize(seg_dirs, max(len(seg_dirs), 1))
         .map(lambda d: _segment_task(d, postings_path, nb, positions,
-                                     multi, extra))
+                                     multi, extra, terms_path))
         .collect()
     )
 
@@ -836,14 +857,24 @@ def build_index(
         _mark_done(index_dir, "docmap")
         stage_times["docmap"] = time.time() - t
 
-    docmap_df = spark.read.parquet(docmap_path)
+    # lazy read-backs: segment mode touches neither frame on a fresh
+    # build (plugins/stats use them only on the DataFrame paths), and
+    # skipping the parquet open saves driver time per build
+    _docmap_df: list[DataFrame | None] = [None]
+
+    def docmap_df() -> DataFrame:
+        if _docmap_df[0] is None:
+            _docmap_df[0] = spark.read.parquet(docmap_path)
+        return _docmap_df[0]
 
     seg_metrics: list[dict] | None = None
+    terms_written_inline = False
     if not (resume and _stage_done(index_dir, "postings")):
         t = time.time()
         # "segment" (default): one task per segment with direct file IO —
         # tantivy's per-thread SegmentWriter shape, zero shuffles; also
-        # returns per-segment lineage so stage 3 needs no stats jobs.
+        # returns per-segment lineage so stage 3 needs no stats jobs and
+        # writes the term dictionary in the same pass (no stage-2.5 job).
         # "local" keeps the same dataflow through groupBy/applyInArrow
         # (for storage layouts pyarrow can't reach); "salted" shuffles
         # partial-aggregated (term, doc) rows by (segment, term-shard)
@@ -851,12 +882,14 @@ def build_index(
         # reducer by segment size either way (segments are the salt).
         if cfg.postings_mode == "segment":
             seg_metrics = build_postings_segment_files(
-                spark, docmap_path, postings_path, cfg)
+                spark, docmap_path, postings_path, cfg,
+                terms_path=os.path.join(index_dir, TERMS_DIR))
+            terms_written_inline = True
         else:
             if cfg.postings_mode == "local":
-                postings = build_postings_local(docmap_df, cfg)
+                postings = build_postings_local(docmap_df(), cfg)
             else:
-                postings = build_postings(docmap_df, cfg)
+                postings = build_postings(docmap_df(), cfg)
             # hash-partition the write on (tbucket, term) — NOT
             # repartitionByRange, whose sampling pass would re-run the
             # whole encode pipeline.  Files stay term-sorted within each
@@ -874,12 +907,14 @@ def build_index(
         _mark_done(index_dir, "postings")
         stage_times["postings"] = time.time() - t
 
-    postings_df = spark.read.parquet(postings_path)
-
-    # stage 2.5: term dictionary (near-free byproduct of the postings table)
-    if not (resume and _stage_done(index_dir, "terms")):
+    # stage 2.5: term dictionary (near-free byproduct of the postings
+    # table; in segment mode the encode tasks already wrote it inline)
+    if terms_written_inline:
+        _mark_done(index_dir, "terms")
+    elif not (resume and _stage_done(index_dir, "terms")):
         t = time.time()
-        write_terms(spark, postings_df, os.path.join(index_dir, TERMS_DIR))
+        write_terms(spark, spark.read.parquet(postings_path),
+                    os.path.join(index_dir, TERMS_DIR))
         _mark_done(index_dir, "terms")
         stage_times["terms"] = time.time() - t
 
@@ -888,7 +923,7 @@ def build_index(
         if resume and _stage_done(index_dir, f"plugin_{pname}"):
             continue
         t = time.time()
-        out = pfn(docmap_df)
+        out = pfn(docmap_df())
         if "segment_ord" not in out.columns:
             raise ValueError(
                 f"plugin {pname!r} must keep the segment_ord column")
@@ -912,7 +947,7 @@ def build_index(
         ]
         seg_doc_stats = {
             int(r["segment_ord"]): r
-            for r in docmap_df.groupBy("segment_ord")
+            for r in docmap_df().groupBy("segment_ord")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("token_count").alias("n_tokens"),
@@ -922,7 +957,8 @@ def build_index(
         }
         seg_post_stats = {
             int(r["segment_ord"]): r
-            for r in postings_df.groupBy("segment_ord")
+            for r in spark.read.parquet(postings_path)
+            .groupBy("segment_ord")
             .agg(
                 F.count(F.lit(1)).alias("n_terms"),
                 F.sum("doc_freq").alias("n_postings"),
