@@ -116,6 +116,7 @@ _STEMMER_LANGS = {
     "dutch": "dutch", "nl": "dutch",
     "romanian": "romanian", "ro": "romanian",
     "finnish": "finnish", "fi": "finnish",
+    "greek": "greek", "el": "greek",
 }
 
 
@@ -123,7 +124,7 @@ def get_stemmer(language: str = "en"):
     """Resolve a per-token stem function for `language` (reference
     `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
     languages the reference supports but we don't ship (Arabic, Czech,
-    Greek, Hungarian, Polish, Tamil, Turkish)."""
+    Hungarian, Polish, Tamil, Turkish)."""
     key = _STEMMER_LANGS[language.lower()]
     if key == "porter2":
         from tantivy_spark.functions.porter2 import stem

@@ -1507,3 +1507,575 @@ def stem_finnish(word: str) -> str:
     if i >= 1 and word[i] in _FI_CONS and word[i - 1] == word[i]:
         word = word[:i] + word[i + 1:]
     return word
+
+# ---------------------------------------------------------------------------
+# Greek — snowballstem.org/algorithms/greek/stemmer.html (Ntais/Saroukos)
+# Suffix inventories recovered behaviorally from the official stemmer
+# (tools/extract_amongs.py over the container's PostgreSQL snowball build);
+# rule semantics pinned word-by-word via ts_lexize probing (CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+_EL_S1_SUF = ('ιζουμε', 'ιζουνε', 'ιζεισ', 'ιζατε', 'ιζετε', 'ιζαμε',
+    'ιζανε', 'ιζουν', 'ιζεσ', 'ιζει', 'ιζαν', 'ιζω', 'ιζα', 'ιζε')
+
+_EL_S2_SUF = ('ωθηκατε', 'ωθηκαμε', 'ωθηκανε', 'ωθηκεσ', 'ωθηκαν',
+    'ωθηκα', 'ωθηκε')
+
+_EL_S3_SUF = ('ισατε', 'ισαμε', 'ισανε', 'ισεσ', 'ισαν', 'ισα', 'ισε')
+
+_EL_S4_SUF = ('ισουμε', 'ισουνε', 'ισεισ', 'ισετε', 'ισουν', 'ισει',
+    'ισω')
+
+_EL_S5_SUF = ('ιστουσ', 'ιστεσ', 'ιστησ', 'ιστοσ', 'ιστου', 'ιστοι',
+    'ιστων', 'ιστα', 'ιστε', 'ιστη', 'ιστο')
+
+_EL_S6_SUF = ('ισμουσ', 'ισμοσ', 'ισμου', 'ισμοι', 'ισμων', 'ισμο')
+
+_EL_S7_SUF = ('ουδακια', 'αρακια', 'ουδακι', 'αρακι')
+
+_EL_S8_SUF = ('αρακια', 'ιτσασ', 'ιτσεσ', 'αρακι', 'ιτσων', 'ιτσα',
+    'ακια', 'ακι')
+
+_EL_S9_SUF = ('ιδιων', 'ιδια', 'ιδιο')
+
+_EL_S10_SUF = ('ισκοσ', 'ισκου', 'ισκε', 'ισκο')
+
+_EL_S1_I = ('πα', 'ξαναπα', 'επα', 'περιπα', 'αναμπα', 'εμπα', 'δανε',
+    'αθρο', 'συναθρο')
+
+_EL_S1_IZ = ('π', 'ιμπ', 'ρ', 'πρ', 'μπρ', 'αρρ', 'γλυκυρ', 'πολυρ',
+    'αμπαρ', 'μαρ', 'γκρ', 'πιπερορ', 'βολβορ', 'γλυκορ', 'λου', 'β',
+    'βαθυρι', 'βαρκ', 'μαρκ', 'λ', 'μ', 'κορν')
+
+_EL_S2_EX = ('σ', 'χ', 'υψ', 'ζω', 'βι', 'λι', 'αλ', 'εν')
+
+_EL_S3_I = ('ξαναπα', 'επα', 'περιπα', 'αναμπα', 'εμπα', 'χαρτοπα',
+    'εξαρχα', 'πε', 'επε', 'μετεπε', 'εσε', 'κλε', 'εσωκλε', 'εκλε',
+    'απεκλε', 'αποκλε', 'δανε', 'αθρο', 'συναθρο')
+
+_EL_S3_IS = ('π', 'λαρ', 'δημοκρατ', 'αφ', 'γιγαντοαφ', 'γε', 'γκε',
+    'γκ', 'μ', 'πουκαμ', 'κομ', 'αν', 'ολο')
+
+_EL_S4_I = ('ξαναπα', 'επα', 'περιπα', 'αναμπα', 'εμπα', 'χαρτοπα',
+    'εξαρχα', 'πε', 'επε', 'μετεπε', 'εσε', 'κλε', 'εσωκλε', 'εκλε',
+    'απεκλε', 'αποκλε', 'δανε', 'αθρο', 'συναθρο')
+
+_EL_S5_I = ('σε', 'ασε', 'πλε', 'κλε', 'εσωκλε', 'δανε', 'συναθρο')
+
+_EL_S5_IST = ('π', 'ευπ', 'απ', 'εμπ', 'γυρ', 'χρ', 'χωρ', 'αρ', 'αορ',
+    'χτ', 'αχτ', 'κτ', 'ακτ', 'σχ', 'ασχ', 'ταχ', 'υψ', 'ατα', 'φα',
+    'ηφα', 'λυγ', 'μεγ', 'ηδ', 'εχθ', 'καθ', 'σκ', 'κακ', 'μακ', 'κυλ',
+    'φιλ', 'μ', 'γεμ', 'αχν')
+
+_EL_S6_ISM = ('σε', 'μετασε', 'μικροσε', 'εγκλε', 'αποκλε')
+
+_EL_S6_I = ('δανε', 'αντιδανε')
+
+_EL_S7_EX = ('σ', 'χ')
+
+_EL_S8_AK = ('κατραπ', 'ρ', 'βρ', 'λαβρ', 'αμβρ', 'μερ', 'ανθρ', 'κορ',
+    'σ', 'ναγκασ', 'μουστ', 'ρυ', 'φ', 'σφ', 'αλισφ', 'χ', 'βαμβ',
+    'σλοβ', 'τσεχοσλοβ', 'τζ', 'κ', 'σκ', 'καπακ', 'σοκ', 'πλ', 'φυλ',
+    'λουλ', 'μαλ', 'φαρμ', 'καιμ', 'κλιμ', 'σπαν', 'κον')
+
+_EL_S8_ITS = ('π', 'πατερ', 'τοσ', 'νυφ', 'β', 'καρδ', 'ζ', 'βαλ', 'γλ',
+    'τριπολ', 'μακρυν', 'γιαν', 'ηγουμεν')
+
+_EL_S9_EX = ('ιρ', 'ψαλ', 'αιφν', 'ολο')
+
+_EL_S9_END = ('ε', 'παιχν')
+
+_EL_S10_EX = ('ρ', 'ιβ', 'δ', 'λυκ', 'φραγκ', 'οβελ', 'μην')
+
+_EL_2A_SUF = ('αδεσ', 'αδων')
+
+_EL_2A_NOT = ('μπαμπ', 'πατερ', 'πεθερ', 'νταντ', 'γιαγι', 'κυρ', 'θει',
+    'μαμ', 'μαν', 'οκ')
+
+_EL_2B_SUF = ('εδεσ', 'εδων')
+
+_EL_2B_END = ('κρασπ', 'δαπ', 'γηπ', 'εμπ', 'μιλ', 'υπ', 'ιπ', 'οπ')
+
+_EL_2C_SUF = ('ουδεσ', 'ουδων')
+
+_EL_2C_END = ('καλιακ', 'πεταλ', 'τραγ', 'λουλ', 'πλεξ', 'λιχ', 'αρκ',
+    'βελ', 'σπ', 'φρ', 'φε', 'σκ', 'φλ', 'χν', 'σ')
+
+_EL_2D_SUF = ('εωσ', 'εων')
+
+_EL_2D_EX = ('π', 'παρ', 'δ', 'ιδ', 'θ', 'γαλ', 'ελ', 'ν')
+
+_EL_3_SUF = ('ιου', 'ιων', 'ια')
+
+_EL_4_SUF = ('ικου', 'ικων', 'ικα', 'ικο')
+
+_EL_4_EX = ('καλπ', 'γερ', 'πλιατσ', 'πετσ', 'πιτσ', 'φυσ', 'χασ',
+    'μποσ', 'σερτ', 'μπαγιατ', 'νιτ', 'πικαντ', 'εξωδ', 'αδ', 'καταδ',
+    'συναδ', 'αντιδ', 'ενδ', 'υποδ', 'πρωτοδ', 'φυλοδ', 'ηθ', 'ανηθ',
+    'ξικ', 'μουλ', 'αλ', 'αμμοχαλ', 'συνομηλ', 'μπολ', 'βρωμ', 'τσαμ',
+    'μπαν', 'αμαν', 'καλλιν', 'ποστελν', 'φιλον')
+
+_EL_5A_SUF = ('ηθηκαμε', 'ουσαμε', 'ησαμε', 'αγαμε', 'ηκαμε')
+
+_EL_5A_EX = ('αναπ', 'πικρ', 'αποστ', 'ποτ', 'χ', 'σιχ', 'βουβ', 'πεθ',
+    'ξεθ', 'αποθ', 'αποκ', 'ουλ')
+
+_EL_5B_SUF = ('ιουντανε', 'ουντανε', 'ιοντανε', 'ηθηκανε', 'ουσανε',
+    'οντανε', 'ιοτανε', 'ησανε', 'οτανε', 'αγανε', 'ηκανε')
+
+_EL_5B_EX = ('π', 'σπ', 'πολυδαπ', 'αδαπ', 'χαμηλοδαπ', 'τσοπ', 'κοπ',
+    'υποκοπ', 'περιτρ', 'ουρ', 'ερ', 'βετερ', 'γερ', 'λουθηρ', 'κορμορ',
+    'σ', 'σαρακατσ', 'θυσ', 'βασ', 'πολισ', 'καστ', 'διατ', 'πλατ',
+    'τσαρλατ', 'τετ', 'πουριτ', 'σουλτ', 'ζωντ', 'μαιντ', 'φ',
+    'πενταρφ', 'κοιλαρφ', 'ορφ', 'διαφ', 'στεφ', 'φωτοστεφ', 'περηφ',
+    'υπερηφ', 'χ', 'πολυμηχ', 'αμηχ', 'βιομηχ', 'μικροβιομηχ',
+    'μεγλοβιομηχ', 'καπνοβιομηχ', 'λιχ', 'ταβ', 'νταβ', 'ψηλοταβ',
+    'λιβ', 'κλιβ', 'ξηροκλιβ', 'γ', 'ανοργ', 'ενοργ', 'αγ', 'τραγ',
+    'τσαγ', 'τσιγγ', 'ατσιγγ', 'αθιγγ', 'στεγ', 'απηγ', 'σιγ',
+    'καλπουζ', 'θ', 'μωαμεθ', 'πιθ', 'απιθ', 'βασκ', 'βραχυκ', 'δεκ',
+    'πελεκ', 'ικ', 'ανικ', 'βουλκ', 'πλ', 'διπλ', 'ψυχοπλ', 'λαοπλ',
+    'ουλ', 'γαλ', 'βαθυγαλ', 'καταγαλ', 'ολογαλ', 'καστελ', 'μελ',
+    'πορτολ', 'μ', 'δραδουμ', 'βραχμ', 'ολιγοδαμ', 'μουσουλμ', 'ν',
+    'αμερικαν')
+
+_EL_5C_END = ('υπερθ', 'συνδ', 'διαθ', 'συνθ', 'ωφελ', 'πυρ', 'ευρ',
+    'χωρ', 'βαρ', 'αιρ', 'φορ', 'νετ', 'ενδ', 'ευθ', 'ραθ', 'ταθ',
+    'καθ', 'τιθ', 'εκθ', 'ενθ', 'ροθ', 'αρκ', 'βολ', 'συν', 'αιν',
+    'πον', 'ρον', 'βρ', 'σχ', 'οδ', 'σθ')
+
+_EL_5C_EX = ('σερπ', 'κοπ', 'θαρρ', 'ντρ', 'αβαρ', 'εναρ', 'αβρ',
+    'μπορ', 'υ', 'συρφ', 'νιφ', 'παγ', 'δ', 'αδ', 'θ', 'αθ', 'σκ',
+    'τοκ', 'απλ', 'παρακαλ', 'σκελ', 'εμ', 'αν', 'βεν', 'βαρον')
+
+_EL_5F_EX = ('π', 'απ', 'ακαταπ', 'συμπ', 'ασυμπ', 'αμεταμφ')
+
+_EL_5F2_EX = ('αρ', 'νισ', 'ζ', 'αλ', 'παρακαλ', 'εκτελ', 'μ', 'ξ',
+    'προ')
+
+_EL_5G1_SUF = ('ηθηκεσ', 'ηθηκα', 'ηθηκε')
+
+_EL_5G2_SUF = ('ηκεσ', 'ηκα', 'ηκε')
+
+_EL_5G_EX = ('θ', 'προσθ', 'παρακαταθ', 'διαθ', 'συνθ')
+
+_EL_5G_END = ('σκουλ', 'ναρθ', 'σκωλ', 'πιθ', 'σφ', 'οθ')
+
+_EL_5H_SUF = ('ουσεσ', 'ουσα', 'ουσε')
+
+_EL_5H_EX = ('εκλιπ', 'ρ', 'αναρρ', 'ενδιαφερ', 'πατ', 'καθαρευ',
+    'δευτερευ', 'λεχ', 'τσα', 'χαδ', 'μεδ', 'λαμπιδ', 'δε', 'πλε',
+    'μεσαζ', 'δεσποζ', 'αιθ', 'φαρμακ', 'αγκ', 'ανηκ', 'λ', 'μ', 'αμ',
+    'βρομ', 'υποτειν')
+
+_EL_5H_END = ('πανταχ', 'μαντιλ', 'ποδαρ', 'κυματ', 'βλεπ', 'πρωτ',
+    'φρυδ', 'μαλλ', 'λαχ', 'φαγ', 'ληγ', 'ομ')
+
+_EL_5I_SUF = ('αγεσ', 'αγα', 'αγε')
+
+_EL_5I_EX = ('π', 'ασπ', 'ανυπ', 'αρτιπ', 'αειπ', 'συμπ', 'προσωποπ',
+    'σιδηροπ', 'δροσοπ', 'νεοπ', 'κροκαλοπ', 'ολοπ', 'ρ', 'τρ', 'ουρ',
+    'ασπαρ', 'χαρ', 'αχαρ', 'απερ', 'τ', 'ανυστ', 'αβαστ', 'προστ',
+    'αιμοστ', 'διατ', 'επιτ', 'συντ', 'υποτ', 'αποτ', 'ομοτ', 'νομοτ',
+    'ναυ', 'πολυφ', 'αφ', 'ξεφ', 'αδηφ', 'παμφ', 'αμαλλι', 'λ', 'αμαλ',
+    'μ', 'ουλαμ', 'εν', 'δερβεν')
+
+_EL_5J_SUF = ('ησου', 'ησα', 'ησε')
+
+_EL_5J_EX = ('ν', 'επταν', 'δωδεκαν', 'χερσον', 'μεγαλον', 'ερημον')
+
+_EL_5K_EX = ('χρ', 'δυσχρ', 'ευχρ', 'αχρ', 'κοινοχρ', 'παλιμψ', 'σβ',
+    'ασβ', 'απλ', 'αειμν')
+
+_EL_5L_SUF = ('ησουνε', 'ηθουνε', 'ουνε')
+
+_EL_5L_EX = ('ρ', 'στραβομουτσ', 'κακομουτσ', 'σπι', 'ν', 'εξων')
+
+_EL_5M_SUF = ('ησουμε', 'ηθουμε', 'ουμε')
+
+_EL_5M_EX = ('ασουσ', 'παρασουσ', 'αλλοσουσ', 'φ', 'χ', 'αζ', 'ωριοπλ')
+
+_EL_6A_SUF = ('ματοσ', 'ματων', 'ματα')
+
+_EL_6B_SUF = ('ιοντουσαν', 'ιουμαστε', 'οντουσαν', 'ιοσασταν',
+    'ιομασταν', 'ιοσουνα', 'ιομουνα', 'ιεσαστε', 'ιοσαστε', 'ουμαστε',
+    'ιεμαστε', 'ηθηκατε', 'ιουνται', 'οσασταν', 'ομασταν', 'ιουνταν',
+    'οσουνα', 'ομουνα', 'οσαστε', 'ουσατε', 'ηθειτε', 'ουνται',
+    'ιοσουν', 'ιομουν', 'ουνταν', 'ιονταν', 'ηθηκαν', 'ηθεισ', 'ιουμα',
+    'ησατε', 'αγατε', 'ηκατε', 'ιεσαι', 'ιεται', 'ονται', 'ουμαι',
+    'ιεμαι', 'ησουν', 'οσουν', 'ηθουν', 'ομουν', 'ουσαν', 'ονταν',
+    'ιοταν', 'ησεσ', 'ηδεσ', 'ειτε', 'ασαι', 'εσαι', 'αται', 'εται',
+    'αμαι', 'ομαι', 'ησει', 'ηθει', 'ηδων', 'ησαν', 'οταν', 'αγαν',
+    'ηκαν', 'ουσ', 'εισ', 'ησω', 'ηθω', 'αει', 'ουν', 'υσ', 'ασ', 'εσ',
+    'ησ', 'οσ', 'ου', 'αω', 'ει', 'οι', 'ων', 'αν', 'υ', 'ω', 'α', 'ε',
+    'η', 'ι', 'ο')
+
+_EL_7_SUF = ('εστερ', 'εστατ', 'υτερ', 'ωτερ', 'οτερ', 'υτατ', 'ωτατ',
+    'οτατ')
+
+_EL_5I_END = ('χορτ', 'σμην', 'λοχ', 'πελ', 'ρπ', 'πρ', 'φρ', 'σφ',
+    'οφ', 'λλ')
+
+_EL_5I_NEG = ('ναυλοχ', 'ψοφ')
+
+_EL_STEP1 = (('καθεστωτοσ', 'καθεστ'), ('καθεστωτων', 'καθεστ'),
+    ('γεγονοτοσ', 'γεγον'), ('καθεστωτα', 'καθεστ'), ('γεγονοτων',
+    'γεγον'), ('καθεστωσ', 'καθεστ'), ('τατογιου', 'τατο'), ('γεγονοτα',
+    'γεγον'), ('τατογιων', 'τατο'), ('περατοσ', 'περ'), ('τερατοσ',
+    'τερ'), ('κρεατοσ', 'κρε'), ('γεγονοσ', 'γεγον'), ('σκαγιου',
+    'σκα'), ('ολογιου', 'ολο'), ('τατογια', 'τατο'), ('περατων', 'περ'),
+    ('τερατων', 'τερ'), ('κρεατων', 'κρε'), ('σκαγιων', 'σκα'),
+    ('ολογιων', 'ολο'), ('φαγιου', 'φα'), ('σογιου', 'σο'), ('περατα',
+    'περ'), ('τερατα', 'τερ'), ('κρεατα', 'κρε'), ('σκαγια', 'σκα'),
+    ('ολογια', 'ολο'), ('περατη', 'περ'), ('φαγιων', 'φα'), ('σογιων',
+    'σο'), ('περασ', 'περ'), ('τερασ', 'τερ'), ('κρεασ', 'κρε'),
+    ('φωτοσ', 'φω'), ('φαγια', 'φα'), ('σογια', 'σο'), ('φωτων', 'φω'),
+    ('φωτα', 'φω'), ('φωσ', 'φω'))
+
+_EL_S6_IK = (('αλεξανδριν', 'αλεξανδρ'), ('αγνωστικ', 'αγνωστ'),
+    ('εκλεκτικ', 'εκλεκτ'), ('βυζαντιν', 'βυζαντ'), ('σκεπτικ',
+    'σκεπτ'), ('γνωστικ', 'γνωστ'), ('θεατριν', 'θεατρ'), ('ατομικ',
+    'ατομ'), ('τοπικ', 'τοπ'), ('εθνικ', 'εθν'))
+
+
+# Greek tolower: the algorithm's own prelude (uppercase + tonos/dialytika
+# folding, final sigma).  NOTE the pinned quirk: ϊ and ΐ fold to η (not ι)
+# in the official implementation's table, while Ϊ folds to ι — verified
+# against the embedded official stemmer (γκρϊνια -> γκρην).
+_EL_TOLOWER = str.maketrans({
+    "Ά": "α", "Έ": "ε", "Ή": "η", "Ί": "ι", "Ό": "ο", "Ύ": "υ", "Ώ": "ω",
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ", "ώ": "ω",
+    "ϊ": "η", "ΐ": "η", "Ϊ": "ι", "ϋ": "υ", "ΰ": "υ", "Ϋ": "υ", "ς": "σ",
+    "Α": "α", "Β": "β", "Γ": "γ", "Δ": "δ", "Ε": "ε", "Ζ": "ζ", "Η": "η",
+    "Θ": "θ", "Ι": "ι", "Κ": "κ", "Λ": "λ", "Μ": "μ", "Ν": "ν", "Ξ": "ξ",
+    "Ο": "ο", "Π": "π", "Ρ": "ρ", "Σ": "σ", "Τ": "τ", "Υ": "υ", "Φ": "φ",
+    "Χ": "χ", "Ψ": "ψ", "Ω": "ω",
+})
+
+_EL_V = "αεηιουω"    # v: full vowel set (steps 3/4 "ends in vowel")
+_EL_V2 = "αεηιοω"    # v2: vowels except υ (steps 5b/5c; probed βυανε/βυετε)
+
+
+def _el_ends(word: str, sufs) -> str | None:
+    """Longest entry of `sufs` (pre-sorted longest-first) ending `word`."""
+    for s in sufs:
+        if word.endswith(s):
+            return s
+    return None
+
+
+def stem_greek(word: str) -> str:
+    """Greek — the official Snowball algorithm (Ntais 2006 + the Saroukos
+    extension; snowballstem.org/algorithms/greek/stemmer.html).  The
+    reference ships it via rust-stemmers (src/tokenizer/stemmer.rs:30-60,
+    Language::Greek).
+
+    Re-derived black-box against the official implementation embedded in
+    the container's PostgreSQL (CLAUDE.md snowball-oracle recipe): the
+    per-rule suffix inventories come from behavioral study of the same
+    stemmer (tools/extract_amongs.py), and every rule's mode
+    (whole-stem vs ends-with), replacement, and the control-flow quirks
+    were pinned by probe (tools/probe_snowball.py):
+
+    * every successful suffix REMOVAL in steps 1/s1-s10/2d/3/4/5a-5m
+      disables the final ending-removal sweep (step 6b) — steps 2a/2b/2c
+      and the μα-contraction (6a) do NOT;
+    * steps 5b/5c carry a doubled insertion when the letter before the
+      matched v2-vowel/ending-class completes an exact-list stem
+      (θα+ανε -> θαναν, θπυρ+ετε -> θετετ) — no other step does;
+    * words stemmed to empty come back verbatim (ισα -> ισα), and words
+      shorter than 3 letters only pass through the case folding.
+    """
+    original = word
+    w = word.translate(_EL_TOLOWER)
+    if len(w) < 3:
+        return w
+    test1 = True
+
+    # step 1: irregular noun paradigms (ends-with, fixed replacements)
+    s = _el_ends(w, tuple(e for e, _ in _EL_STEP1))
+    if s is not None:
+        repl = dict(_EL_STEP1)[s]
+        w = w[: -len(s)] + repl
+        test1 = False
+
+    # steps S1-S10: derivational families, each = remove + exact add-backs
+    s = _el_ends(w, _EL_S1_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S1_I:
+            w += "ι"
+        elif w in _EL_S1_IZ:
+            w += "ιζ"
+    s = _el_ends(w, _EL_S2_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S2_EX:
+            w += "ων"
+    s = _el_ends(w, _EL_S3_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S3_I:
+            w += "ι"
+        elif w in _EL_S3_IS:
+            w += "ισ"
+    s = _el_ends(w, _EL_S4_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S4_I:
+            w += "ι"
+    s = _el_ends(w, _EL_S5_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S5_I:
+            w += "ι"
+        elif w in _EL_S5_IST:
+            w += "ιστ"
+    s = _el_ends(w, _EL_S6_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S6_ISM:
+            w += "ισμ"
+        elif w in _EL_S6_I:
+            w += "ι"
+        else:
+            e = _el_ends(w, tuple(x for x, _ in _EL_S6_IK))
+            if e:
+                w = w[: -len(e)] + dict(_EL_S6_IK)[e]
+    s = _el_ends(w, _EL_S7_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S7_EX:
+            w += "αρακ"
+    s = _el_ends(w, _EL_S8_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S8_AK:
+            w += "ακ"
+        elif w in _EL_S8_ITS:
+            w += "ιτσ"
+        elif w.endswith("κορ"):
+            w += "ιτσ"
+    s = _el_ends(w, _EL_S9_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S9_EX:
+            w += "ιδ"
+        elif _el_ends(w, _EL_S9_END):
+            w += "ιδ"
+    s = _el_ends(w, _EL_S10_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_S10_EX:
+            w += "ισκ"
+
+    # steps 2a-2d: plural/genitive contractions
+    s = _el_ends(w, _EL_2A_SUF)
+    if s:  # does NOT touch test1 (probed: γιαγιαδεσ, θειαδεσ)
+        w = w[: -len(s)]
+        if not _el_ends(w, _EL_2A_NOT):
+            w += "αδ"
+    s = _el_ends(w, _EL_2B_SUF)
+    if s:  # does NOT touch test1
+        w = w[: -len(s)]
+        if _el_ends(w, _EL_2B_END):
+            w += "εδ"
+    s = _el_ends(w, _EL_2C_SUF)
+    if s:  # does NOT touch test1
+        w = w[: -len(s)]
+        if _el_ends(w, _EL_2C_END):
+            w += "ουδ"
+    s = _el_ends(w, _EL_2D_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_2D_EX:
+            w += "ε"
+
+    # step 3: -ια/-ιου/-ιων; keep the ι after a vowel stem
+    s = _el_ends(w, _EL_3_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w and w[-1] in _EL_V:
+            w += "ι"
+
+    # step 4: -ικα/-ικο/-ικου/-ικων
+    s = _el_ends(w, _EL_4_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if (w and w[-1] in _EL_V) or w in _EL_4_EX:
+            w += "ικ"
+
+    # step 5a: past tense -αμε family
+    if w == "αγαμε":
+        w = "αγαμ"
+        test1 = False
+    else:
+        s = _el_ends(w, _EL_5A_SUF)
+        if s:  # compound forms: plain removal (probed: αναπηκαμε)
+            w = w[: -len(s)]
+            test1 = False
+        if w.endswith("αμε"):
+            w = w[:-3]
+            test1 = False
+            if w in _EL_5A_EX:
+                w += "αμ"
+
+    # step 5b: -ανε family
+    s = _el_ends(w, _EL_5B_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in ("τρ", "τσ"):
+            w += "αγαν"
+    if w.endswith("ανε"):
+        w = w[:-3]
+        test1 = False
+        if w and w[-1] in _EL_V2:
+            # doubled insertion when the pre-vowel stem is an exact-list
+            # member (probed: θαανε -> θαναν, σαρακατσαανε -> σαρακατσαναν)
+            if w[:-1] in _EL_5B_EX:
+                w = w[:-1] + "αναν"
+            else:
+                w += "αν"
+        elif w in _EL_5B_EX:
+            w += "αν"
+
+    # step 5c: -ετε family
+    if w.endswith("ησετε"):
+        w = w[:-5]
+        test1 = False
+    if w.endswith("ετε"):
+        w = w[:-3]
+        test1 = False
+        m = w[-1] if (w and w[-1] in _EL_V2) else _el_ends(w, _EL_5C_END)
+        if m:
+            # same doubled insertion as 5b (θπυρετε -> θετετ,
+            # θαρραετε -> θαρρετετ); plain append otherwise
+            if w[: -len(m)] in _EL_5C_EX:
+                w = w[: -len(m)] + "ετετ"
+            else:
+                w += "ετ"
+        elif w in _EL_5C_EX:
+            w += "ετ"
+
+    # step 5d: participles -οντασ/-ωντασ
+    s = _el_ends(w, ("ωντασ", "οντασ"))
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w == "αρχ":
+            w += "οντ"
+        elif w.endswith("κρε"):
+            w += "ωντ"
+
+    # step 5e: -ομαστε/-ιομαστε
+    s = _el_ends(w, ("ιομαστε", "ομαστε"))
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w == "ον":
+            w += "ομαστ"
+
+    # step 5f: -ιεστε / -εστε
+    if w.endswith("ιεστε"):
+        w = w[:-5]
+        test1 = False
+        if w in _EL_5F_EX:
+            w += "ιεστ"
+    if w.endswith("εστε"):
+        w = w[:-4]
+        test1 = False
+        if w in _EL_5F2_EX:
+            w += "ιεστ"
+
+    # step 5g: passive past -ηθηκα / -ηκα families
+    s = _el_ends(w, _EL_5G1_SUF)
+    if s:  # -ηθηκ* forms: plain removal (probed: σφηθηκα)
+        w = w[: -len(s)]
+        test1 = False
+    s = _el_ends(w, _EL_5G2_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5G_EX or _el_ends(w, _EL_5G_END):
+            w += "ηκ"
+
+    # step 5h: imperfect -ουσα family
+    s = _el_ends(w, _EL_5H_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5H_EX or _el_ends(w, _EL_5H_END):
+            w += "ουσ"
+
+    # step 5j: -ησα/-ησου/-ησε
+    s = _el_ends(w, _EL_5J_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5J_EX:
+            w += "ησ"
+
+    # step 5i: -αγα family (with ends-with negatives ψοφ/ναυλοχ)
+    s = _el_ends(w, _EL_5I_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5I_EX:
+            w += "αγ"
+        elif _el_ends(w, _EL_5I_END) and not _el_ends(w, _EL_5I_NEG):
+            w += "αγ"
+
+    # step 5k: -ηστε
+    if w.endswith("ηστε"):
+        w = w[:-4]
+        test1 = False
+        if w in _EL_5K_EX:
+            w += "ηστ"
+
+    # step 5l: -ουνε family
+    s = _el_ends(w, _EL_5L_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5L_EX:
+            w += "ουν"
+
+    # step 5m: -ουμε family
+    s = _el_ends(w, _EL_5M_SUF)
+    if s:
+        w = w[: -len(s)]
+        test1 = False
+        if w in _EL_5M_EX:
+            w += "ουμ"
+
+    # step 6a: -ματα/-ματων/-ματοσ contract to -μα (leaves test1 alone)
+    s = _el_ends(w, _EL_6A_SUF)
+    if s:
+        w = w[: -len(s)] + "μα"
+
+    # step 6b: the big inflectional-ending sweep — only when NO earlier
+    # removal fired
+    if test1:
+        s = _el_ends(w, _EL_6B_SUF)
+        if s:
+            w = w[: -len(s)]
+
+    # step 7: comparatives/superlatives
+    s = _el_ends(w, _EL_7_SUF)
+    if s:
+        w = w[: -len(s)]
+
+    return w if w else original
