@@ -2079,3 +2079,251 @@ def stem_greek(word: str) -> str:
         w = w[: -len(s)]
 
     return w if w else original
+
+
+# ---------------------------------------------------------------------------
+# Arabic — snowballstem.org/algorithms/arabic/stemmer.html (Assem Chelli)
+# Normalization/prefix/suffix inventories recovered behaviorally from the
+# official stemmer (tools/extract_amongs.py); control flow (repeat-Step1
+# terminal verb branch, noun try-chain with persisted partial deletions,
+# cursor-carrying prefix chain) pinned via ts_lexize probing (CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+# (tools/extract_amongs.py); control flow pinned via ts_lexize probing.
+
+_AR_TASHKEEL = "ـًٌٍَُِّْ"
+_AR_DIGITS = {chr(0x660 + i): str(i) for i in range(10)}
+_AR_FORMS = {}
+for _base, _codes in (
+    ("ء", (0xFE80,)), ("أ", (0xFE83, 0xFE84)), ("إ", (0xFE87, 0xFE88)),
+    ("ئ", (0xFE89, 0xFE8A, 0xFE8B, 0xFE8C)), ("آ", (0xFE81, 0xFE82)),
+    ("ؤ", (0xFE85, 0xFE86)), ("ا", (0xFE8D, 0xFE8E)),
+    ("ب", (0xFE8F, 0xFE90, 0xFE91, 0xFE92)), ("ة", (0xFE93, 0xFE94)),
+    ("ت", (0xFE95, 0xFE96, 0xFE97, 0xFE98)),
+    ("ث", (0xFE99, 0xFE9A, 0xFE9B, 0xFE9C)),
+    ("ج", (0xFE9D, 0xFE9E, 0xFE9F, 0xFEA0)),
+    ("ح", (0xFEA1, 0xFEA2, 0xFEA3, 0xFEA4)),
+    ("خ", (0xFEA5, 0xFEA6, 0xFEA7, 0xFEA8)),
+    ("د", (0xFEA9, 0xFEAA)), ("ذ", (0xFEAB, 0xFEAC)),
+    ("ر", (0xFEAD, 0xFEAE)), ("ز", (0xFEAF, 0xFEB0)),
+    ("س", (0xFEB1, 0xFEB2, 0xFEB3, 0xFEB4)),
+    ("ش", (0xFEB5, 0xFEB6, 0xFEB7, 0xFEB8)),
+    ("ص", (0xFEB9, 0xFEBA, 0xFEBB, 0xFEBC)),
+    ("ض", (0xFEBD, 0xFEBE, 0xFEBF, 0xFEC0)),
+    ("ط", (0xFEC1, 0xFEC2, 0xFEC3, 0xFEC4)),
+    ("ظ", (0xFEC5, 0xFEC6, 0xFEC7, 0xFEC8)),
+    ("ع", (0xFEC9, 0xFECA, 0xFECB, 0xFECC)),
+    ("غ", (0xFECD, 0xFECE, 0xFECF, 0xFED0)),
+    ("ف", (0xFED1, 0xFED2, 0xFED3, 0xFED4)),
+    ("ق", (0xFED5, 0xFED6, 0xFED7, 0xFED8)),
+    ("ك", (0xFED9, 0xFEDA, 0xFEDB, 0xFEDC)),
+    ("ل", (0xFEDD, 0xFEDE, 0xFEDF, 0xFEE0)),
+    ("م", (0xFEE1, 0xFEE2, 0xFEE3, 0xFEE4)),
+    ("ن", (0xFEE5, 0xFEE6, 0xFEE7, 0xFEE8)),
+    ("ه", (0xFEE9, 0xFEEA, 0xFEEB, 0xFEEC)),
+    ("و", (0xFEED, 0xFEEE)), ("ى", (0xFEEF, 0xFEF0)),
+    ("ي", (0xFEF1, 0xFEF2, 0xFEF3, 0xFEF4)),
+    ("لا", (0xFEFB, 0xFEFC)), ("لأ", (0xFEF7, 0xFEF8)),
+    ("لإ", (0xFEF9, 0xFEFA)), ("لآ", (0xFEF5, 0xFEF6)),
+):
+    for _c in _codes:
+        _AR_FORMS[chr(_c)] = _base
+
+
+def _ar_normalize_pre(w: str) -> str:
+    out = []
+    for c in w:
+        if c in _AR_TASHKEEL:
+            continue
+        if c in _AR_DIGITS:
+            out.append(_AR_DIGITS[c])
+        elif c in _AR_FORMS:
+            out.append(_AR_FORMS[c])
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _ar_normalize_post(w: str) -> str:
+    # final hamza carrier -> bare hamza, then medial carriers normalized
+    if w and w[-1] in "آأؤإئ":
+        w = w[:-1] + "ء"
+    return (w.replace("آ", "ا").replace("أ", "ا").replace("إ", "ا")
+             .replace("ؤ", "و").replace("ئ", "ي"))
+
+
+def stem_arabic(word: str) -> str:
+    """Arabic — the official Snowball algorithm (Assem Chelli's arabic.sbl,
+    snowballstem.org/algorithms/arabic/stemmer.html); the reference ships
+    it via rust-stemmers (src/tokenizer/stemmer.rs Language::Arabic).
+
+    Control flow follows Snowball semantics exactly as probed: or-branches
+    never roll back partial changes (a failed branch leaves its deletions
+    in place and the next branch continues on the modified string), the
+    noun branch fails as a whole when Suffix_Noun_Step3 fails, and the
+    prefix chain carries the cursor — a Prefix_Step1 replacement advances
+    it, so Step2/Step3 match after the replaced hamza (أأوكتاب -> اكتاب
+    while أوكتاب keeps its waw)."""
+    w = word
+    is_noun = True
+    is_verb = True
+    is_defined = False
+
+    # Checks1 (flags only, at word start, pre-normalization)
+    if (w.startswith(("بال", "كال")) and len(w) > 4) or \
+       (w.startswith(("ال", "لل")) and len(w) > 3):
+        is_noun = True
+        is_verb = False
+        is_defined = True
+
+    w = _ar_normalize_pre(w)
+
+    # ---- suffix phase (backward; snowball no-rollback or-chain) ---------
+    def _strip(w, pairs):
+        for s, n in pairs:
+            if w.endswith(s):
+                return (w[: -len(s)], True) if len(w) >= n else (w, False)
+        return w, False
+
+    VERB1 = (("كمو", 6), ("كما", 6), ("هما", 6), ("ني", 5), ("نا", 5),
+             ("ها", 5), ("هم", 5), ("هن", 5), ("كم", 5), ("كن", 5),
+             ("ه", 4), ("ك", 4))
+    VERB2A = (("تما", 6), ("ون", 6), ("ين", 6), ("ان", 6), ("تن", 5),
+              ("نا", 5), ("تا", 5), ("ت", 4), ("ن", 4), ("ي", 4), ("ا", 4))
+    VERB2B = (("وا", 5), ("تم", 5))
+    VERB2C = (("تمو", 6), ("و", 4))
+    NOUN1A = (("كما", 6), ("هما", 6), ("نا", 5), ("كم", 5), ("هم", 5),
+              ("هن", 5), ("ها", 5), ("ي", 4), ("ك", 4), ("ه", 4))
+    NOUN2A = (("ا", 5), ("ي", 5), ("و", 5))
+    NOUN2B = (("ات", 5),)
+    NOUN2C1 = (("ت", 4),)
+    NOUN2C2 = (("ة", 4),)
+    NOUN3 = (("ي", 3),)
+
+    suffix_done = False
+    if is_verb:
+        engaged = False
+        while True:
+            w1, ok = _strip(w, VERB1)
+            if not ok:
+                break
+            w = w1
+            engaged = True
+        if engaged:
+            # verb branch is terminal once Step1 engaged (probed:
+            # -ة / -ى words keep their ending after a Step1 removal)
+            w2, ok2 = _strip(w, VERB2A)
+            if not ok2:
+                w2, ok2 = _strip(w, VERB2C)
+            if ok2:
+                w = w2
+            suffix_done = True
+        else:
+            w2, ok = _strip(w, VERB2B)
+            if not ok:
+                w2, ok = _strip(w, VERB2A)
+            if ok:
+                w = w2
+                suffix_done = True
+    if not suffix_done and is_noun:
+        # try( 2c2 or (¬def 1a (2a|2b|2c1|true)) or (1b (2a|2b|2c1))
+        #      or (¬def 2a) or 2b )  then Step3 must succeed, else the
+        # branch fails (changes kept) and alef_maqsura gets its shot
+        w2, ok = _strip(w, NOUN2C2)
+        if ok:
+            w = w2
+        else:
+            in_try = False
+            if not is_defined:
+                w1, ok1 = _strip(w, NOUN1A)
+                if ok1:
+                    w = w1
+                    in_try = True
+                    for tbl in (NOUN2A, NOUN2B, NOUN2C1):
+                        w2, ok2 = _strip(w, tbl)
+                        if ok2:
+                            w = w2
+                            break
+            if not in_try:
+                w1, ok1 = _strip(w, (("ن", 6),))
+                if ok1:
+                    w = w1  # 1b's deletion persists even if the pair fails
+                    for tbl in (NOUN2A, NOUN2B, NOUN2C1):
+                        w2, ok2 = _strip(w, tbl)
+                        if ok2:
+                            w = w2
+                            in_try = True
+                            break
+                if not in_try:
+                    if not is_defined:
+                        w2, ok = _strip(w, NOUN2A)
+                        if ok:
+                            w = w2
+                            in_try = True
+                    if not in_try:
+                        w2, ok = _strip(w, NOUN2B)
+                        if ok:
+                            w = w2
+        w2, ok3 = _strip(w, NOUN3)
+        if ok3:
+            w = w2
+            suffix_done = True
+    if not suffix_done:
+        if w.endswith("ى"):
+            w = w[:-1] + "ي"
+
+    # ---- prefix phase (forward, cursor-carrying) ------------------------
+    c = 0
+    # Prefix_Step1 (try)
+    for p, r in (("أأ", "أ"), ("أآ", "آ"), ("أؤ", "أ"), ("أا", "آ"),
+                 ("أإ", "إ")):
+        if w[c:].startswith(p):
+            if len(w) > 3:
+                w = w[:c] + r + w[c + 2:]
+                c += len(r)
+            break
+    # Prefix_Step2 (try): strip ف/و unless followed by ا
+    if w[c: c + 1] in ("ف", "و") and len(w) > 3 and w[c + 1: c + 2] != "ا":
+        w = w[:c] + w[c + 1:]
+    # Prefix_Step3a_Noun or (is_noun 3b) or (is_verb try 3_Verb 4_Verb)
+    s3a = False
+    for p, n in (("بال", 6), ("كال", 6), ("ال", 5), ("لل", 5)):
+        if w[c:].startswith(p) and len(w) >= n:
+            w = w[:c] + w[c + len(p):]
+            s3a = True
+            break
+    if not s3a:
+        done3 = False
+        if is_noun:
+            rest = w[c:]
+            if rest.startswith("بب") and len(w) > 3:
+                w = w[:c] + "ب" + w[c + 2:]
+                done3 = True
+            elif rest.startswith("كك") and len(w) > 3:
+                w = w[:c] + "ك" + w[c + 2:]
+                done3 = True
+            elif rest.startswith("با"):
+                pass
+            elif rest.startswith("ب") and len(w) > 3:
+                w = w[:c] + w[c + 1:]
+                done3 = True
+        if not done3 and is_verb:
+            rest = w[c:]
+            hit3v = False
+            for p, r in (("سي", "ي"), ("ست", "ت"), ("سن", "ن"),
+                         ("سأ", "أ")):
+                if rest.startswith(p):
+                    if len(w) > 4:
+                        w = w[:c] + r + w[c + 2:]
+                        c += 1
+                        hit3v = True
+                    break
+            rest = w[c:]
+            for p in ("تست", "نست", "يست"):
+                if rest.startswith(p):
+                    if len(w) > 4:
+                        w = w[:c] + "است" + w[c + 3:]
+                    break
+
+    w = _ar_normalize_post(w)
+    return w if w else word
