@@ -35,6 +35,20 @@ class IndexConfig:
     n_term_buckets: int = 8
     #: store token positions (needed for phrase queries)
     positions: bool = False
+    #: IndexRecordOption (src/schema/index_record_option.rs:15-27):
+    #: "freqs" (default, WithFreqs) records term frequencies; "basic"
+    #: records docs only — every posting scores with tf=1 (the tf-1
+    #: delta stream bitpacks to zero width, so no tf bytes are paid),
+    #: matching the reference's Basic semantics.  Positions require
+    #: freqs (WithFreqsAndPositions), like the reference.
+    record: str = "freqs"
+    #: DateOptions precision (src/schema/date_time_options.rs
+    #: DateTimePrecision): truncate every timestamp fast-field column in
+    #: the docmap to "seconds" | "milliseconds" | "microseconds".
+    #: None keeps source precision (parquet micros).  Truncation happens
+    #: at index time, so range bounds compare against truncated values —
+    #: the reference's fast-field truncation semantics.
+    date_precision: str | None = None
     #: additional indexed text columns (tantivy's multi-field schema,
     #: ARCHITECTURE.md:103-116).  Terms of field f are stored scoped as
     #: "f:token" with f's OWN per-doc fieldnorm and per-field token totals

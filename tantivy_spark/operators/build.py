@@ -288,6 +288,26 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     # .fast file role, ARCHITECTURE.md:161-166)
     base = source.withColumn("segment_ord", seg)
 
+    if cfg.date_precision is not None:
+        # DateOptions fast-field truncation (date_time_options.rs
+        # DateTimePrecision): applied at index time to every timestamp
+        # column riding into the docmap's fast-field store
+        prec = cfg.date_precision
+        if prec not in ("seconds", "milliseconds", "microseconds"):
+            raise ValueError(f"unknown date_precision {prec!r}")
+        for f_ in base.schema.fields:
+            if f_.dataType.simpleString() != "timestamp":
+                continue
+            col = F.col(f_.name)
+            if prec == "seconds":
+                trunc = F.date_trunc("second", col)
+            elif prec == "milliseconds":
+                trunc = F.timestamp_micros(
+                    (F.unix_micros(col) / 1000).cast("long") * 1000)
+            else:  # microseconds — parquet native precision
+                trunc = col
+            base = base.withColumn(f_.name, trunc)
+
     # index sorting (index_meta.rs:288-398): optional fast-field order
     # first, key_cols as the deterministic tiebreak
     order = [F.col(c) for c in cfg.key_cols]
@@ -433,7 +453,7 @@ def _encode_runs_arrow(seg, uniq_terms, doc_of_run, tfs_all, fn_of_run,
                                     pos_enc, pos_post_off, positions)
 
 
-def _encode_group_arrow(table, positions: bool):
+def _encode_group_arrow(table, positions: bool, basic: bool = False):
     """Encode one (segment_ord, term-shard) group of pre-aggregated
     (term, doc, tf[, positions]) runs — the salted path's kernel.
     All Arrow/numpy; no pandas, no per-term Python."""
@@ -467,11 +487,14 @@ def _encode_group_arrow(table, positions: bool):
         pos_flat = flat_all[g]
     term_starts = np.append(
         np.flatnonzero(np.diff(c_s, prepend=c_s[0] - 1)), len(c_s))
+    if basic:
+        t_s = np.ones_like(t_s)
     return _encode_runs_arrow(seg, uniq_terms, d_s, t_s, f_s, pos_flat,
                               term_starts, positions)
 
 
-def _encode_segment_arrow(table, positions: bool, multi_field: bool):
+def _encode_segment_arrow(table, positions: bool, multi_field: bool,
+                          basic: bool = False):
     """Encode ALL postings of one segment in one vectorized pass — the
     reference's segment-local posting construction (SegmentWriter +
     PostingsSerializer, segment_writer.rs:221-330,
@@ -532,6 +555,9 @@ def _encode_segment_arrow(table, positions: bool, multi_field: bool):
         np.flatnonzero(np.diff(term_of_run, prepend=term_of_run[0] - 1)),
         len(term_of_run),
     )
+    if basic:
+        # IndexRecordOption::Basic — docs-only postings, tf fixed at 1
+        tfs_all = np.ones_like(tfs_all)
     # p_s is the per-run positions flat stream (lengths = tfs_all) already
     return _encode_runs_arrow(seg, uniq_terms, doc_of_run, tfs_all,
                               fn_of_run, p_s, term_starts, positions)
@@ -562,7 +588,8 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
         docmap.select(*cols)
         .groupBy("segment_ord")
         .applyInArrow(
-            lambda table: _encode_segment_arrow(table, with_pos, multi),
+            lambda table: _encode_segment_arrow(table, with_pos, multi,
+                                                basic),
             schema=POSTINGS_ENC_SCHEMA,
         )
         .withColumn("tbucket",
@@ -572,7 +599,8 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
                   multi_field: bool, extra_fields: tuple[str, ...],
-                  terms_path: str | None = None) -> dict:
+                  terms_path: str | None = None,
+                  basic: bool = False) -> dict:
     """Encode ONE segment end-to-end inside one Spark task: read the
     segment's docmap partition directly with pyarrow (no JVM round-trip),
     run the flat block encoder, write term-bucketed parquet files, and
@@ -602,7 +630,7 @@ def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
     t = pq.read_table(seg_dir, columns=cols, use_threads=False)
     t = t.append_column(
         "segment_ord", pa.array(np.full(len(t), seg, dtype=np.int32)))
-    out = _encode_segment_arrow(t, positions, multi_field)
+    out = _encode_segment_arrow(t, positions, multi_field, basic)
 
     terms = out.column("term").to_pylist()
     tb = np.fromiter(
@@ -679,10 +707,11 @@ def build_postings_segment_files(spark: SparkSession, docmap_path: str,
     positions = cfg.positions
     multi = bool(cfg.extra_fields)
     extra = tuple(cfg.extra_fields)
+    basic = cfg.record == "basic"
     return (
         spark.sparkContext.parallelize(seg_dirs, max(len(seg_dirs), 1))
         .map(lambda d: _segment_task(d, postings_path, nb, positions,
-                                     multi, extra, terms_path))
+                                     multi, extra, terms_path, basic))
         .collect()
     )
 
@@ -757,10 +786,11 @@ def build_postings(docmap: DataFrame, cfg: IndexConfig, n_shards: int | None = N
         "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).cast("int")
     )
     with_pos = cfg.positions
+    basic = cfg.record == "basic"
     return (
         sharded.groupBy("segment_ord", "shard")
         .applyInArrow(
-            lambda table: _encode_group_arrow(table, with_pos),
+            lambda table: _encode_group_arrow(table, with_pos, basic),
             schema=POSTINGS_ENC_SCHEMA,
         )
         .withColumn("tbucket",
@@ -829,6 +859,12 @@ def build_index(
     manifest; `Searcher.plugin(name)` reads it back.  Plugin frames must
     keep the ``segment_ord`` column (the per-segment-component contract)."""
     cfg = cfg or IndexConfig()
+    if cfg.record not in ("freqs", "basic"):
+        raise ValueError(f"unknown record option {cfg.record!r}")
+    if cfg.record == "basic" and cfg.positions:
+        # the reference ties positions to WithFreqsAndPositions
+        # (index_record_option.rs:15-27) — Basic cannot carry them
+        raise ValueError("record='basic' cannot record positions")
     os.makedirs(index_dir, exist_ok=True)
     docmap_path = os.path.join(index_dir, "docmap")
     postings_path = os.path.join(index_dir, "postings")

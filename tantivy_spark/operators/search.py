@@ -935,7 +935,7 @@ class Searcher:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
-                for _, r in pdf.iterrows()
+                for r in pdf.to_dict("records")
             }
             if is_dismax:
                 cl = [
@@ -1018,7 +1018,7 @@ class Searcher:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
-                for _, r in pdf.iterrows()
+                for r in pdf.to_dict("records")
             }
             cl = []
             for occur, kind, payload, w in runner_spec:
@@ -1083,7 +1083,7 @@ class Searcher:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
-                for _, r in pdf.iterrows()
+                for r in pdf.to_dict("records")
             }
             cl = []
             for kind, payload, w in runner_spec:
@@ -1190,7 +1190,8 @@ class Searcher:
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
-            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            tp = {r["term"]: K.TermPostings.from_row(r)
+                  for r in pdf.to_dict("records")}
             docs, scores = K.segment_topk_phrase(
                 [tp.get(t) for t in slots], weight, k, slop=slop
             )
@@ -1247,7 +1248,8 @@ class Searcher:
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
-            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            tp = {r["term"]: K.TermPostings.from_row(r)
+                  for r in pdf.to_dict("records")}
             slots = [
                 [tp[t] for t in alt if t in tp] or [None]
                 for alt in slot_terms
@@ -1299,7 +1301,8 @@ class Searcher:
 
         def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
-            tp = {r["term"]: K.TermPostings.from_row(r) for _, r in pdf.iterrows()}
+            tp = {r["term"]: K.TermPostings.from_row(r)
+                  for r in pdf.to_dict("records")}
             docs, scores = K.segment_topk_phrase(
                 [tp.get(t) for t in fixed_terms] + [None],
                 weight, k,
@@ -1738,7 +1741,7 @@ class Searcher:
 
             for pdf in it:
                 outs = []
-                for _, r in pdf.iterrows():
+                for r in pdf.to_dict("records"):
                     tp = TermPostings.from_row(r)
                     docs, tfs, fns = tp.decode_all()
                     d = {

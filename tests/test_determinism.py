@@ -283,3 +283,79 @@ def test_segment_plugin_component(spark, tmp_root):
     m2 = build_index(spark, src, idx, CFG, resume=True,
                      plugins={"tok_stats": tok_stats})
     assert "plugin_tok_stats" not in m2["stage_seconds"]
+
+
+def test_record_basic_docs_only(spark, tmp_root):
+    """IndexRecordOption::Basic (index_record_option.rs:15-27): postings
+    record docs only — every tf is 1 (the tf-1 stream bitpacks to zero
+    width), sum_tf == doc_freq, and scoring sees tf=1 even for docs that
+    repeat a term."""
+    from tantivy_spark.operators import blocks
+
+    src = transcripts_df(spark, 40, partitions=2).withColumn(
+        "text", F.concat_ws(" ", "text", "text"))  # force tf >= 2 everywhere
+    basic_idx = f"{tmp_root}/basic_{time.time_ns()}"
+    freq_idx = f"{tmp_root}/freqs_{time.time_ns()}"
+    build_index(spark, src, basic_idx,
+                IndexConfig(n_segments=4, n_term_buckets=4, record="basic"))
+    build_index(spark, src, freq_idx, CFG)
+
+    pb = spark.read.parquet(os.path.join(basic_idx, "postings"))
+    row = pb.select(
+        F.max("max_tf").alias("mx"),
+        F.sum(F.when(F.col("sum_tf") != F.col("doc_freq"), 1)
+              .otherwise(0)).alias("bad")).collect()[0]
+    assert row.mx == 1 and row.bad == 0
+    # decoded tf streams are all ones
+    some = pb.limit(20).collect()
+    import numpy as np
+    for r in some:
+        _, tfs, _ = blocks.decode_postings(
+            bytes(r.doc_enc), bytes(r.tf_enc),
+            np.asarray(r.block_doc_off), np.asarray(r.block_tf_off),
+            np.asarray(r.block_last), int(r.doc_freq))
+        assert (tfs == 1).all()
+
+    # same doc sets as the freqs index, different scores (tf clamped)
+    sb = Searcher(spark, basic_idx)
+    sf_ = Searcher(spark, freq_idx)
+    top_term = (
+        spark.read.parquet(os.path.join(freq_idx, "postings"))
+        .groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        .orderBy(F.desc("df")).first().term)
+    q = L.TermQuery(top_term)
+    kb = {(r.conv_id, r.turn_idx) for r in sb.search(q, 1000).collect()}
+    kf = {(r.conv_id, r.turn_idx) for r in sf_.search(q, 1000).collect()}
+    assert kb == kf and kb
+
+    # positions are refused with basic (WithFreqsAndPositions only)
+    with pytest.raises(ValueError):
+        build_index(spark, src, f"{tmp_root}/bp_{time.time_ns()}",
+                    IndexConfig(record="basic", positions=True))
+
+
+def test_date_precision_truncation(spark, tmp_root):
+    """DateOptions truncation (date_time_options.rs DateTimePrecision):
+    timestamp fast fields are truncated at index time, so range bounds
+    compare against truncated values."""
+    src = transcripts_df(spark, 30, partitions=2).withColumn(
+        "ts", F.timestamp_micros(
+            F.unix_micros("ts") + (F.col("turn_idx") % 997) * 1001 + 1))
+    idx = f"{tmp_root}/dsec_{time.time_ns()}"
+    build_index(spark, src, idx,
+                IndexConfig(n_segments=2, n_term_buckets=4,
+                            date_precision="seconds"))
+    dm = spark.read.parquet(os.path.join(idx, "docmap"))
+    sub = dm.filter(F.col("ts") != F.date_trunc("second", F.col("ts")))
+    assert sub.count() == 0
+    # source had sub-second components to truncate
+    raw = src.filter(F.col("ts") != F.date_trunc("second", F.col("ts")))
+    assert raw.count() > 0
+
+    idx_ms = f"{tmp_root}/dms_{time.time_ns()}"
+    build_index(spark, src, idx_ms,
+                IndexConfig(n_segments=2, n_term_buckets=4,
+                            date_precision="milliseconds"))
+    dm_ms = spark.read.parquet(os.path.join(idx_ms, "docmap"))
+    bad_ms = dm_ms.filter(F.unix_micros("ts") % 1000 != 0)
+    assert bad_ms.count() == 0
