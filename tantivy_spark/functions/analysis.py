@@ -118,14 +118,15 @@ _STEMMER_LANGS = {
     "finnish": "finnish", "fi": "finnish",
     "greek": "greek", "el": "greek",
     "arabic": "arabic", "ar": "arabic",
+    "hungarian": "hungarian", "hu": "hungarian",
 }
 
 
 def get_stemmer(language: str = "en"):
     """Resolve a per-token stem function for `language` (reference
     `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
-    languages the reference supports but we don't ship (Czech, Hungarian,
-    Polish, Tamil, Turkish)."""
+    languages the reference supports but we don't ship (Czech, Polish,
+    Tamil, Turkish)."""
     key = _STEMMER_LANGS[language.lower()]
     if key == "porter2":
         from tantivy_spark.functions.porter2 import stem

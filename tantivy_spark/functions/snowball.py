@@ -2327,3 +2327,164 @@ def stem_arabic(word: str) -> str:
 
     w = _ar_normalize_post(w)
     return w if w else word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — snowballstem.org/algorithms/hungarian/stemmer.html
+# Inventories recovered behaviorally from the official stemmer build
+# (tools/extract_amongs.py) — resolving the round-2 blocker: the earlier
+# attempt guessed suffix tables and hit revision-ambiguous boundary words;
+# with the build's exact amongs the only revision-sensitive knob left is
+# v_ending's R1 check (this build HAS it: fától -> fá), now pinned.
+# ---------------------------------------------------------------------------
+
+_HU_V = "aeiouáéíóöőúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+               "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm",
+               "nn", "pp", "rr", "ss", "tt", "vv", "zz")
+
+_HU_CASE = ("ből", "ről", "től", "nál", "nél", "ból", "ról",
+            "tól", "ban", "ben", "képpen", "onként", "enként", "anként",
+            "ként", "képp", "nak", "nek", "val", "vel", "hez", "hoz",
+            "höz", "ba", "ra", "be", "re", "ig", "ul", "ül", "an", "en",
+            "on", "ön", "kor", "at", "et", "ot", "ért", "öt", "vá",
+            "vé", "n", "t")
+_HU_PLUR_OWNER = (
+    ("jeitek", 0), ("jaitok", 0), ("eitek", 0), ("aitok", 0),
+    ("jeink", 0), ("jaink", 0), ("éitek", "e"), ("áitok", "a"),
+    ("jaid", 0), ("jeid", 0), ("eink", 0), ("aink", 0),
+    ("itek", 0), ("jeik", 0), ("jaik", 0), ("áink", "a"), ("éink", "e"),
+    ("aid", 0), ("eid", 0), ("áid", "a"), ("éid", "e"),
+    ("jai", 0), ("jei", 0), ("aik", 0), ("eik", 0), ("áik", "a"),
+    ("éik", "e"), ("ink", 0), ("jaim", 0), ("jeim", 0),
+    ("aim", 0), ("eim", 0), ("áim", "a"), ("éim", "e"),
+    ("id", 0), ("ai", 0), ("ei", 0), ("ái", "a"), ("éi", "e"),
+    ("ik", 0), ("im", 0), ("i", 0))
+_HU_SING_OWNER = (
+    ("ájuk", "a"), ("éjük", "e"),
+    ("ánk", "a"), ("énk", "e"), ("unk", 0), ("ünk", 0),
+    ("juk", 0), ("jük", 0),
+    ("ad", 0), ("ed", 0), ("od", 0), ("öd", 0), ("ád", "a"), ("éd", "e"),
+    ("ja", 0), ("je", 0), ("nk", 0), ("uk", 0), ("ük", 0),
+    ("am", 0), ("em", 0), ("om", 0), ("ám", "a"), ("ém", "e"),
+    ("a", 0), ("e", 0), ("d", 0), ("m", 0), ("o", 0),
+    ("á", "a"), ("é", "e"))
+_HU_OWNED = (
+    ("áéi", "a"), ("ééi", "e"),
+    ("áké", "a"), ("éké", "e"), ("oké", 0), ("aké", 0), ("eké", 0),
+    ("öké", 0), ("éé", "e"), ("ké", 0), ("éi", 0), ("é", 0))
+_HU_PLURAL = (("ák", "a"), ("ék", "e"), ("ok", 0), ("ak", 0), ("ek", 0),
+              ("ök", 0), ("k", 0))
+
+
+def _hu_r1(w: str) -> int:
+    if not w:
+        return 0
+    if w[0] in _HU_V:
+        i = 1
+        n = len(w)
+        while i < n and w[i] in _HU_V:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 0
+    n = len(w)
+    while i < n and w[i] not in _HU_V:
+        i += 1
+    return min(i + 1, n)
+
+
+def _hu_ends_double(w: str) -> bool:
+    return w.endswith(_HU_DOUBLES)
+
+
+def _hu_undouble(w: str) -> str:
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def stem_hungarian(word: str) -> str:
+    """Hungarian — snowballstem.org/algorithms/hungarian/stemmer.html,
+    parity-matched to the official implementation embedded in the
+    container's PostgreSQL build (the revision divergence that blocked
+    round 2 is resolved by targeting that build's exact inventories,
+    extracted behaviorally via tools/extract_amongs.py)."""
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(suffix: str) -> bool:
+        return len(w) - len(suffix) >= r1
+
+    # instrum: al/el after double consonant
+    for s in ("al", "el"):
+        if w.endswith(s) and in_r1(s) and _hu_ends_double(w[:-2]):
+            w = _hu_undouble(w[:-2])
+            break
+
+    # case: longest case ending in R1, delete, then v_ending
+    for s in _HU_CASE:
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)]
+                # v_ending is R1-checked in this build's revision
+                # (fától -> fá, probed)
+                if w.endswith("á") and len(w) - 1 >= r1:
+                    w = w[:-1] + "a"
+                elif w.endswith("é") and len(w) - 1 >= r1:
+                    w = w[:-1] + "e"
+            break
+
+    # case_special: án/én/ánként
+    for s, r in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + r
+            break
+
+    # case_other: stul/stül family
+    for s, r in (("astul", ""), ("estül", ""), ("ástul", "a"),
+                 ("éstül", "e"), ("stul", ""), ("stül", "")):
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + r
+            break
+
+    # factive: á/é after double consonant
+    for s in ("á", "é"):
+        if w.endswith(s) and in_r1(s) and _hu_ends_double(w[:-1]):
+            w = _hu_undouble(w[:-1])
+            break
+
+    # owned
+    for s, r in _HU_OWNED:
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + (r or "")
+            break
+
+    # sing_owner
+    for s, r in _HU_SING_OWNER:
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + (r or "")
+            break
+
+    # plur_owner
+    for s, r in _HU_PLUR_OWNER:
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + (r or "")
+            break
+
+    # plural
+    for s, r in _HU_PLURAL:
+        if w.endswith(s):
+            if in_r1(s):
+                w = w[: -len(s)] + (r or "")
+            break
+
+    return w
