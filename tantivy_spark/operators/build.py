@@ -579,6 +579,7 @@ def build_postings_local(docmap: DataFrame, cfg: IndexConfig) -> DataFrame:
     """
     with_pos = cfg.positions
     multi = bool(cfg.extra_fields)
+    basic = cfg.record == "basic"
     cols = ["segment_ord", "doc_id", "fieldnorm_id", "terms"]
     if with_pos:
         cols.append("positions")

@@ -56,10 +56,31 @@ def load():
     return data, v2f, relocs
 
 
+def table_starts(relocs):
+    """Exact among-table base addresses: every `find_among(z, a_K, N)`
+    call site loads a_K with a RIP-relative lea — collecting lea targets
+    that are also among-entry bases recovers each table's first entry,
+    turning the stride heuristic into exact segmentation (adjacent
+    tables are contiguous 32-byte struct runs the stride test can't
+    split)."""
+    import re
+
+    dis = subprocess.run(["objdump", "-d", SO], capture_output=True,
+                         text=True).stdout
+    leas = set()
+    for m in re.finditer(
+            r'lea\s+-?0x[0-9a-f]+\(%rip\),%\w+\s+#\s+([0-9a-f]+)', dis):
+        leas.add(int(m.group(1), 16))
+    bases = set(o - 8 for o in relocs)
+    return leas & bases
+
+
 def extract():
     data, v2f, relocs = load()
+    starts = table_starts(relocs)
     # candidate among entries: relocation at offset o where (o-8) % 32
-    # aligns within a run; detect runs of stride 32
+    # aligns within a run; detect runs of stride 32 AND split at exact
+    # code-referenced table starts
     offs = sorted(relocs)
     amongs = []
     cur = []
@@ -96,7 +117,7 @@ def extract():
         substring_i = struct.unpack_from("<i", data, fb + 16)[0]
         result = struct.unpack_from("<i", data, fb + 20)[0]
         fn_rel = relocs.get(base + 24)
-        if prev is not None and base - prev != 32:
+        if base in starts or (prev is not None and base - prev != 32):
             if cur:
                 amongs.append(cur)
             cur = []
