@@ -221,8 +221,9 @@ def main() -> None:
             r_high_s = min(runs_high, key=lambda r: r["index_sec"])
             eff = (r_high_s["turns_per_sec"] / r_low["turns_per_sec"]) / (high / low)
             # stop resampling on success or when the scaling portion has
-            # used its wall budget (driver runs the bench per round)
-            if eff >= 0.82 or time.time() - t_scaling > 420:
+            # used its wall budget (keeps the whole bench safely under
+            # ~9 min — the full run was 581 s at a 420 s cap)
+            if eff >= 0.82 or time.time() - t_scaling > 360:
                 break
             runs_low.append(_index_transcripts(low, f"c{low}", scale_convs))
             runs_high.append(_index_transcripts(high, f"c{high}", scale_convs))
