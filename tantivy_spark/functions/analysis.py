@@ -119,6 +119,7 @@ _STEMMER_LANGS = {
     "greek": "greek", "el": "greek",
     "arabic": "arabic", "ar": "arabic",
     "hungarian": "hungarian", "hu": "hungarian",
+    "turkish": "turkish", "tr": "turkish",
 }
 
 
@@ -126,7 +127,7 @@ def get_stemmer(language: str = "en"):
     """Resolve a per-token stem function for `language` (reference
     `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
     languages the reference supports but we don't ship (Czech, Polish,
-    Tamil, Turkish)."""
+    Tamil)."""
     key = _STEMMER_LANGS[language.lower()]
     if key == "porter2":
         from tantivy_spark.functions.porter2 import stem

@@ -2488,3 +2488,500 @@ def stem_hungarian(word: str) -> str:
             break
 
     return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+#: Vowel-harmony classes: the suffix vowel (last vowel of the current
+#: region) must be preceded, somewhere earlier in the word, by a vowel of
+#: its class (front/back x rounded/unrounded, Turkish two-way harmony).
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "u": "ou", "ö": "öü", "ü": "öü",
+}
+
+_TR_A_YMUS = ("miş", "muş", "mış", "müş")
+_TR_A_YDU = (
+    "dik", "tik", "duk", "tuk", "dık", "tık", "dük", "tük",
+    "dim", "tim", "dum", "tum", "dım", "tım", "düm", "tüm",
+    "din", "tin", "dun", "tun", "dın", "tın", "dün", "tün",
+    "di", "ti", "du", "tu", "dı", "tı", "dü", "tü",
+)
+_TR_A_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+_TR_A_CASINA = ("casına", "cesine")
+_TR_A_SUNUZ = ("siniz", "sunuz", "sınız", "sünüz")
+_TR_A_LAR = ("lar", "ler")
+_TR_A_YUM = ("im", "um", "ım", "üm")
+_TR_A_SUN = ("sin", "sun", "sın", "sün")
+_TR_A_YUZ = ("iz", "uz", "ız", "üz")
+_TR_A_NUZ = ("niz", "nuz", "nız", "nüz")
+_TR_A_DUR = ("dir", "tir", "dur", "tur", "dır", "tır", "dür", "tür")
+_TR_A_POSS = ("miz", "niz", "muz", "nuz", "mız", "nız", "müz", "nüz",
+              "m", "n")
+_TR_A_LARI = ("leri", "ları")
+_TR_A_NU = ("ni", "nu", "nı", "nü")
+_TR_A_NUN = ("in", "un", "ın", "ün")
+_TR_A_YA = ("a", "e")
+_TR_A_NA = ("na", "ne")
+_TR_A_DA = ("da", "ta", "de", "te")
+_TR_A_NDA = ("nda", "nde")
+_TR_A_DAN = ("dan", "tan", "den", "ten")
+_TR_A_NDAN = ("ndan", "nden")
+_TR_A_YLA = ("la", "le")
+_TR_A_NCA = ("ca", "ce")
+
+
+def _tr_harmony(w: str, c: int) -> bool:
+    """check_vowel_harmony: goto the last vowel v of w[:c], then goto an
+    earlier vowel in v's harmony class (any characters, including other
+    vowels, may be skipped — `goto` semantics)."""
+    i = c
+    while i > 0 and w[i - 1] not in _TR_VOWELS:
+        i -= 1
+    if i == 0:
+        return False
+    allowed = _TR_HARMONY[w[i - 1]]
+    j = i - 1
+    while j > 0 and w[j - 1] not in allowed:
+        j -= 1
+    return j > 0
+
+
+def _tr_suffix(w: str, c: int, suffixes) -> int | None:
+    """Longest suffix of w[:c] from the (length-descending) tuple."""
+    for s in suffixes:
+        if c >= len(s) and w.startswith(s, c - len(s)):
+            return c - len(s)
+    return None
+
+
+def _tr_opt(w: str, c: int, letter: str) -> int | None:
+    """Optional leading consonant: (letter, test vowel) consumes the
+    letter when it is preceded by a vowel; otherwise (not letter,
+    test(next vowel)) requires a vowel two characters back and consumes
+    nothing.  A present letter NOT preceded by a vowel fails."""
+    if c > 0 and w[c - 1] == letter:
+        return c - 1 if c > 1 and w[c - 2] in _TR_VOWELS else None
+    return c if c > 1 and w[c - 2] in _TR_VOWELS else None
+
+
+def _tr_opt_u(w: str, c: int) -> int | None:
+    """Optional U vowel (dual of _tr_opt): consume a U vowel preceded by
+    a consonant, else require a consonant two characters back."""
+    if c > 0 and w[c - 1] in _TR_U:
+        return c - 1 if c > 1 and w[c - 2] not in _TR_VOWELS else None
+    return c if c > 1 and w[c - 2] not in _TR_VOWELS else None
+
+
+def _tr_mk(w, c, suffixes, harmony=True, opt=None):
+    """Generic mark_*: optional harmony check, longest-among match,
+    optional leading-letter rule.  Returns the new cursor or None."""
+    if harmony and not _tr_harmony(w, c):
+        return None
+    cc = _tr_suffix(w, c, suffixes)
+    if cc is None:
+        return None
+    return _tr_opt(w, cc, opt) if opt else cc
+
+
+def _tr_mark_su(w: str, c: int) -> int | None:
+    """mark_sU: harmony, a U vowel, optional 's'."""
+    if not _tr_harmony(w, c):
+        return None
+    if c == 0 or w[c - 1] not in _TR_U:
+        return None
+    return _tr_opt(w, c - 1, "s")
+
+
+def _tr_mark_yu(w: str, c: int) -> int | None:
+    """mark_yU: harmony, a U vowel, optional 'y'."""
+    if not _tr_harmony(w, c):
+        return None
+    if c == 0 or w[c - 1] not in _TR_U:
+        return None
+    return _tr_opt(w, c - 1, "y")
+
+
+def _tr_mark_poss(w: str, c: int) -> int | None:
+    """mark_possessives: among(m, n, mUz, nUz) + optional U vowel (no
+    harmony check)."""
+    cc = _tr_suffix(w, c, _TR_A_POSS)
+    if cc is None:
+        return None
+    return _tr_opt_u(w, cc)
+
+
+def _tr_del(w: str, bra: int, ket: int) -> str:
+    return w[:bra] + w[ket:]
+
+
+def _tr_chain(w: str, c: int):
+    """stem_suffix_chain_before_ki: [ki] then the shared continuation.
+    Returns (matched, word); when matched is False the word is
+    unchanged (the body only fails before any deletion)."""
+    if c < 2 or not w.startswith("ki", c - 2):
+        return False, w
+    return _tr_chain_body(w, c - 2, c)
+
+
+def _tr_chain_body(w: str, c: int, ket: int):
+    """Continuation after 'ki' (cursor c just before it, ket marks the
+    end of the slice to delete).  Deletions persist across failed inner
+    alternatives, exactly as in the compiled algorithm."""
+    c0 = c
+    cc = _tr_mk(w, c, _TR_A_DA)
+    if cc is not None:                       # (mark_DA] delete ...
+        w = _tr_del(w, cc, ket)
+        c = cc
+        lar = _tr_mk(w, c, _TR_A_LAR)
+        if lar is not None:                  # [mark_lAr] delete try ki
+            w = _tr_del(w, lar, c)
+            ok, w2 = _tr_chain(w, lar)
+            return True, (w2 if ok else w)
+        poss = _tr_mark_poss(w, c)
+        if poss is not None:                 # [mark_possessives] delete
+            w = _tr_del(w, poss, c)
+            lar = _tr_mk(w, poss, _TR_A_LAR)
+            if lar is not None:              # try([mark_lAr] delete ki)
+                w = _tr_del(w, lar, poss)
+                ok, w2 = _tr_chain(w, lar)
+                return True, (w2 if ok else w)
+        return True, w
+    c = c0
+    cc = _tr_mk(w, c, _TR_A_NUN, opt="n")
+    if cc is not None:                       # (mark_nUn] delete ...
+        w = _tr_del(w, cc, ket)
+        c = cc
+        lari = _tr_mk(w, c, _TR_A_LARI, harmony=False)
+        if lari is not None:                 # [mark_lArI] delete
+            return True, _tr_del(w, lari, c)
+        poss = _tr_mark_poss(w, c)
+        if poss is None:
+            poss = _tr_mark_su(w, c)
+        if poss is not None:                 # [poss or sU] delete ...
+            w = _tr_del(w, poss, c)
+            lar = _tr_mk(w, poss, _TR_A_LAR)
+            if lar is not None:
+                w = _tr_del(w, lar, poss)
+                ok, w2 = _tr_chain(w, lar)
+                return True, (w2 if ok else w)
+            return True, w
+        ok, w2 = _tr_chain(w, c)             # or the chain itself
+        return True, (w2 if ok else w)
+    c = c0
+    cc = _tr_mk(w, c, _TR_A_NDA)
+    if cc is not None:                       # (mark_ndA (...))
+        c = cc
+        lari = _tr_mk(w, c, _TR_A_LARI, harmony=False)
+        if lari is not None:                 # (mark_lArI] delete)
+            return True, _tr_del(w, lari, ket)
+        su = _tr_mark_su(w, c)
+        if su is not None:                   # (mark_sU] delete try ...)
+            w = _tr_del(w, su, ket)
+            lar = _tr_mk(w, su, _TR_A_LAR)
+            if lar is not None:
+                w = _tr_del(w, lar, su)
+                ok, w2 = _tr_chain(w, lar)
+                return True, (w2 if ok else w)
+            return True, w
+        return _tr_chain(w, c)               # or chain (can fail)
+    return False, w
+
+
+def _tr_nominal_verb(w: str):
+    """stem_nominal_verb_suffixes (do-wrapped).  Returns (word,
+    continue_stemming_noun_suffixes)."""
+    # (mark_ymUs or mark_yDU or mark_ysA or mark_yken) ] delete
+    for suffixes, opt, harm in (
+        (_TR_A_YMUS, "y", True),
+        (_TR_A_YDU, "y", True),
+        (_TR_A_YSA, "y", False),
+        (("ken",), "y", False),
+    ):
+        c = _tr_mk(w, len(w), suffixes, harmony=harm, opt=opt)
+        if c is not None:
+            return w[:c], True
+    # (mark_cAsInA (sUnUz|lAr|yUm|sUn|yUz|true) mark_ymUs) ] delete
+    c = _tr_suffix(w, len(w), _TR_A_CASINA)
+    if c is not None:
+        for suffixes, opt, harm in (
+            (_TR_A_SUNUZ, None, False),
+            (_TR_A_LAR, None, True),
+            (_TR_A_YUM, "y", True),
+            (_TR_A_SUN, None, True),
+            (_TR_A_YUZ, "y", True),
+        ):
+            c2 = _tr_mk(w, c, suffixes, harmony=harm, opt=opt)
+            if c2 is not None:
+                c = c2
+                break
+        c3 = _tr_mk(w, c, _TR_A_YMUS, opt="y")
+        if c3 is not None:
+            return w[:c3], True
+    # (mark_lAr ] delete try([DUr|yDU|ysA|ymUs] delete) unset flag)
+    c = _tr_mk(w, len(w), _TR_A_LAR)
+    if c is not None:
+        w = w[:c]
+        for suffixes, opt, harm in (
+            (_TR_A_DUR, None, True),
+            (_TR_A_YDU, "y", True),
+            (_TR_A_YSA, "y", False),
+            (_TR_A_YMUS, "y", True),
+        ):
+            c2 = _tr_mk(w, len(w), suffixes, harmony=harm, opt=opt)
+            if c2 is not None:
+                w = w[:c2]
+                break
+        return w, False
+    # (mark_nUz (mark_yDU or mark_ysA)) ] delete
+    c = _tr_mk(w, len(w), _TR_A_NUZ)
+    if c is not None:
+        for suffixes, harm in ((_TR_A_YDU, True), (_TR_A_YSA, False)):
+            c2 = _tr_mk(w, c, suffixes, harmony=harm, opt="y")
+            if c2 is not None:
+                return w[:c2], True
+        # both fail: fall through to the next alternative
+    # ((sUnUz|yUz|sUn|yUm) ] delete try([mark_ymUs] delete))
+    for suffixes, opt, harm in (
+        (_TR_A_SUNUZ, None, False),
+        (_TR_A_YUZ, "y", True),
+        (_TR_A_SUN, None, True),
+        (_TR_A_YUM, "y", True),
+    ):
+        c = _tr_mk(w, len(w), suffixes, harmony=harm, opt=opt)
+        if c is not None:
+            w = w[:c]
+            c2 = _tr_mk(w, len(w), _TR_A_YMUS, opt="y")
+            if c2 is not None:
+                w = w[:c2]
+            return w, True
+    # (mark_DUr ] delete try([(sUnUz|lAr|yUm|sUn|yUz|true) ymUs] del))
+    c = _tr_mk(w, len(w), _TR_A_DUR)
+    if c is not None:
+        w = w[:c]
+        c = len(w)
+        for suffixes, opt, harm in (
+            (_TR_A_SUNUZ, None, False),
+            (_TR_A_LAR, None, True),
+            (_TR_A_YUM, "y", True),
+            (_TR_A_SUN, None, True),
+            (_TR_A_YUZ, "y", True),
+        ):
+            c2 = _tr_mk(w, len(w), suffixes, harmony=harm, opt=opt)
+            if c2 is not None:
+                c = c2
+                break
+        c3 = _tr_mk(w, c, _TR_A_YMUS, opt="y")
+        if c3 is not None:
+            w = w[:c3]
+        return w, True
+    return w, True
+
+
+def _tr_noun(w: str) -> str:
+    """stem_noun_suffixes (do-wrapped): eleven ordered alternatives,
+    each starting from the end of the (possibly shortened) word."""
+    # 1: [mark_lAr] delete try(chain)
+    c = _tr_mk(w, len(w), _TR_A_LAR)
+    if c is not None:
+        w = w[:c]
+        ok, w2 = _tr_chain(w, len(w))
+        return w2 if ok else w
+    # 2: [mark_ncA] delete try(lArI | (poss|sU)+lAr+chain | lAr+chain)
+    c = _tr_mk(w, len(w), _TR_A_NCA, opt="n")
+    if c is not None:
+        w = w[:c]
+        cc = _tr_mk(w, len(w), _TR_A_LARI, harmony=False)
+        if cc is not None:
+            return w[:cc]
+        cc = _tr_mark_poss(w, len(w))
+        if cc is None:
+            cc = _tr_mark_su(w, len(w))
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+                ok, w2 = _tr_chain(w, len(w))
+                w = w2 if ok else w
+            return w
+        c2 = _tr_mk(w, len(w), _TR_A_LAR)
+        if c2 is not None:
+            w = w[:c2]
+            ok, w2 = _tr_chain(w, len(w))
+            w = w2 if ok else w
+        return w
+    # 3: [(mark_ndA or mark_nA)] (lArI] | sU]+lAr+chain | chain)
+    c = _tr_mk(w, len(w), _TR_A_NDA)
+    if c is None:
+        c = _tr_mk(w, len(w), _TR_A_NA)
+    if c is not None:
+        cc = _tr_mk(w, c, _TR_A_LARI, harmony=False)
+        if cc is not None:
+            return w[:cc]
+        cc = _tr_mark_su(w, c)
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+                ok, w2 = _tr_chain(w, len(w))
+                w = w2 if ok else w
+            return w
+        ok, w2 = _tr_chain(w, c)
+        if ok:
+            return w2
+        # branch fails without modification: fall through
+    # 4: [(mark_ndAn or mark_nU)] (sU]+lAr+chain | mark_lArI (no del))
+    c = _tr_mk(w, len(w), _TR_A_NDAN)
+    if c is None:
+        c = _tr_mk(w, len(w), _TR_A_NU)
+    if c is not None:
+        cc = _tr_mark_su(w, c)
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+                ok, w2 = _tr_chain(w, len(w))
+                w = w2 if ok else w
+            return w
+        cc = _tr_mk(w, c, _TR_A_LARI, harmony=False)
+        if cc is not None:
+            return w                         # marks, never deletes
+        # fall through
+    # 5: [mark_DAn] delete try(poss]+lAr+chain | lAr]+chain | chain)
+    c = _tr_mk(w, len(w), _TR_A_DAN)
+    if c is not None:
+        w = w[:c]
+        cc = _tr_mark_poss(w, len(w))
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+                ok, w2 = _tr_chain(w, len(w))
+                w = w2 if ok else w
+            return w
+        cc = _tr_mk(w, len(w), _TR_A_LAR)
+        if cc is not None:
+            w = w[:cc]
+            ok, w2 = _tr_chain(w, len(w))
+            return w2 if ok else w
+        ok, w2 = _tr_chain(w, len(w))
+        return w2 if ok else w
+    # 6/7: [mark_nUn or mark_ylA] delete
+    #      try(lAr+chain | (poss|sU)+lAr+chain | chain)
+    c = _tr_mk(w, len(w), _TR_A_NUN, opt="n")
+    if c is None:
+        c = _tr_mk(w, len(w), _TR_A_YLA, opt="y")
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_mk(w, len(w), _TR_A_LAR)
+        if c2 is not None:
+            w = w[:c2]
+            ok, w2 = _tr_chain(w, len(w))
+            if ok:
+                return w2
+            # chain failed: the lAr deletion persists, alternatives
+            # continue on the shortened word
+        cc = _tr_mark_poss(w, len(w))
+        if cc is None:
+            cc = _tr_mark_su(w, len(w))
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+                ok, w2 = _tr_chain(w, len(w))
+                w = w2 if ok else w
+            return w
+        ok, w2 = _tr_chain(w, len(w))
+        return w2 if ok else w
+    # 8: [mark_lArI] delete
+    c = _tr_mk(w, len(w), _TR_A_LARI, harmony=False)
+    if c is not None:
+        return w[:c]
+    # 9: chain alone
+    ok, w2 = _tr_chain(w, len(w))
+    if ok:
+        return w2
+    # 10: [mark_DA or mark_yU or mark_yA] delete try(...)
+    c = _tr_mk(w, len(w), _TR_A_DA)
+    if c is None:
+        c = _tr_mark_yu(w, len(w))
+    if c is None:
+        c = _tr_mk(w, len(w), _TR_A_YA, opt="y")
+    if c is not None:
+        w = w[:c]
+        cc = _tr_mark_poss(w, len(w))
+        if cc is not None:
+            w = w[:cc]
+            c2 = _tr_mk(w, len(w), _TR_A_LAR)
+            if c2 is not None:
+                w = w[:c2]
+            ok, w2 = _tr_chain(w, len(w))   # chain runs either way
+            return w2 if ok else w
+        cc = _tr_mk(w, len(w), _TR_A_LAR)
+        if cc is not None:
+            w = w[:cc]
+            ok, w2 = _tr_chain(w, len(w))
+            return w2 if ok else w
+        return w
+    # 11: [mark_possessives or mark_sU] delete try(lAr+chain)
+    c = _tr_mark_poss(w, len(w))
+    if c is None:
+        c = _tr_mark_su(w, len(w))
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_mk(w, len(w), _TR_A_LAR)
+        if c2 is not None:
+            w = w[:c2]
+            ok, w2 = _tr_chain(w, len(w))
+            w = w2 if ok else w
+        return w
+    return w
+
+
+def stem_turkish(word: str) -> str:
+    """Turkish — snowballstem.org/algorithms/turkish/stemmer.html
+    (Evren Kapusuz Çilden's algorithm; reference routes Language::Turkish
+    through rust-stemmers, stemmer.rs:59).  Control flow pinned to the
+    official implementation embedded in the container's PostgreSQL build
+    (behavioral study via tools/extract_amongs.py +
+    tools/annotate_stemmer_asm.py + the ts_lexize probe loop; parity
+    vectors in tests/snowball_vectors.py)."""
+    w = word
+    if sum(ch in _TR_VOWELS for ch in w) < 2:
+        return w                              # more_than_one_syllable
+    w, keep_going = _tr_nominal_verb(w)
+    if not keep_going:
+        return w or word  # a fully-consumed word stays unstemmed
+    w = _tr_noun(w)
+    # postlude: skip entirely for the reserved words ad / soyad
+    if w.endswith("ad") and (w == "ad" or w == "soyad"):
+        return w
+    # append_U_to_stems_ending_with_d_or_g
+    if w and w[-1] in "dg":
+        i = len(w)
+        while i > 0 and w[i - 1] not in _TR_VOWELS:
+            i -= 1
+        if i > 0:
+            v = w[i - 1]
+            if v in "aı":
+                w += "ı"
+            elif v in "ei":
+                w += "i"
+            elif v in "ou":
+                w += "u"
+            elif v in "öü":
+                w += "ü"
+    # post_process_last_consonants
+    repl = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1:])
+    if repl:
+        w = w[:-1] + repl
+    return w or word      # a fully-consumed word stays unstemmed
