@@ -100,10 +100,15 @@ def main(start, stop):
     local_targets.add(start)
 
     out = []
+    last_imm = {}  # reg -> last immediate moved into it
+    pending = None  # (vaddr of last lea data target)
     for line in dis.splitlines():
         m = re.match(r"\s+([0-9a-f]+):", line)
         if m and int(m.group(1), 16) in local_targets:
             out.append(f"\n======== LOCAL FN fn_{m.group(1)} ========")
+        im = re.search(r"mov\s+\$0x([0-9a-f]+),%(esi|edx|ecx|r8d)", line)
+        if im:
+            last_imm[im.group(2)] = int(im.group(1), 16)
         # annotate rip-relative comments
         cm = re.search(r"#\s+([0-9a-f]+)(?:\s|<|$)", line)
         ann = ""
@@ -114,9 +119,26 @@ def main(start, stop):
                 show = " ".join(suf[:40])
                 ann = f"   ;; AMONG@{b0:#x}[{i}] n={len(suf)}: {show}"
             elif tgt >= 0x60000:  # data
+                pending = tgt
                 s = decode_str(data, v2f, tgt)
                 if s:
                     ann = f"   ;; DATA {s!r}"
+        # exact literal for eq_s_b/eq_s/slice_from_s (size in esi) and
+        # insert_s (size in ecx): truncate the last lea'd string
+        callm = re.search(r"call\s+\w+ <(eq_s_b|eq_s|slice_from_s|"
+                          r"insert_s|replace_s)@plt>", line)
+        if callm and pending is not None:
+            fn = callm.group(1)
+            size = last_imm.get("ecx" if fn == "insert_s" else "esi")
+            if size and 0 < size <= 60:
+                f = v2f(pending)
+                if f is not None:
+                    raw = data[f: f + size]
+                    try:
+                        lit = raw.decode("utf-8")
+                    except UnicodeDecodeError:
+                        lit = raw.hex()
+                    ann = f"   ;; {fn} LIT({size}) = {lit!r}"
         # rename local call targets
         line = re.sub(
             r"call\s+([0-9a-f]+) <[^>]+>",
