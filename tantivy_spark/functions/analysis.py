@@ -120,14 +120,15 @@ _STEMMER_LANGS = {
     "arabic": "arabic", "ar": "arabic",
     "hungarian": "hungarian", "hu": "hungarian",
     "turkish": "turkish", "tr": "turkish",
+    "tamil": "tamil", "ta": "tamil",
 }
 
 
 def get_stemmer(language: str = "en"):
     """Resolve a per-token stem function for `language` (reference
     `Stemmer::new(Language)`, stemmer.rs:73-88).  Raises KeyError for
-    languages the reference supports but we don't ship (Czech, Polish,
-    Tamil)."""
+    languages the reference supports but we don't ship (Czech, Polish —
+    non-Snowball algorithms with no in-container parity oracle)."""
     key = _STEMMER_LANGS[language.lower()]
     if key == "porter2":
         from tantivy_spark.functions.porter2 import stem

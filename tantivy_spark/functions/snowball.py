@@ -2985,3 +2985,274 @@ def stem_turkish(word: str) -> str:
     if repl:
         w = w[:-1] + repl
     return w or word      # a fully-consumed word stays unstemmed
+
+
+# ---------------------------------------------------------------------------
+# Tamil
+# ---------------------------------------------------------------------------
+# Reconstructed from the official build's generated code (objdump of
+# PostgreSQL's dict_snowball.so tamil_UTF_8_stem, annotated with
+# tools/annotate_stemmer_asm.py: exact among tables, call-site literals
+# and branch structure), parity-verified word-by-word against
+# ts_lexize('raw_tamil', w).  The algorithm is Damodharan Rajalingam's
+# published Snowball Tamil stemmer (snowballstem.org); reference ships
+# it via rust-stemmers (stemmer.rs:30-60).
+
+_TA_HARD = frozenset("கசடதபற")          # vallinam stops
+_TA_C10 = frozenset("கஙசஞதநபமயவ")       # prefix-rule consonants
+_TA_VSIGNS = frozenset("ீுூெேைாி")      # dependent vowel signs
+_TA_IVOWELS = frozenset("அஆஇஈஉஊஎஏஐஒஓஔ")  # independent vowels
+_TA_PUL = "்"                             # virama (pulli)
+
+#: remove_common_word_endings among (delete action), longest-first.
+_TA_CWE_DEL = (
+    "ெல்லாம்", "பட்டது", "படிதான", "பட்டு", "விட்டு", "பட்டண",
+    "குரிய", "பற்றி", "பட்ட", "படு", "விடு", "தான", "படி",
+)
+#: tense-marker among (second do of remove_tense_suffix), longest-first.
+_TA_TENSE_MARKERS = ("ாநின்ற்", "ாநின்ற", "கின்ற்", "கின்ற", "கிற்", "கிற")
+
+
+def _ta_fix_ending(w: str, vetrumai: bool) -> str | None:
+    """One fix_ending pass; returns the fixed word or None (failure).
+    Rule order mirrors the generated code exactly."""
+    if len(w) <= 3:
+        return None
+    for s in ("ந்த்", "ந்த", "ந்"):          # among, longest match
+        if w.endswith(s):
+            return w[:-len(s)]
+    if w.endswith("ய்") and len(w) >= 3 and w[-3] in "ீைி":
+        return w[:-2]
+    if w.endswith("ட்ப்") or w.endswith("ட்க்"):
+        return w[:-4] + "ள்"
+    if w.endswith("ன்ற்") or w.endswith("ற்க்"):
+        return w[:-4] + "ல்"
+    if w.endswith("ட்ட்"):
+        return w[:-4] + "டு"
+    if vetrumai and w.endswith("த்த்") and not (
+            len(w) >= 5 and w[-5] == "ை"):
+        return w[:-4] + "ம்"
+    if w.endswith("ுக்"):
+        return w[:-3] + _TA_PUL
+    if w.endswith("ுக்க்"):
+        return w[:-5] + _TA_PUL
+    if (w.endswith(_TA_PUL) and len(w) >= 4 and w[-2] in _TA_HARD
+            and w[-3] == _TA_PUL and w[-4] in _TA_HARD):
+        return w[:-4]
+    if w.endswith(_TA_PUL) and len(w) >= 2 and w[-2] in _TA_HARD:
+        return w[:-2]
+    if (w.endswith(_TA_PUL) and len(w) >= 3 and w[-2] in "யரலளழவஙஞணநனம"
+            and w[-3] == _TA_PUL):
+        return w[:-3] + _TA_PUL
+    if w.endswith("வ்"):
+        return w[:-2]
+    if w and w[-1] in "யவ":
+        return w[:-1]
+    if w.endswith("னு") and not (len(w) >= 3 and w[-3] in _TA_VSIGNS):
+        return w[:-2]
+    if w.endswith("ங்"):
+        if len(w) >= 3 and w[-3] == "ை":
+            return w[:-2]
+        return w[:-2] + "ம்"
+    if w.endswith(_TA_PUL) and len(w) >= 2 and (
+            w[-2] in _TA_VSIGNS or w[-2] == _TA_PUL):
+        return w[:-1]
+    return None
+
+
+def _ta_fix_endings(w: str, vetrumai: bool) -> str:
+    """fix_endings = repeat fix_ending."""
+    while True:
+        r = _ta_fix_ending(w, vetrumai)
+        if r is None:
+            return w
+        w = r
+
+
+def _ta_fix_va_start(w: str) -> str:
+    """fix_va_start: word-initial வ + long/short rounded vowel sign
+    collapses to the independent vowel."""
+    for pre, rep in (("வோ", "ஓ"), ("வொ", "ஒ"), ("வு", "உ"), ("வூ", "ஊ")):
+        if w.startswith(pre):
+            return rep + w[2:]
+    return w
+
+
+def _ta_common_word_endings(w: str, vetrumai: bool):
+    """remove_common_word_endings; returns (new_w, matched)."""
+    for s in ("ுடன்", "ில்லை", "ிடம்", "ின்றி", "ாகி", "ாகிய",
+              "ென்று", "ுள்ள", "ுடைய", "ுடை", "ெனும்"):
+        if w.endswith(s):
+            return _ta_fix_endings(w[:-len(s)] + _TA_PUL, vetrumai), True
+    if w.endswith("ல்ல") and not (len(w) >= 4 and w[-4] in _TA_VSIGNS):
+        return _ta_fix_endings(w[:-3] + _TA_PUL, vetrumai), True
+    if w.endswith("ென"):    # ('ாகி' repeats here in the build; dead)
+        return _ta_fix_endings(w[:-2] + _TA_PUL, vetrumai), True
+    for s in _TA_CWE_DEL:
+        if w.endswith(s):
+            return _ta_fix_endings(w[:-len(s)], vetrumai), True
+    return w, False
+
+
+def _ta_vetrumai(w: str):
+    """remove_vetrumai_urupukal; returns (new_w, matched).  Every match
+    sets found_vetrumai_urupu and tries a trailing ['ின்'] <- '்'."""
+    new = None
+    if w.endswith("னை"):
+        new = w[:-2]
+    else:
+        if w.endswith("ினை"):
+            if not (len(w) >= 4 and w[-4] in _TA_HARD):
+                new = w[:-3] + _TA_PUL
+        elif w.endswith("ை"):
+            if not (len(w) >= 2 and w[-2] in _TA_HARD):
+                new = w[:-1] + _TA_PUL
+        if (new is None and w.endswith("ை") and len(w) >= 3
+                and w[-2] in _TA_HARD and w[-3] == _TA_PUL):
+            new = w[:-1] + _TA_PUL
+    if new is None:
+        for s in ("ொடு", "ோடு", "ில்", "ிற்"):
+            if w.endswith(s):
+                new = w[:-len(s)] + _TA_PUL
+                break
+    if new is None and w.endswith("ின்") and not (
+            len(w) >= 4 and w[-4] == "ம"):
+        new = w[:-3] + _TA_PUL
+    if new is None:
+        for s in ("ின்று", "ிருந்து", "விட"):
+            if w.endswith(s):
+                new = w[:-len(s)] + _TA_PUL
+                break
+    if new is None and len(w) > 6 and w.endswith("ிடம்"):
+        new = w[:-4] + _TA_PUL
+    if new is None:
+        for s in ("ால்", "ுடை", "ாமல்"):
+            if w.endswith(s):
+                new = w[:-len(s)] + _TA_PUL
+                break
+    if new is None and w.endswith("ல்") and not (
+            len(w) >= 3 and w[-3] in _TA_VSIGNS):
+        new = w[:-2] + _TA_PUL
+    if new is None and w.endswith("ுள்"):
+        new = w[:-3] + _TA_PUL
+    if new is None:
+        for s in ("கண்", "முன்", "மேல்", "மேற்", "கீழ்", "பின்"):
+            if w.endswith(s):
+                new = w[:-len(s)]
+                break
+    if new is None and w.endswith("து") and not (
+            len(w) >= 3 and w[-3] in _TA_VSIGNS):
+        new = w[:-2]
+    if new is None and w.endswith("ீ"):
+        new = w[:-1] + "ி"
+    if new is None:
+        return w, False
+    w = new
+    if w.endswith("ின்"):
+        w = w[:-3] + _TA_PUL
+    return _ta_fix_endings(w, True), True
+
+
+#: remove_tense_suffix person/mood endings that DELETE.
+_TA_TENSE_DEL_1 = ("மார்", "மின்", "னன்", "னான்", "னாள்", "னார்")
+_TA_TENSE_DEL_2 = ("னள்", "வள்", "னர்", "வர்", "ன", "ப", "க", "த", "ய",
+                   "பன்", "பள்", "பர்")
+_TA_TENSE_DEL_3 = ("ிற்று", "பம்", "னம்", "தும்", "றும்", "கும்",
+                   "னென்", "னை", "வை")
+#: endings that become '்' (the repeats of தும்/கும்/றும்/னென் in the
+#: build are dead code — the delete variants match first).
+_TA_TENSE_PUL = ("ாள்", "ார்", "ேன்", "ா", "ாம்", "ெம்", "ேம்", "ோம்",
+                 "டும்", "ாய்", "னிர்", "ீர்", "ீயர்")
+
+
+def _ta_tense_suffix(w: str):
+    """The remove_tense_suffix person/mood alternation; (new_w, hit)."""
+    for s in ("கொண்டிர்", "படு"):        # among, longest-first
+        if w.endswith(s):
+            return w[:-len(s)], True
+    for s in _TA_TENSE_DEL_1:
+        if w.endswith(s):
+            return w[:-len(s)], True
+    if w.endswith("வன்") and not (len(w) >= 4 and w[-4] in _TA_IVOWELS):
+        return w[:-3], True
+    for s in _TA_TENSE_DEL_2:
+        if w.endswith(s):
+            return w[:-len(s)], True
+    if w.endswith("து") and not (len(w) >= 3 and w[-3] in _TA_VSIGNS):
+        return w[:-2], True
+    for s in _TA_TENSE_DEL_3:
+        if w.endswith(s):
+            return w[:-len(s)], True
+    if w.endswith("ான்") and not (len(w) >= 4 and w[-4] == "ச"):
+        return w[:-3] + _TA_PUL, True
+    for s in _TA_TENSE_PUL:
+        if w.endswith(s):
+            return w[:-len(s)] + _TA_PUL, True
+    for s in ("கு", "து"):               # [s] test '்' -> delete
+        if w.endswith(s) and len(w) >= 3 and w[-3] == _TA_PUL:
+            return w[:-2], True
+    return w, False
+
+
+def stem_tamil(word: str) -> str:
+    """Tamil — the published Snowball stemmer (snowballstem.org),
+    rule-for-rule from the official build; see module comment."""
+    w = word
+    vetrumai = False
+    r = _ta_fix_ending(w, vetrumai)     # do fix_ending (single pass)
+    if r is not None:
+        w = r
+    if len(w) <= 4:                     # has_min_length
+        return w or word
+    # remove_question_prefixes (+ do fix_va_start)
+    if len(w) >= 3 and w[0] == "எ" and w[1] in _TA_C10 and w[2] == _TA_PUL:
+        w = _ta_fix_va_start(w[3:])
+    # remove_pronoun_prefixes (+ do fix_va_start)
+    if (len(w) >= 3 and w[0] in "அஇஉ" and w[1] in _TA_C10
+            and w[2] == _TA_PUL):
+        w = _ta_fix_va_start(w[3:])
+    # remove_question_suffixes: do([ேோா] <- '்'), then fix_endings
+    if len(w) > 4:
+        if w[-1] in "ேோா":
+            w = w[:-1] + _TA_PUL
+        w = _ta_fix_endings(w, vetrumai)
+    # remove_um: ['ும்'] <- '்', then do fix_ending (single pass)
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + _TA_PUL
+        r = _ta_fix_ending(w, vetrumai)
+        if r is not None:
+            w = r
+    # remove_common_word_endings
+    if len(w) > 4:
+        w, _ = _ta_common_word_endings(w, vetrumai)
+    # remove_vetrumai_urupukal
+    if len(w) > 4:
+        w, hit = _ta_vetrumai(w)
+        if hit:
+            vetrumai = True
+    # remove_plural_suffix (no has_min_length, no fix_endings)
+    if w.endswith("ுங்கள்") and not (len(w) >= 7 and w[-7] in _TA_HARD):
+        w = w[:-6] + _TA_PUL
+    elif w.endswith("ற்கள்"):
+        w = w[:-5] + "ல்"
+    elif w.endswith("ட்கள்"):
+        w = w[:-5] + "ள்"
+    elif w.endswith("கள்"):
+        w = w[:-3]
+    # remove_command_suffixes: [பி|வி] delete
+    if len(w) > 4 and (w.endswith("பி") or w.endswith("வி")):
+        w = w[:-2]
+    # remove_tense_suffixes: repeat-while-found_a_match
+    found = True
+    while found:
+        found = False
+        if len(w) > 4:
+            w, hit = _ta_tense_suffix(w)
+            found = found or hit
+            for s in _TA_TENSE_MARKERS:
+                if w.endswith(s):
+                    w = w[:-len(s)]
+                    found = True
+                    break
+            w = _ta_fix_endings(w, vetrumai)
+    return w or word    # a fully-consumed word stays unstemmed

@@ -42,8 +42,9 @@ def test_get_stemmer_dispatch():
     assert get_stemmer("german") is get_stemmer("de")
     assert get_stemmer("en")("running") == "run"
     assert get_stemmer("fr")("continuellement") == "continuel"
+    assert get_stemmer("ta")("மரங்கள்") == "மரங்"
     with pytest.raises(KeyError):
-        get_stemmer("tamil")  # reference-supported, not shipped
+        get_stemmer("czech")  # reference-supported, not shipped
 
 
 def test_get_stopwords():
