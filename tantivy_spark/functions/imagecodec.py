@@ -11,12 +11,16 @@ formats that need nothing beyond the standard library:
   interlaced (pass geometry pinned to the spec's 8x8 table).
 * BMP  — uncompressed BI_RGB 24/32-bit (bottom-up or top-down rows).
 * PPM/PGM — binary P6/P5.
+* JPEG — baseline sequential DCT (ITU-T T.81), written to the IJG
+  decode pipeline (islow IDCT / fancy upsampling / fixed-point color)
+  so output is bit-exact vs libjpeg-family decoders; parity pinned in
+  tests against the JVM's ImageIO reader.  Progressive (SOF2) raises.
 
 plus a minimal PNG *encoder* (filter 0 scanlines) so tests can build
-real files and round-trip them.  JPEG and the container formats stay
-explicitly unsupported (`ValueError`) — those genuinely need codec
-libraries, and the pipeline's deterministic-fake path covers their
-plumbing.
+real files and round-trip them.  WEBP and the audio/video container
+formats stay explicitly unsupported (`ValueError`) — those genuinely
+need codec libraries, and the pipeline's deterministic-fake path covers
+their plumbing.
 
 Every decoder returns `(H, W, C)` with C in {1, 2, 3, 4} — uint8, or
 uint16 for 16-bit PNGs.
@@ -290,11 +294,390 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     return raw.reshape(height, width, channels).copy()
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81)
+# ---------------------------------------------------------------------------
+# Pure numpy + stdlib, written to the published IJG decode pipeline so
+# output is BIT-EXACT vs libjpeg-family decoders for valid baseline
+# streams: jidctint.c "islow" fixed-point IDCT (CONST_BITS=13,
+# PASS1_BITS=2, Loeffler constants), jdsample.c triangular "fancy"
+# upsampling, jdcolor.c fixed-point YCbCr->RGB tables.  Parity is pinned
+# in tests against an independent IJG-derived decoder (the JVM's
+# ImageIO JPEG reader) over real OS files + synthetic re-encodes.
+# Progressive (SOF2), arithmetic coding, 12-bit, and CMYK streams raise
+# ValueError.
+
+_JPEG_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+
+def _jpeg_huff_lut(counts: list[int], symbols: bytes):
+    """Canonical Huffman table -> 16-bit-peek LUTs (symbol, code length)."""
+    lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            lut_sym[lo:hi] = symbols[k]
+            lut_len[lo:hi] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
+class _JpegBits:
+    """MSB-first bit reader over an unstuffed entropy-coded segment."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8          # zero-pad past the end
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, k: int):
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _jpeg_idct_islow(blocks: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """jidctint.c, vectorized over [n, 64] int32 zigzag-ordered-undone
+    coefficient blocks.  Returns [n, 8, 8] uint8 samples."""
+    c = (blocks.astype(np.int64).reshape(-1, 8, 8)
+         * quant.astype(np.int64).reshape(8, 8))
+
+    def pass_(m, shift):
+        # m: [..., 8] along the transformed axis (last); returns same
+        z2, z3 = m[..., 2], m[..., 6]
+        z1 = (z2 + z3) * 4433                    # FIX_0_541196100
+        tmp2 = z1 - z3 * 15137                   # -FIX_1_847759065 (sum)
+        tmp3 = z1 + z2 * 6270                    # FIX_0_765366865
+        z2, z3 = m[..., 0], m[..., 4]
+        tmp0 = (z2 + z3) << 13
+        tmp1 = (z2 - z3) << 13
+        t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+        t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+        tmp0, tmp1, tmp2, tmp3 = m[..., 7], m[..., 5], m[..., 3], m[..., 1]
+        z1, z2 = tmp0 + tmp3, tmp1 + tmp2
+        z3, z4 = tmp0 + tmp2, tmp1 + tmp3
+        z5 = (z3 + z4) * 9633                    # FIX_1_175875602
+        tmp0 = tmp0 * 2446                       # FIX_0_298631336
+        tmp1 = tmp1 * 16819                      # FIX_2_053119869
+        tmp2 = tmp2 * 25172                      # FIX_3_072711026
+        tmp3 = tmp3 * 12299                      # FIX_1_501321110
+        z1 = z1 * -7373                          # -FIX_0_899976223
+        z2 = z2 * -20995                         # -FIX_2_562915447
+        z3 = z3 * -16069 + z5                    # -FIX_1_961570560
+        z4 = z4 * -3196 + z5                     # -FIX_0_390180644
+        tmp0 += z1 + z3
+        tmp1 += z2 + z4
+        tmp2 += z2 + z3
+        tmp3 += z1 + z4
+        half = 1 << (shift - 1)
+        out = np.empty_like(m)
+        out[..., 0] = (t10 + tmp3 + half) >> shift
+        out[..., 7] = (t10 - tmp3 + half) >> shift
+        out[..., 1] = (t11 + tmp2 + half) >> shift
+        out[..., 6] = (t11 - tmp2 + half) >> shift
+        out[..., 2] = (t12 + tmp1 + half) >> shift
+        out[..., 5] = (t12 - tmp1 + half) >> shift
+        out[..., 3] = (t13 + tmp0 + half) >> shift
+        out[..., 4] = (t13 - tmp0 + half) >> shift
+        return out
+
+    # pass 1 operates on columns (transform along rows axis), output
+    # scaled up by PASS1_BITS; pass 2 on rows, with the final descale
+    c = pass_(c.transpose(0, 2, 1), 13 - 2).transpose(0, 2, 1)
+    c = pass_(c, 13 + 2 + 3)
+    return np.clip(c + 128, 0, 255).astype(np.uint8)
+
+
+def _jpeg_upsample_h2v1(a: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v1_fancy_upsample (triangular horizontal 2x)."""
+    a = a.astype(np.int32)
+    left = np.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    right = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    out = np.empty((a.shape[0], a.shape[1] * 2), dtype=np.int32)
+    out[:, 0::2] = (a * 3 + left + 1) >> 2
+    out[:, 1::2] = (a * 3 + right + 2) >> 2
+    # edge columns replicate the input sample exactly (IJG special-case)
+    out[:, 0] = a[:, 0]
+    out[:, -1] = a[:, -1]
+    return out.astype(np.uint8)
+
+
+def _jpeg_upsample_h2v2(a: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v2_fancy_upsample (triangular 2x2); vertical
+    neighbors replicate at the edges (jdmainct context rows)."""
+    a = a.astype(np.int32)
+    up = np.concatenate([a[:1], a[:-1]], axis=0)
+    down = np.concatenate([a[1:], a[-1:]], axis=0)
+    rows = np.empty((a.shape[0] * 2, a.shape[1]), dtype=np.int32)
+    rows[0::2] = a * 3 + up        # nearer row weighted 3:1
+    rows[1::2] = a * 3 + down
+    left = np.concatenate([rows[:, :1], rows[:, :-1]], axis=1)
+    right = np.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
+    out = np.empty((rows.shape[0], rows.shape[1] * 2), dtype=np.int32)
+    out[:, 0::2] = (rows * 3 + left + 8) >> 4
+    out[:, 1::2] = (rows * 3 + right + 7) >> 4
+    out[:, 0] = (rows[:, 0] * 4 + 8) >> 4      # edge: replicate sample
+    out[:, -1] = (rows[:, -1] * 4 + 7) >> 4
+    return out.astype(np.uint8)
+
+
+def _jpeg_upsample_h1v2(a: np.ndarray) -> np.ndarray:
+    """libjpeg-turbo h1v2_fancy_upsample (triangular vertical 2x):
+    even output rows blend 3:1 with the row above, odd with the row
+    below; edge rows clamp (context-row replication)."""
+    a = a.astype(np.int32)
+    up = np.concatenate([a[:1], a[:-1]], axis=0)
+    down = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((a.shape[0] * 2, a.shape[1]), dtype=np.int32)
+    out[0::2] = (a * 3 + up + 1) >> 2
+    out[1::2] = (a * 3 + down + 2) >> 2
+    return out.astype(np.uint8)
+
+
+def _jpeg_ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """jdcolor.c fixed-point tables (FIX = x * 65536 + .5 rounding)."""
+    yi = y.astype(np.int32)
+    cbi = cb.astype(np.int32) - 128
+    cri = cr.astype(np.int32) - 128
+    r = yi + ((91881 * cri + 32768) >> 16)              # FIX(1.40200)
+    b = yi + ((116130 * cbi + 32768) >> 16)             # FIX(1.77200)
+    g = yi + ((-22554 * cbi - 46802 * cri + 32768) >> 16)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _jpeg_segments(blob: bytes):
+    """Yield (marker, payload, offset_after) for each marker segment."""
+    i = 2
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError("JPEG: bad marker sync")
+        m = blob[i + 1]
+        if m == 0xD9:                        # EOI
+            return
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        yield m, blob[i + 4:i + 2 + ln], i + 2 + ln
+        i += 2 + ln
+        if m == 0xDA:
+            return
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> (H, W, 1|3) uint8 (IJG-pipeline-exact;
+    see section comment)."""
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    sof = None
+    adobe_transform = None
+    restart_interval = 0
+    scan = None
+    scan_end = None
+    for m, seg, after in _jpeg_segments(blob):
+        if m == 0xDB:                         # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    q = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    q = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                    p += 64
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = q.astype(np.int32)
+                quant[tq] = tbl
+        elif m == 0xC4:                       # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = seg[p + 17:p + 17 + nsym]
+                huff[(tc, th)] = _jpeg_huff_lut(counts, syms)
+                p += 17 + nsym
+        elif m in (0xC0, 0xC1):               # SOF0 / SOF1
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: unsupported coding process SOF{m - 0xC0} "
+                "(baseline sequential only)")
+        elif m == 0xDD:                       # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xEE and seg[:5] == b"Adobe":   # APP14
+            adobe_transform = seg[11]
+        elif m == 0xDA:                       # SOS
+            ns = seg[0]
+            scan = [(seg[1 + i * 2], seg[2 + i * 2] >> 4, seg[2 + i * 2] & 15)
+                    for i in range(ns)]
+            scan_end = after
+            break
+    if sof is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    h, w, comps = sof
+    if len(comps) not in (1, 3):
+        raise ValueError("JPEG: only 1- or 3-component images supported")
+    if len(scan) != len(comps):
+        raise ValueError("JPEG: baseline decoder needs a single "
+                         "interleaved scan")
+
+    # entropy-coded data: split on restart markers, unstuff FF00
+    ecs = blob[scan_end:]
+    end = ecs.find(b"\xff\xd9")
+    if end >= 0:
+        ecs = ecs[:end]
+    import re as _re
+    intervals = _re.split(b"\xff[\xd0-\xd7]", ecs)
+    intervals = [seg.replace(b"\xff\x00", b"\xff") for seg in intervals]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    n_mcus = mcus_x * mcus_y
+
+    by_id = {c["id"]: c for c in comps}
+    order = []                  # per-MCU block emission order
+    for cid, td, ta in scan:
+        c = by_id[cid]
+        c["dc"] = huff[(0, td)]
+        c["ac"] = huff[(1, ta)]
+        c["bw"] = mcus_x * c["h"]          # blocks across (padded)
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        for by in range(c["v"]):
+            for bx in range(c["h"]):
+                order.append((c, by, bx))
+
+    zz = _JPEG_ZIGZAG
+    mcu = 0
+    for seg_i, data in enumerate(intervals):
+        bits = _JpegBits(data)
+        pred = {c["id"]: 0 for c in comps}
+        stop = (min((seg_i + 1) * restart_interval, n_mcus)
+                if restart_interval else n_mcus)
+        while mcu < stop:
+            my, mx = divmod(mcu, mcus_x)
+            for c, by, bx in order:
+                dc_sym, dc_len = c["dc"]
+                ac_sym, ac_len = c["ac"]
+                row = c["coef"][(my * c["v"] + by) * c["bw"]
+                                + mx * c["h"] + bx]
+                p16 = bits.peek16()
+                s = int(dc_sym[p16])
+                bits.skip(int(dc_len[p16]))
+                if s:
+                    pred[c["id"]] += _jpeg_extend(bits.take(s), s)
+                row[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    p16 = bits.peek16()
+                    rs = int(ac_sym[p16])
+                    bits.skip(int(ac_len[p16]))
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    row[zz[k]] = _jpeg_extend(bits.take(s), s)
+                    k += 1
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+
+    # IDCT per component, assemble sample planes, upsample to full res
+    planes = []
+    for c in comps:
+        px = _jpeg_idct_islow(c["coef"], quant[c["tq"]])
+        px = (px.reshape(c["bh"], c["bw"], 8, 8)
+              .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8))
+        cw = (w * c["h"] + hmax - 1) // hmax      # ceil(w * h/hmax)
+        ch = (h * c["v"] + vmax - 1) // vmax
+        px = px[:ch, :cw]
+        rh, rv = hmax // c["h"], vmax // c["v"]
+        # jinit_upsampler: the triangular "fancy" filters exist only for
+        # h2v1 / h2v2 AND downsampled_width > 2 — narrower planes (and
+        # every other ratio) take the plain replication upsampler
+        if (rh, rv) == (2, 1) and cw > 2:
+            px = _jpeg_upsample_h2v1(px)
+        elif (rh, rv) == (2, 2) and cw > 2:
+            px = _jpeg_upsample_h2v2(px)
+        elif (rh, rv) == (1, 2):
+            px = _jpeg_upsample_h1v2(px)
+        elif (rh, rv) != (1, 1):
+            px = np.repeat(np.repeat(px, rv, axis=0), rh, axis=1)
+        planes.append(px[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None].copy()
+    if adobe_transform == 0:
+        return np.stack(planes, axis=-1)          # already RGB
+    return _jpeg_ycc_to_rgb(*planes)
+
+
 _DECODERS = (
     (_PNG_MAGIC[:4], decode_png),
     (b"BM", decode_bmp),
     (b"P6", decode_ppm),
     (b"P5", decode_ppm),
+    (b"\xff\xd8\xff", decode_jpeg),
 )
 
 
@@ -306,4 +689,5 @@ def decode_image(blob: bytes) -> np.ndarray:
             return fn(blob)
     raise ValueError(
         f"unsupported image format (magic {blob[:4]!r}); "
-        "JPEG/WEBP need codec libraries not present in this environment")
+        "WEBP/AVIF/... need codec libraries not present in this "
+        "environment")

@@ -4,6 +4,7 @@ forward-filter implementation (written here straight from the PNG spec
 the OS (produced by real encoders, exercising mixed filter types)."""
 
 import glob
+import os
 import struct
 import zlib
 
@@ -129,7 +130,11 @@ def test_ppm_with_comment():
 
 def test_unsupported_formats_raise():
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\xff\xd8\xff\xe0jpeg...")
+        decode_image(b"RIFF....WEBP")
+    with pytest.raises(ValueError, match="missing SOF"):
+        # JPEG now dispatches to the real decoder; a magic-only stub
+        # fails structurally, not as an unsupported format
+        decode_image(b"\xff\xd8\xff\xe0\x00\x02\xff\xd9")
     def chunk(t, d):
         return (struct.pack(">I", len(d)) + t + d
                 + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
@@ -259,3 +264,255 @@ def test_adam7_filtered_passes():
             + chunk(b"IDAT", zlib.compress(bytes(payload)))
             + chunk(b"IEND", b""))
     np.testing.assert_array_equal(decode_png(blob), img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — parity vs an independent IJG-derived decoder (the JVM's ImageIO)
+# ---------------------------------------------------------------------------
+
+_OS_BASELINE_JPEGS = [
+    p for p in (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/"
+        "29.5.a_b_EGDP022204.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/"
+        "54893.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/"
+        "DP153539.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/"
+        "DP802813.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg",
+    ) if os.path.exists(p)
+]
+
+
+def _jvm_jpeg_decode(spark, jpg: bytes) -> np.ndarray:
+    """Independent oracle: JVM ImageIO (IJG-derived native reader)
+    decodes the JPEG, re-encoded losslessly as PNG, read back with our
+    already-validated PNG decoder."""
+    from tantivy_spark.functions.imagecodec import decode_png
+
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(jpg))
+    img = jvm.javax.imageio.ImageIO.read(bis)
+    assert img is not None
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(img, "png", bos)
+    return decode_png(bytes(bos.toByteArray()))
+
+
+def _jvm_jpeg_encode(spark, img: np.ndarray, quality: float) -> bytes:
+    from tantivy_spark.functions.imagecodec import encode_png
+
+    jvm = spark.sparkContext._jvm
+    png = encode_png(img if img.shape[2] != 1 else img[:, :, 0:1])
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(png))
+    bimg = jvm.javax.imageio.ImageIO.read(bis)
+    if img.shape[2] == 1:   # TYPE_BYTE_GRAY -> single-component JPEG
+        g = jvm.java.awt.image.BufferedImage(img.shape[1], img.shape[0], 10)
+        g.getGraphics().drawImage(bimg, 0, 0, None)
+        bimg = g
+    w = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    p = w.getDefaultWriteParam()
+    p.setCompressionMode(2)     # MODE_EXPLICIT
+    p.setCompressionQuality(float(quality))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    w.setOutput(jvm.javax.imageio.ImageIO.createImageOutputStream(bos))
+    w.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), p)
+    return bytes(bos.toByteArray())
+
+
+def _assert_jpeg_parity(spark, jpg: bytes):
+    from tantivy_spark.functions.imagecodec import decode_jpeg
+
+    ref = _jvm_jpeg_decode(spark, jpg)
+    got = decode_jpeg(jpg)
+    if ref.shape[2] == 3 and got.shape[2] == 1:
+        got = np.repeat(got, 3, axis=2)
+    np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.parametrize("path", _OS_BASELINE_JPEGS)
+def test_jpeg_real_files_bit_exact(spark, path):
+    _assert_jpeg_parity(spark, open(path, "rb").read())
+
+
+def test_jpeg_synthetic_shapes_bit_exact(spark):
+    """Odd sizes stress MCU padding, crop, and the fancy-vs-replicate
+    upsampler selection (jinit_upsampler picks fancy only when the
+    downsampled width exceeds 2)."""
+    rng = np.random.default_rng(7)
+    for hh, ww in [(1, 1), (1, 2), (3, 2), (2, 3), (3, 3), (2, 5),
+                   (7, 5), (9, 17), (16, 2), (33, 19)]:
+        for q in (0.3, 0.9):
+            for ch in (3, 1):
+                img = rng.integers(0, 256, (hh, ww, ch), dtype=np.uint8)
+                _assert_jpeg_parity(spark, _jvm_jpeg_encode(spark, img, q))
+
+
+def _encode_baseline_jpeg(img: np.ndarray, sampling) -> bytes:
+    """Minimal test-only baseline encoder with arbitrary per-component
+    sampling factors, so parity tests can exercise subsampling layouts
+    (4:2:2, 4:4:0) that ImageIO never writes.  Uniform-length canonical
+    Huffman tables keep it simple; any compliant decoder reads them."""
+    import struct as st
+
+    h, w, nc = img.shape
+    samp = list(sampling)               # [(h1,v1), ...] per component
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    quant = np.full(64, 16, dtype=np.uint8)
+    # forward DCT matrix (orthonormal)
+    x = np.arange(8)
+    D = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    D[0] *= 1 / np.sqrt(2)
+
+    if nc == 3:     # RGB -> YCbCr (float JFIF equations)
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = samp[:1]
+
+    comps = []
+    for (ch_, cv), plane in zip(samp, planes):
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        # box-subsample with edge replication to (chh, cw)
+        fy, fx = vmax // cv, hmax // ch_
+        pad = np.pad(plane, ((0, chh * fy - h), (0, cw * fx - w)),
+                     mode="edge")
+        sub = pad.reshape(chh, fy, cw, fx).mean(axis=(1, 3))
+        # pad to whole MCU coverage in blocks
+        bw = -(-w // (8 * hmax)) * ch_
+        bh = -(-h // (8 * vmax)) * cv
+        sub = np.pad(sub, ((0, bh * 8 - chh), (0, bw * 8 - cw)),
+                     mode="edge") - 128.0
+        blocks = (sub.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coef = np.einsum("ux,nxy,vy->nuv", D, blocks, D)
+        qz = np.round(coef / quant.reshape(8, 8)).astype(np.int32)
+        comps.append({"h": ch_, "v": cv, "bw": bw, "bh": bh, "q": qz})
+
+    # uniform-length canonical Huffman: DC = 12 syms @4 bits,
+    # AC = 162 syms @8 bits
+    dc_syms = bytes(range(12))
+    ac_list = []
+    for r in range(16):
+        for s in range(1, 11):
+            ac_list.append((r << 4) | s)
+    ac_syms = bytes([0x00] + ac_list + [0xF0])
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    zz = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+    out = bytearray()
+    acc = [0, 0]    # bit accumulator, count
+
+    def put(code, n):
+        acc[0] = (acc[0] << n) | code
+        acc[1] += n
+        while acc[1] >= 8:
+            acc[1] -= 8
+            byte = (acc[0] >> acc[1]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0)
+        acc[0] &= (1 << acc[1]) - 1
+
+    def put_coef(v):
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["q"][(my * c["v"] + by) * c["bw"]
+                                     + mx * c["h"] + bx].reshape(64)[zz]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        s, bits_v = put_coef(diff)
+                        put(*dc_code[s])
+                        if s:
+                            put(bits_v, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                put(*ac_code[0xF0])
+                                run -= 16
+                            s, bits_v = put_coef(v)
+                            put(*ac_code[(run << 4) | s])
+                            put(bits_v, s)
+                            run = 0
+                        if run:
+                            put(*ac_code[0x00])
+    if acc[1]:
+        n = 8 - acc[1]
+        put((1 << n) - 1, n)            # pad the last byte with 1-bits
+    ecs = bytes(out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) \
+            + payload
+
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], 0])
+    dht = (bytes([0x00]) + bytes(dc_counts) + dc_syms
+           + bytes([0x10]) + bytes(ac_counts) + ac_syms)
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes(quant))
+            + seg(0xC0, sof)
+            + seg(0xC4, dht)
+            + seg(0xDA, sos) + ecs + b"\xff\xd9")
+
+
+def test_jpeg_subsampling_layouts_bit_exact(spark):
+    """4:2:2 (h2v1 fancy), 4:4:0 (vertical-only -> plain replication),
+    and 4:1:1 streams our own mini-encoder produces; ImageIO is the
+    decode oracle."""
+    rng = np.random.default_rng(11)
+    for sampling in ([(2, 1), (1, 1), (1, 1)],     # 4:2:2 (h2v1 fancy)
+                     [(1, 2), (1, 1), (1, 1)],     # 4:4:0 (h1v2 fancy)
+                     [(4, 1), (1, 1), (1, 1)],     # 4:1:1 (replicate)
+                     [(2, 2), (1, 1), (1, 1)],     # 4:2:0 cross-check
+                     [(2, 4), (1, 1), (1, 1)],
+                     [(2, 2), (2, 1), (1, 2)]):    # mixed per-component
+        for hh, ww in [(8, 8), (5, 7), (23, 41), (2, 2), (16, 3), (3, 9)]:
+            img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+            jpg = _encode_baseline_jpeg(img, sampling)
+            _assert_jpeg_parity(spark, jpg)
+
+
+def test_jpeg_progressive_raises():
+    from tantivy_spark.functions.imagecodec import decode_jpeg
+
+    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no progressive fixture on this host")
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(open(path, "rb").read())
