@@ -11,10 +11,11 @@ formats that need nothing beyond the standard library:
   interlaced (pass geometry pinned to the spec's 8x8 table).
 * BMP  — uncompressed BI_RGB 24/32-bit (bottom-up or top-down rows).
 * PPM/PGM — binary P6/P5.
-* JPEG — baseline sequential DCT (ITU-T T.81), written to the IJG
-  decode pipeline (islow IDCT / fancy upsampling / fixed-point color)
+* JPEG — sequential (SOF0/1) AND progressive (SOF2) huffman DCT
+  (ITU-T T.81), written to the IJG decode pipeline (islow IDCT / fancy
+  upsampling / fixed-point color, jdphuff progressive scan semantics)
   so output is bit-exact vs libjpeg-family decoders; parity pinned in
-  tests against the JVM's ImageIO reader.  Progressive (SOF2) raises.
+  tests against the JVM's ImageIO reader.
 
 plus a minimal PNG *encoder* (filter 0 scanlines) so tests can build
 real files and round-trip them.  WEBP and the audio/video container
@@ -295,17 +296,18 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline sequential DCT, ITU-T T.81)
+# JPEG (sequential + progressive huffman DCT, ITU-T T.81)
 # ---------------------------------------------------------------------------
 # Pure numpy + stdlib, written to the published IJG decode pipeline so
-# output is BIT-EXACT vs libjpeg-family decoders for valid baseline
-# streams: jidctint.c "islow" fixed-point IDCT (CONST_BITS=13,
-# PASS1_BITS=2, Loeffler constants), jdsample.c triangular "fancy"
-# upsampling, jdcolor.c fixed-point YCbCr->RGB tables.  Parity is pinned
-# in tests against an independent IJG-derived decoder (the JVM's
-# ImageIO JPEG reader) over real OS files + synthetic re-encodes.
-# Progressive (SOF2), arithmetic coding, 12-bit, and CMYK streams raise
-# ValueError.
+# output is BIT-EXACT vs libjpeg-family decoders for valid streams:
+# jidctint.c "islow" fixed-point IDCT (CONST_BITS=13, PASS1_BITS=2,
+# Loeffler constants), jdsample.c triangular "fancy" upsampling,
+# jdcolor.c fixed-point YCbCr->RGB tables, and jdphuff.c progressive
+# scan decoding (spectral selection, successive approximation, EOB
+# runs).  Parity is pinned in tests against an independent IJG-derived
+# decoder (the JVM's ImageIO JPEG reader) over real OS files +
+# synthetic re-encodes.  Arithmetic coding, 12-bit, lossless, and CMYK
+# streams raise ValueError.
 
 _JPEG_ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -488,38 +490,226 @@ def _jpeg_ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def _jpeg_segments(blob: bytes):
-    """Yield (marker, payload, offset_after) for each marker segment."""
-    i = 2
+def _jpeg_scan_ecs(blob: bytes, start: int):
+    """Entropy-coded bytes from `start` up to the next real marker
+    (skipping stuffed FF00 and restart markers); returns (ecs, next)."""
+    i = start
     n = len(blob)
-    while i + 4 <= n:
-        if blob[i] != 0xFF:
-            raise ValueError("JPEG: bad marker sync")
-        m = blob[i + 1]
-        if m == 0xD9:                        # EOI
-            return
-        if m in (0x01,) or 0xD0 <= m <= 0xD7:
-            i += 2
+    while True:
+        j = blob.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return blob[start:n], n
+        m = blob[j + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+        elif m == 0xFF:                 # fill byte
+            i = j + 1
+        else:
+            return blob[start:j], j
+
+
+def _jpeg_decode_block(bits, row, dc_lut, ac_lut, pred, zz):
+    """Sequential full-block decode (DC diff + AC run-length)."""
+    dc_sym, dc_len = dc_lut
+    ac_sym, ac_len = ac_lut
+    p16 = bits.peek16()
+    s = int(dc_sym[p16])
+    bits.skip(int(dc_len[p16]))
+    if s:
+        pred += _jpeg_extend(bits.take(s), s)
+    row[0] = pred
+    k = 1
+    while k < 64:
+        p16 = bits.peek16()
+        rs = int(ac_sym[p16])
+        bits.skip(int(ac_len[p16]))
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break
+            k += 16
             continue
-        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
-        yield m, blob[i + 4:i + 2 + ln], i + 2 + ln
-        i += 2 + ln
-        if m == 0xDA:
-            return
+        k += r
+        row[zz[k]] = _jpeg_extend(bits.take(s), s)
+        k += 1
+    return pred
+
+
+def _jpeg_ac_first(bits, row, ac_lut, ss, se, al, eobrun, zz):
+    """jdphuff.c decode_mcu_AC_first: one block of a first AC scan."""
+    if eobrun > 0:
+        return eobrun - 1
+    ac_sym, ac_len = ac_lut
+    k = ss
+    while k <= se:
+        p16 = bits.peek16()
+        rs = int(ac_sym[p16])
+        bits.skip(int(ac_len[p16]))
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.take(r)
+                break
+            k += 16
+            continue
+        k += r
+        row[zz[k]] = _jpeg_extend(bits.take(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(bits, row, ac_lut, ss, se, al, eobrun, zz):
+    """jdphuff.c decode_mcu_AC_refine: one block of a refinement AC
+    scan — correction bits for known coefficients, new +-1s at `al`."""
+    p1 = 1 << al
+    m1 = -1 << al
+    ac_sym, ac_len = ac_lut
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            p16 = bits.peek16()
+            rs = int(ac_sym[p16])
+            bits.skip(int(ac_len[p16]))
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.take(r)
+                    break
+            else:
+                s = p1 if bits.take(1) else m1
+            while k <= se:
+                idx = zz[k]
+                c = int(row[idx])
+                if c != 0:
+                    if bits.take(1) and (c & p1) == 0:
+                        row[idx] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                row[zz[k]] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = zz[k]
+            c = int(row[idx])
+            if c != 0 and bits.take(1) and (c & p1) == 0:
+                row[idx] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(scan_comps, mcus_x, mcus_y, restart_interval,
+                      intervals, progressive, ss, se, ah, al):
+    """Decode one scan's entropy data into the components' coefficient
+    arrays.  `scan_comps` carry their dc/ac LUTs; multi-component scans
+    interleave by MCU, single-component scans walk the component's own
+    block raster (T.81 non-interleaved geometry)."""
+    zz = _JPEG_ZIGZAG
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        order = []
+        for c in scan_comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    order.append((c, by, bx))
+        n_units = mcus_x * mcus_y
+    else:
+        c0 = scan_comps[0]
+        n_units = c0["nbx"] * c0["nby"]
+    unit = 0
+    for seg_i, data in enumerate(intervals):
+        bits = _JpegBits(data)
+        pred = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+        stop = (min((seg_i + 1) * restart_interval, n_units)
+                if restart_interval else n_units)
+        while unit < stop:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for c, by, bx in order:
+                    row = c["coef"][(my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx]
+                    if not progressive:
+                        pred[c["id"]] = _jpeg_decode_block(
+                            bits, row, c["dc"], c["ac"], pred[c["id"]], zz)
+                    elif ah == 0:       # DC first scan
+                        dc_sym, dc_len = c["dc"]
+                        p16 = bits.peek16()
+                        s = int(dc_sym[p16])
+                        bits.skip(int(dc_len[p16]))
+                        if s:
+                            pred[c["id"]] += _jpeg_extend(bits.take(s), s)
+                        row[0] = pred[c["id"]] << al
+                    else:               # DC refinement
+                        if bits.take(1):
+                            row[0] = int(row[0]) | (1 << al)
+            else:
+                by, bx = divmod(unit, c0["nbx"])
+                row = c0["coef"][by * c0["bw"] + bx]
+                if not progressive:
+                    pred[c0["id"]] = _jpeg_decode_block(
+                        bits, row, c0["dc"], c0["ac"], pred[c0["id"]], zz)
+                elif ss == 0:
+                    if ah == 0:
+                        dc_sym, dc_len = c0["dc"]
+                        p16 = bits.peek16()
+                        s = int(dc_sym[p16])
+                        bits.skip(int(dc_len[p16]))
+                        if s:
+                            pred[c0["id"]] += _jpeg_extend(bits.take(s), s)
+                        row[0] = pred[c0["id"]] << al
+                    else:
+                        if bits.take(1):
+                            row[0] = int(row[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        bits, row, c0["ac"], ss, se, al, eobrun, zz)
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        bits, row, c0["ac"], ss, se, al, eobrun, zz)
+            unit += 1
+        if unit >= n_units:
+            break
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline sequential JPEG -> (H, W, 1|3) uint8 (IJG-pipeline-exact;
-    see section comment)."""
+    """Baseline + progressive JPEG -> (H, W, 1|3) uint8
+    (IJG-pipeline-exact; see section comment)."""
+    import re as _re
+
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}
     sof = None
+    progressive = False
     adobe_transform = None
     restart_interval = 0
-    scan = None
-    scan_end = None
-    for m, seg, after in _jpeg_segments(blob):
-        if m == 0xDB:                         # DQT
+    comps = None
+    hmax = vmax = mcus_x = mcus_y = 0
+    h = w = 0
+    i = 2
+    n = len(blob)
+    while i + 2 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError("JPEG: bad marker sync")
+        m = blob[i + 1]
+        if m == 0xD9:                          # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        seg = blob[i + 4:i + 2 + ln]
+        if m == 0xDB:                          # DQT
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
@@ -533,7 +723,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 tbl = np.zeros(64, dtype=np.int32)
                 tbl[_JPEG_ZIGZAG] = q.astype(np.int32)
                 quant[tq] = tbl
-        elif m == 0xC4:                       # DHT
+        elif m == 0xC4:                        # DHT
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
@@ -542,106 +732,70 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 syms = seg[p + 17:p + 17 + nsym]
                 huff[(tc, th)] = _jpeg_huff_lut(counts, syms)
                 p += 17 + nsym
-        elif m in (0xC0, 0xC1):               # SOF0 / SOF1
+        elif m in (0xC0, 0xC1, 0xC2):          # SOF0/1 (sequential), SOF2
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(
+                    "JPEG: only 1- or 3-component images supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            sof = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                   0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]       # MCU-padded block grid
+                c["bh"] = mcus_y * c["v"]
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                c["nbx"] = (cw + 7) // 8        # non-interleaved grid
+                c["nby"] = (ch + 7) // 8
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                     dtype=np.int32)
+            sof = True
+        elif 0xC3 <= m <= 0xCF and m != 0xC8:
             raise ValueError(
                 f"JPEG: unsupported coding process SOF{m - 0xC0} "
-                "(baseline sequential only)")
-        elif m == 0xDD:                       # DRI
+                "(baseline/extended sequential and progressive only)")
+        elif m == 0xDD:                        # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif m == 0xEE and seg[:5] == b"Adobe":   # APP14
+        elif m == 0xEE and seg[:5] == b"Adobe":    # APP14
             adobe_transform = seg[11]
-        elif m == 0xDA:                       # SOS
+        elif m == 0xDA:                        # SOS
+            if comps is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            scan = [(seg[1 + i * 2], seg[2 + i * 2] >> 4, seg[2 + i * 2] & 15)
-                    for i in range(ns)]
-            scan_end = after
-            break
-    if sof is None or scan is None:
-        raise ValueError("JPEG: missing SOF/SOS")
-    h, w, comps = sof
-    if len(comps) not in (1, 3):
-        raise ValueError("JPEG: only 1- or 3-component images supported")
-    if len(scan) != len(comps):
-        raise ValueError("JPEG: baseline decoder needs a single "
-                         "interleaved scan")
-
-    # entropy-coded data: split on restart markers, unstuff FF00
-    ecs = blob[scan_end:]
-    end = ecs.find(b"\xff\xd9")
-    if end >= 0:
-        ecs = ecs[:end]
-    import re as _re
-    intervals = _re.split(b"\xff[\xd0-\xd7]", ecs)
-    intervals = [seg.replace(b"\xff\x00", b"\xff") for seg in intervals]
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    n_mcus = mcus_x * mcus_y
-
-    by_id = {c["id"]: c for c in comps}
-    order = []                  # per-MCU block emission order
-    for cid, td, ta in scan:
-        c = by_id[cid]
-        c["dc"] = huff[(0, td)]
-        c["ac"] = huff[(1, ta)]
-        c["bw"] = mcus_x * c["h"]          # blocks across (padded)
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        for by in range(c["v"]):
-            for bx in range(c["h"]):
-                order.append((c, by, bx))
-
-    zz = _JPEG_ZIGZAG
-    mcu = 0
-    for seg_i, data in enumerate(intervals):
-        bits = _JpegBits(data)
-        pred = {c["id"]: 0 for c in comps}
-        stop = (min((seg_i + 1) * restart_interval, n_mcus)
-                if restart_interval else n_mcus)
-        while mcu < stop:
-            my, mx = divmod(mcu, mcus_x)
-            for c, by, bx in order:
-                dc_sym, dc_len = c["dc"]
-                ac_sym, ac_len = c["ac"]
-                row = c["coef"][(my * c["v"] + by) * c["bw"]
-                                + mx * c["h"] + bx]
-                p16 = bits.peek16()
-                s = int(dc_sym[p16])
-                bits.skip(int(dc_len[p16]))
-                if s:
-                    pred[c["id"]] += _jpeg_extend(bits.take(s), s)
-                row[0] = pred[c["id"]]
-                k = 1
-                while k < 64:
-                    p16 = bits.peek16()
-                    rs = int(ac_sym[p16])
-                    bits.skip(int(ac_len[p16]))
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r != 15:
-                            break
-                        k += 16
-                        continue
-                    k += r
-                    row[zz[k]] = _jpeg_extend(bits.take(s), s)
-                    k += 1
-            mcu += 1
-        if mcu >= n_mcus:
-            break
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
+            for si in range(ns):
+                cid = seg[1 + si * 2]
+                td, ta = seg[2 + si * 2] >> 4, seg[2 + si * 2] & 15
+                c = by_id[cid]
+                c["dc"] = huff.get((0, td))
+                c["ac"] = huff.get((1, ta))
+                scan_comps.append(c)
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            a = seg[3 + ns * 2]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            ecs, nxt = _jpeg_scan_ecs(blob, i + 2 + ln)
+            intervals = [x.replace(b"\xff\x00", b"\xff")
+                         for x in _re.split(b"\xff[\xd0-\xd7]", ecs)]
+            _jpeg_decode_scan(scan_comps, mcus_x, mcus_y,
+                              restart_interval, intervals, progressive,
+                              ss, se, ah, al)
+            i = nxt
+            continue
+        i += 2 + ln
+    if sof is None:
+        raise ValueError("JPEG: missing SOF")
 
     # IDCT per component, assemble sample planes, upsample to full res
     planes = []

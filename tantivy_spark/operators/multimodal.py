@@ -3,11 +3,11 @@
 A 100 TB training-data pipeline carries media as `binary` columns with
 typed metadata alongside text.  The Spark-side plumbing here is real and
 tested — schemas, partitioning, Arrow batch shapes, mapInPandas
-signatures.  Image decoding is REAL for PNG/BMP/PPM and baseline JPEG
-(the dependency-free numpy+zlib codec in `functions/imagecodec.py` is
-the default decoder, bit-exact vs the IJG pipeline); WEBP, progressive
-JPEG, and audio/video frame extraction need codec libraries absent
-from this container, so those stay behind `decoder=` injection hooks,
+signatures.  Image decoding is REAL for PNG/BMP/PPM and JPEG, both
+sequential and progressive (the dependency-free numpy+zlib codec in
+`functions/imagecodec.py` is the default decoder, bit-exact vs the IJG
+pipeline); WEBP and audio/video frame extraction need codec libraries
+absent from this container, so those stay behind `decoder=` hooks,
 with `deterministic_fake=True` swapping in a seeded fake decoder that
 keeps the full pipeline executable, assertable, and SQL-oracle-checkable
 end-to-end.
@@ -102,9 +102,9 @@ def decode_images(df: DataFrame, key_col: str, blob_col: str,
 
     Default decoder: the REAL dependency-free codec
     (`functions/imagecodec.decode_image`) — PNG (zlib inflate + scanline
-    unfiltering), BMP, PPM/PGM, baseline JPEG (IJG-pipeline-exact).
-    Formats that genuinely need codec libraries (WEBP, progressive
-    JPEG, ...) raise ValueError from it; inject a
+    unfiltering), BMP, PPM/PGM, JPEG sequential + progressive
+    (IJG-pipeline-exact).  Formats that genuinely need codec
+    libraries (WEBP, ...) raise ValueError from it; inject a
     `decoder=` (e.g. PIL/turbojpeg) for those, or pass
     `deterministic_fake=True` for the seeded fake that the SQL oracle
     reproduces.  `resize_to` applies nearest-neighbor resampling (pure

@@ -508,11 +508,62 @@ def test_jpeg_subsampling_layouts_bit_exact(spark):
             _assert_jpeg_parity(spark, jpg)
 
 
-def test_jpeg_progressive_raises():
+_OS_PROGRESSIVE_JPEGS = [
+    p for p in (
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg",
+    ) if os.path.exists(p)
+]
+
+
+@pytest.mark.parametrize("path", _OS_PROGRESSIVE_JPEGS)
+def test_jpeg_progressive_real_files_bit_exact(spark, path):
+    """Real progressive (SOF2) streams: multi-scan spectral selection +
+    successive approximation, incl. a grayscale one."""
+    _assert_jpeg_parity(spark, open(path, "rb").read())
+
+
+def test_jpeg_progressive_synthetic_bit_exact(spark):
+    """ImageIO-written progressive streams at odd shapes/qualities
+    (DC refinement + AC first/refine scans with EOB runs)."""
+    jvm = spark.sparkContext._jvm
+    from tantivy_spark.functions.imagecodec import encode_png
+
+    def enc(img, quality):
+        png = encode_png(img if img.shape[2] != 1 else img[:, :, 0:1])
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(png))
+        bimg = jvm.javax.imageio.ImageIO.read(bis)
+        if img.shape[2] == 1:
+            g = jvm.java.awt.image.BufferedImage(
+                img.shape[1], img.shape[0], 10)
+            g.getGraphics().drawImage(bimg, 0, 0, None)
+            bimg = g
+        w = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpeg").next()
+        p = w.getDefaultWriteParam()
+        p.setCompressionMode(2)
+        p.setCompressionQuality(float(quality))
+        p.setProgressiveMode(1)     # MODE_DEFAULT
+        bos = jvm.java.io.ByteArrayOutputStream()
+        w.setOutput(jvm.javax.imageio.ImageIO.createImageOutputStream(bos))
+        w.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), p)
+        return bytes(bos.toByteArray())
+
+    rng = np.random.default_rng(3)
+    for hh, ww in [(3, 2), (8, 8), (9, 17), (23, 41), (16, 2)]:
+        for q in (0.2, 0.9):
+            for ch in (3, 1):
+                img = rng.integers(0, 256, (hh, ww, ch), dtype=np.uint8)
+                _assert_jpeg_parity(spark, enc(img, q))
+
+
+def test_jpeg_unsupported_processes_raise():
     from tantivy_spark.functions.imagecodec import decode_jpeg
 
-    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if not os.path.exists(path):
-        pytest.skip("no progressive fixture on this host")
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(open(path, "rb").read())
+    # SOF3 (lossless sequential) must be refused, not mis-decoded
+    sof3 = (b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08"
+            b"\x01\x01\x11\x00\xff\xd9")
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(sof3)
