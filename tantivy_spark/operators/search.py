@@ -386,6 +386,14 @@ class Searcher:
             .filter(F.col("term").isin(list(set(terms))))
         )
 
+    def snippet_generator(self, query: "L.Query", chain: str | None = None):
+        """Reference `SnippetGenerator::create(searcher, query, field)`
+        (src/snippet/mod.rs:602-652): term scores from this searcher's
+        doc freqs, tokenizer from the index config."""
+        from tantivy_spark.operators.snippet import SnippetGenerator
+
+        return SnippetGenerator.create(self, query, chain=chain)
+
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global per-term doc freq — one tiny pruned aggregation job (the
         EnableScoring::Enabled stats pass, searcher.rs:133-146).  Cached
