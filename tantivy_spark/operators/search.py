@@ -386,6 +386,13 @@ class Searcher:
             .filter(F.col("term").isin(list(set(terms))))
         )
 
+    def space_usage(self) -> dict:
+        """Per-segment/per-component byte usage — the reference's
+        `Searcher::space_usage` (src/space_usage/mod.rs:61-99)."""
+        from tantivy_spark.operators.space_usage import searcher_space_usage
+
+        return searcher_space_usage(self.index_dir, self.manifest)
+
     def snippet_generator(self, query: "L.Query", chain: str | None = None):
         """Reference `SnippetGenerator::create(searcher, query, field)`
         (src/snippet/mod.rs:602-652): term scores from this searcher's
