@@ -83,7 +83,8 @@ def top_docs(searcher: Searcher, query: L.Query, limit: int, offset: int = 0,
             and order_by_field is not None
             and tuple(sbf) == (order_by_field,
                                "asc" if ascending else "desc")
-            and not searcher.tombstones()):
+            and not searcher.tombstones()
+            and not searcher.doc_tombstones()):
         k = limit + offset
         frame = (
             searcher.docmap()

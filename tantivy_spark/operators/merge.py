@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -118,6 +119,87 @@ def tombstoned_terms(spark: SparkSession, index_dir: str) -> list[str]:
     return [r["term"] for r in spark.read.parquet(path).select("term").distinct().collect()]
 
 
+TOMBSTONES_DOCS_DIR = "tombstones_docs"
+
+
+def delete_by_address(spark: SparkSession, index_dir: str,
+                      addresses: list[tuple[int, int]]) -> None:
+    """Tombstone explicit (segment_ord, doc_id) addresses
+    (index_writer.rs:762 delete_by_address).  Materialized addresses
+    give opstamp-like semantics: docs appended later are unaffected."""
+    if not addresses:
+        return
+    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    ts = time.time()
+    df = spark.createDataFrame(
+        [(int(s), int(d), ts) for s, d in addresses],
+        "segment_ord int, doc_id int, ts double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def delete_query(spark: SparkSession, index_dir: str, query) -> int:
+    """Tombstone every doc matching `query` (index_writer.rs:750
+    delete_query): evaluate the query un-scored against the current
+    searcher snapshot and record the matching addresses.  Returns the
+    number of docs tombstoned."""
+    from tantivy_spark.operators.search import Searcher
+
+    matches = (
+        Searcher(spark, index_dir)
+        .top_docs_frame(query, k=None, mode="taat64")
+        .select("segment_ord", "doc_id").distinct().collect()
+    )
+    delete_by_address(
+        spark, index_dir,
+        [(r["segment_ord"], r["doc_id"]) for r in matches])
+    return len(matches)
+
+
+def doc_tombstones(spark: SparkSession, index_dir: str
+                   ) -> list[tuple[int, int]]:
+    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    if not os.path.exists(path):
+        return []
+    return sorted(
+        (r["segment_ord"], r["doc_id"])
+        for r in spark.read.parquet(path)
+        .select("segment_ord", "doc_id").distinct().collect())
+
+
+def _rewrite_doc_tombstones(spark: SparkSession, index_dir: str,
+                            drop_segments: set[int]) -> None:
+    """Drop tombstone rows consumed by a merge (their doc ids were
+    remapped into the new segment and physically dropped)."""
+    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    if not os.path.exists(path):
+        return
+    rows = [
+        (s, d) for s, d in doc_tombstones(spark, index_dir)
+        if s not in drop_segments
+    ]
+    shutil.rmtree(path)
+    if rows:
+        delete_by_address(spark, index_dir, rows)
+
+
+def delete_all_documents(spark: SparkSession, index_dir: str) -> None:
+    """Remove every segment at commit (index_writer.rs:551
+    delete_all_documents): an atomic manifest rewrite with an empty
+    segment list — readers prune by the manifest's live-segment set, so
+    the data files become invisible orphans until garbage_collect."""
+    manifest = load_manifest(index_dir)
+    manifest["segments"] = []
+    manifest["total_docs"] = 0
+    manifest["total_tokens"] = 0
+    manifest["field_tokens"] = {k: 0 for k in manifest.get("field_tokens", {})}
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    for d in (TOMBSTONES_DIR, TOMBSTONES_DOCS_DIR):
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # segment merging
 # --------------------------------------------------------------------------
@@ -158,6 +240,11 @@ def merge_segments(spark: SparkSession, index_dir: str,
             .distinct()
         )
         dm = dm.join(dead, ["segment_ord", "doc_id"], "left_anti")
+    dead_docs = doc_tombstones(spark, index_dir) if drop_deleted else []
+    dead_docs = [(s, d) for s, d in dead_docs if s in set(segment_ords)]
+    if dead_docs:
+        dd = spark.createDataFrame(dead_docs, "segment_ord int, doc_id int")
+        dm = dm.join(F.broadcast(dd), ["segment_ord", "doc_id"], "left_anti")
 
     # Re-assign dense doc ids in stable key order within the merged
     # segment — DISTRIBUTED: a global row_number window would pull the
@@ -273,6 +360,12 @@ def merge_segments(spark: SparkSession, index_dir: str,
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+
+    # tombstone rows for merged-away segments are consumed (their docs
+    # were remapped/dropped); clearing them is idempotent best-effort —
+    # stale rows for dead segments are harmless no-ops for readers
+    if dead_docs:
+        _rewrite_doc_tombstones(spark, index_dir, set(segment_ords))
 
     # old segment files are now orphans (GC'able, like segment_updater's
     # garbage_collect_files); leave them — readers pin the manifest

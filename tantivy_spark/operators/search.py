@@ -337,6 +337,7 @@ class Searcher:
         self.params = Bm25Params(self.cfg.k1, self.cfg.b)
         self._df_cache: dict[str, int] = {}
         self._tombstones: list[str] | None = None
+        self._doc_tombstones: list[tuple[int, int]] | None = None
         self._live_segments = {
             int(s["segment_ord"]) for s in self.manifest["segments"]
         }
@@ -801,7 +802,8 @@ class Searcher:
         """Count collector; doc_freq fast path for single terms — only
         valid with no pending deletes (the same no-deletes condition as
         weight.rs count default + term_weight.rs override)."""
-        if isinstance(query, L.TermQuery) and not self.tombstones():
+        if (isinstance(query, L.TermQuery) and not self.tombstones()
+                and not self.doc_tombstones()):
             return self.doc_freqs([query.term])[query.term]
         df = self.top_docs_frame(query, k=None, mode="taat64")
         return df.count()
@@ -821,7 +823,41 @@ class Searcher:
         )
 
     # -- execution paths ------------------------------------------------------
-    def top_docs_frame(self, query: L.Query, k: int | None, mode: str = "daat") -> DataFrame:
+    def doc_tombstones(self) -> list[tuple[int, int]]:
+        """Pending address-level tombstones (delete_query /
+        delete_by_address), pruned to live segments."""
+        if self._doc_tombstones is None:
+            from tantivy_spark.operators.merge import doc_tombstones
+
+            self._doc_tombstones = [
+                (s, d) for s, d in doc_tombstones(self.spark, self.index_dir)
+                if s in self._live_segments
+            ]
+        return self._doc_tombstones
+
+    def top_docs_frame(self, query: L.Query, k: int | None,
+                       mode: str = "daat") -> DataFrame:
+        """All query paths funnel through here; address tombstones are
+        applied universally by over-fetching k + |dead| candidates
+        (every path's top-(k+|dead|) necessarily contains the true live
+        top-k) and anti-joining the dead set."""
+        dead = self.doc_tombstones()
+        if not dead:
+            return self._top_docs_frame_impl(query, k, mode)
+        k_eff = None if k is None else k + len(dead)
+        out = self._top_docs_frame_impl(query, k_eff, mode)
+        dead_df = self.spark.createDataFrame(
+            dead, "segment_ord int, doc_id int")
+        out = out.join(F.broadcast(dead_df),
+                       ["segment_ord", "doc_id"], "left_anti")
+        if k is not None:
+            out = out.orderBy(
+                F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
+            ).limit(k)
+        return out
+
+    def _top_docs_frame_impl(self, query: L.Query, k: int | None,
+                             mode: str = "daat") -> DataFrame:
         if isinstance(query, L.AllQuery):
             return (
                 self.docmap()

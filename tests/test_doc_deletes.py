@@ -1,0 +1,73 @@
+"""delete_query / delete_by_address / delete_all_documents
+(index_writer.rs:551,750,762 analogues over address tombstones)."""
+
+import pytest
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.merge import (
+    delete_all_documents, delete_by_address, delete_query, doc_tombstones,
+    merge_segments,
+)
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.plans import logical as L
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    rows = [(f"d{i:02d}", ("alpha common " * (i + 1)) +
+             ("beta " if i % 3 == 0 else "") + f"tok{i}")
+            for i in range(12)]
+    src = spark.createDataFrame(rows, "k string, text string")
+    idx = str(tmp_path / "del_idx")
+    cfg = IndexConfig(text_col="text", key_cols=("k",),
+                      segment_col="k", n_segments=3,
+                      n_term_buckets=2, positions=False)
+    build_index(spark, src, idx, cfg)
+    return idx
+
+
+def test_delete_query_excludes_matches(spark, small_index):
+    s = Searcher(spark, small_index)
+    beta_docs = {(r["segment_ord"], r["doc_id"]) for r in
+                 s.top_docs_frame(L.TermQuery("beta"), k=None,
+                                  mode="taat64").collect()}
+    n = delete_query(spark, small_index, L.TermQuery("beta"))
+    assert n == len(beta_docs) > 0
+    s2 = Searcher(spark, small_index)
+    # the deleted addresses never appear again, on either path
+    for mode in ("daat", "taat64"):
+        got = {(r["segment_ord"], r["doc_id"]) for r in
+               s2.top_docs_frame(L.TermQuery("common"), k=4,
+                                 mode=mode).collect()}
+        assert got and not (got & beta_docs)
+        assert len(got) == 4          # k fills with live docs
+    assert s2.count(L.TermQuery("beta")) == 0
+    assert s2.count(L.TermQuery("common")) == 12 - n
+    # AllQuery path honors the tombstones too
+    assert s2.top_docs_frame(L.AllQuery(), k=None,
+                             mode="taat64").count() == 12 - n
+
+
+def test_delete_by_address_then_merge_drops_physically(spark, small_index):
+    s = Searcher(spark, small_index)
+    top = s.top_docs_frame(L.TermQuery("common"), k=2).collect()
+    addrs = [(r["segment_ord"], r["doc_id"]) for r in top]
+    delete_by_address(spark, small_index, addrs)
+    assert set(doc_tombstones(spark, small_index)) == set(addrs)
+    s2 = Searcher(spark, small_index)
+    got = {(r["segment_ord"], r["doc_id"]) for r in
+           s2.top_docs_frame(L.TermQuery("common"), k=12).collect()}
+    assert not (got & set(addrs)) and len(got) == 10
+    merge_segments(spark, small_index)
+    assert doc_tombstones(spark, small_index) == []   # consumed
+    s3 = Searcher(spark, small_index)
+    assert s3.count(L.TermQuery("common")) == 10
+    assert s3.total_docs == 10
+
+
+def test_delete_all_documents(spark, small_index):
+    delete_all_documents(spark, small_index)
+    s = Searcher(spark, small_index)
+    assert s.total_docs == 0
+    assert s.top_docs_frame(L.AllQuery(), k=None, mode="taat64").count() == 0
