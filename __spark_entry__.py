@@ -119,6 +119,32 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """A copy of the fulltext index with `delete_query(term "merge")`
+    applied — address tombstones exercised through the driver contract.
+    BM25 stats intentionally stay the pre-delete ones (tantivy deletes
+    do not update stats until merge), so the oracle keeps the full-corpus
+    CTE and only anti-joins the deleted doc set."""
+    import shutil
+
+    base_searcher = _searcher(spark, sf_dir)      # ensure the base exists
+    base = base_searcher.index_dir
+    ddir = base + "-delq1"
+    if ddir not in _SEARCHERS:
+        try:
+            load_manifest(ddir)
+        except FileNotFoundError:
+            shutil.rmtree(ddir, ignore_errors=True)
+            shutil.copytree(base, ddir)
+        from tantivy_spark.operators.merge import doc_tombstones
+        from tantivy_spark.operators.merge import delete_query as _dq
+
+        if not doc_tombstones(spark, ddir):
+            _dq(spark, ddir, L.TermQuery("merge"))
+        _SEARCHERS[ddir] = Searcher(spark, ddir)
+    return _SEARCHERS[ddir]
+
+
 def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Multi-field index: text + a scoped `lang` field with its own
     fieldnorms and per-field token totals (tantivy multi-field schema)."""
@@ -342,6 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- fulltext: query operators (SURVEY §2.4) -------------------------
+    # write-path deletes (index_writer.rs:750 delete_query): top-10 over
+    # an index copy where docs matching "merge" are tombstoned
+    Q["ft_delete_query_top10"] = lambda s, d: _topk(
+        s, d, L.TermQuery("join"), 10, searcher=_delq_searcher(s, d))
     Q["ft_term_top10"] = lambda s, d: _topk(
         s, d, L.TermQuery("table"), 10)
     Q["ft_or_top10"] = lambda s, d: _topk(
@@ -889,6 +919,13 @@ def _qvec(spark: SparkSession, sf_dir: str) -> list[float]:
 def oracle_sql() -> dict[str, str]:
     O: dict[str, str] = {}
 
+    O["ft_delete_query_top10"] = _bool_topk_sql(
+        [("should", "join", 1.0)], 10,
+    ).replace(
+        "WHERE excluded = 0",
+        "WHERE excluded = 0 AND doc_id NOT IN "
+        "(SELECT doc_id FROM tf WHERE term = 'merge')",
+    )
     O["ft_term_top10"] = _bool_topk_sql([("should", "table", 1.0)], 10)
     O["ft_or_top10"] = _bool_topk_sql(
         [("should", "spark", 1.0), ("should", "key", 1.0), ("should", "dup", 1.0)], 10)
