@@ -647,6 +647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "events"),
         {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
     )
+    # the reference's actual date_histogram contract: FIXED interval in
+    # ms-units over the absolute epoch grid (date_histogram.rs:46-67)
+    Q["agg_date_histogram_fixed"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+    )
     Q["agg_range_value"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"range": {"field": "value", "ranges": [
@@ -1341,8 +1347,25 @@ SELECT event_type AS key, count(*)::BIGINT AS doc_count,
 FROM events GROUP BY event_type
 ORDER BY doc_count DESC, key ASC LIMIT 10"""
     O["agg_histogram_value"] = """
-SELECT (floor(value / 5.0) * 5.0)::DOUBLE AS key, count(*)::BIGINT AS doc_count
-FROM events GROUP BY 1 ORDER BY 1"""
+WITH b AS (
+  SELECT floor(value / 5.0)::BIGINT AS k, count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1),
+g AS (
+  SELECT unnest(generate_series((SELECT min(k) FROM b),
+                                (SELECT max(k) FROM b))) AS k)
+SELECT (g.k * 5.0)::DOUBLE AS key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM g LEFT JOIN b USING (k) ORDER BY key"""
+    O["agg_date_histogram_fixed"] = """
+WITH b AS (
+  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS kms,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1),
+g AS (
+  SELECT unnest(generate_series((SELECT min(kms) FROM b),
+                                (SELECT max(kms) FROM b),
+                                86400000::BIGINT)) AS kms)
+SELECT epoch_ms(g.kms) AS key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM g LEFT JOIN b USING (kms) ORDER BY key"""
     O["agg_date_histogram"] = """
 SELECT date_trunc('day', ts) AS key, count(*)::BIGINT AS doc_count
 FROM events GROUP BY 1 ORDER BY 1"""

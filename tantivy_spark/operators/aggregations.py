@@ -224,17 +224,107 @@ def _with_sum_other(buckets: DataFrame, df: DataFrame, key) -> DataFrame:
 
 
 def histogram_agg(df: DataFrame, field: str, interval: float,
-                  sub_aggs: dict | None = None) -> DataFrame:
-    """Fixed-width histogram: bucket key = floor(value/interval)*interval
-    (bucket/histogram/histogram.rs bucket_key semantics)."""
-    key = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias("key")
-    return df.groupBy(key).agg(*_sub_metric_exprs(sub_aggs)).orderBy("key")
+                  sub_aggs: dict | None = None, offset: float = 0.0,
+                  min_doc_count: int = 0,
+                  extended_bounds: tuple[float, float] | None = None,
+                  hard_bounds: tuple[float, float] | None = None,
+                  max_buckets: int | None = DEFAULT_BUCKET_LIMIT,
+                  ) -> DataFrame:
+    """Fixed-width histogram (bucket/histogram/histogram.rs): bucket key
+    = floor((value - offset)/interval)*interval + offset.  Reference
+    semantics: with the default min_doc_count=0 EMPTY buckets between
+    the first and last non-empty key are emitted (doc_count 0, metric
+    sub-aggs null); `extended_bounds` widens that filled range,
+    `hard_bounds` drops values whose bucket falls outside it, and
+    min_doc_count > 0 filters sparse buckets instead (histogram.rs:60,
+    :137-183 — extended_bounds with min_doc_count>0 is an error)."""
+    if min_doc_count > 0 and extended_bounds is not None:
+        raise ValueError(
+            "Cannot set min_doc_count and extended_bounds at the same time")
+    c = F.col(field)
+    key = (F.floor((c - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+           + F.lit(offset))
+    if hard_bounds is not None:
+        lo, hi = hard_bounds
+        if extended_bounds is not None and (
+                extended_bounds[0] < lo or extended_bounds[1] > hi):
+            raise ValueError(
+                "extended_bounds have to be inside hard_bounds")
+        df = df.filter((key >= F.lit(lo)) & (key <= F.lit(hi)))
+    buckets = (df.groupBy(key.alias("key"))
+               .agg(*_sub_metric_exprs(sub_aggs)))
+    if min_doc_count > 0:
+        return buckets.filter(
+            F.col("doc_count") >= F.lit(min_doc_count)).orderBy("key")
+    # gap fill: the absolute grid between the first and last key
+    bounds = buckets.agg(F.min("key").alias("lo"),
+                         F.max("key").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return buckets.orderBy("key")
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if extended_bounds is not None:
+        eb_lo = (F.floor((F.lit(extended_bounds[0]) - F.lit(offset))
+                         / F.lit(interval)) * F.lit(interval)
+                 + F.lit(offset))
+        eb = df.sparkSession.range(1).select(
+            eb_lo.alias("l")).collect()[0]["l"]
+        lo = min(lo, float(eb))
+        hi = max(hi, float(extended_bounds[1]))
+        hi = (hi - offset) // interval * interval + offset
+    n = int(round((hi - lo) / interval)) + 1
+    if max_buckets is not None and n > max_buckets:
+        raise AggregationLimitError(
+            f"aggregation would create > {max_buckets} buckets "
+            f"(reference DEFAULT_BUCKET_LIMIT={DEFAULT_BUCKET_LIMIT})")
+    grid = df.sparkSession.range(n).select(
+        (F.lit(lo) + F.col("id") * F.lit(interval)).alias("key"))
+    filled = grid.join(buckets, "key", "left")
+    filled = filled.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
+    return filled.orderBy("key")
 
 
-def date_histogram_agg(df: DataFrame, field: str, interval: str,
-                       sub_aggs: dict | None = None) -> DataFrame:
-    """Calendar-interval date histogram (bucket/histogram/date_histogram.rs)
-    = date_trunc + groupBy; interval in {year,month,week,day,hour,minute}."""
+#: fixed_interval units (date_histogram.rs parse_into_milliseconds)
+_FIXED_INTERVAL_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                      "d": 86_400_000}
+
+
+def parse_fixed_interval_ms(s: str) -> int:
+    """date_histogram.rs `parse_into_milliseconds`: integer number +
+    unit in ms/s/m/h/d; fractional values are rejected."""
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s.strip())
+    if not m:
+        raise ValueError(f"invalid fixed_interval {s!r}")
+    return int(m.group(1)) * _FIXED_INTERVAL_MS[m.group(2)]
+
+
+def date_histogram_agg(df: DataFrame, field: str, interval: str | None = None,
+                       sub_aggs: dict | None = None,
+                       fixed_interval: str | None = None,
+                       offset: str | None = None,
+                       min_doc_count: int = 0,
+                       max_buckets: int | None = DEFAULT_BUCKET_LIMIT,
+                       ) -> DataFrame:
+    """Date histogram (bucket/histogram/date_histogram.rs).  The
+    reference supports FIXED intervals only (ms/s/m/h/d; a
+    DateHistogramAggregation is a HistogramAggregation over the
+    timestamp in milliseconds, same empty-bucket fill).  Calendar
+    `interval` (year/month/week/day/hour/minute via date_trunc) is kept
+    as an extension beyond the reference."""
+    if fixed_interval is not None:
+        iv = parse_fixed_interval_ms(fixed_interval)
+        off = parse_fixed_interval_ms(offset) if offset else 0
+        ms = F.unix_millis(F.col(field).cast("timestamp")).cast("double")
+        out = histogram_agg(
+            df.withColumn("__ms", ms), "__ms", float(iv), sub_aggs,
+            offset=float(off), min_doc_count=min_doc_count,
+            max_buckets=max_buckets)
+        return out.withColumn(
+            "key",
+            F.timestamp_millis(F.col("key").cast("long"))
+            .cast("timestamp_ntz"))
     key = F.date_trunc(interval, F.col(field)).alias("key")
     return df.groupBy(key).agg(*_sub_metric_exprs(sub_aggs)).orderBy("key")
 
@@ -421,8 +511,22 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
                          show_sum_other=body.get("show_sum_other", False),
                          max_buckets=body.get("max_buckets"))
     if kind == "histogram":
-        return histogram_agg(df, body["field"], body["interval"], sub)
+        eb = body.get("extended_bounds")
+        hb = body.get("hard_bounds")
+        return histogram_agg(
+            df, body["field"], body["interval"], sub,
+            offset=body.get("offset", 0.0),
+            min_doc_count=body.get("min_doc_count", 0),
+            extended_bounds=(eb["min"], eb["max"]) if eb else None,
+            hard_bounds=(hb["min"], hb["max"]) if hb else None,
+            max_buckets=body.get("max_buckets", DEFAULT_BUCKET_LIMIT))
     if kind == "date_histogram":
+        if "fixed_interval" in body:
+            return date_histogram_agg(
+                df, body["field"], None, sub,
+                fixed_interval=body["fixed_interval"],
+                offset=body.get("offset"),
+                min_doc_count=body.get("min_doc_count", 0))
         return date_histogram_agg(
             df, body["field"],
             body.get("calendar_interval", body.get("interval", "day")), sub)

@@ -49,7 +49,55 @@ def test_terms_with_sub_metrics(events):
 def test_histogram(events):
     out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
         events, {"histogram": {"field": "val", "interval": 10.0}}).collect()}
+    # reference default min_doc_count=0: EMPTY buckets between the first
+    # and last key are emitted (histogram.rs:60)
+    expect = {k * 10.0: 0 for k in range(11)}
+    expect.update({0.0: 7, 10.0: 1, 20.0: 1, 100.0: 1})
+    assert out == expect
+
+
+def test_histogram_min_doc_count_filters(events):
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"histogram": {"field": "val", "interval": 10.0,
+                               "min_doc_count": 1}}).collect()}
     assert out == {0.0: 7, 10.0: 1, 20.0: 1, 100.0: 1}
+
+
+def test_histogram_offset_and_bounds(events):
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"histogram": {"field": "val", "interval": 10.0,
+                               "offset": 5.0, "min_doc_count": 1}}).collect()}
+    # grid shifts to [5 + 10k, 5 + 10(k+1))
+    assert set(out) <= {-5.0, 5.0, 15.0, 25.0, 95.0}
+    # hard_bounds drops values whose bucket is outside
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"histogram": {"field": "val", "interval": 10.0,
+                               "hard_bounds": {"min": 0.0, "max": 20.0},
+                               "min_doc_count": 1}}).collect()}
+    assert out == {0.0: 7, 10.0: 1, 20.0: 1}
+    # extended_bounds widens the zero-filled grid
+    out = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"histogram": {"field": "val", "interval": 10.0,
+                               "extended_bounds": {"min": -20.0,
+                                                   "max": 120.0}}}).collect()}
+    assert min(out) == -20.0 and max(out) == 120.0
+    assert out[-20.0] == 0 and out[120.0] == 0 and out[0.0] == 7
+    with pytest.raises(ValueError):
+        A.run_aggregation(events, {"histogram": {
+            "field": "val", "interval": 10.0, "min_doc_count": 1,
+            "extended_bounds": {"min": 0.0, "max": 10.0}}})
+
+
+def test_date_histogram_fixed_interval(events):
+    out = A.run_aggregation(
+        events, {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}
+    ).collect()
+    # 1d fixed grid == day truncation for this UTC data set
+    assert [r["doc_count"] for r in out] == [2, 2, 3, 3]
+    assert all(r["key"].hour == 0 for r in out)
+    with pytest.raises(ValueError):
+        A.parse_fixed_interval_ms("1.5h")
+    assert A.parse_fixed_interval_ms("90m") == 5_400_000
 
 
 def test_date_histogram(events):
