@@ -640,6 +640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"terms": {"field": "event_type", "size": 10},
          "aggs": {"avg_value": {"avg": {"field": "value"}}}},
     ).withColumn("avg_value", F.round("avg_value", 5))
+    # CustomOrder by sub-metric (term_agg/mod.rs:238-249)
+    Q["agg_terms_order_metric"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"terms": {"field": "event_type", "size": 3,
+                   "order": {"avg_value": "asc"}},
+         "aggs": {"avg_value": {"avg": {"field": "value"}}}},
+    ).withColumn("avg_value", F.round("avg_value", 5))
     Q["agg_histogram_value"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"), {"histogram": {"field": "value", "interval": 5.0}}
     ).withColumn("key", F.col("key").cast("double"))
@@ -1346,6 +1353,11 @@ SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(avg(value), 5) AS avg_value
 FROM events GROUP BY event_type
 ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_terms_order_metric"] = """
+SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+       round(avg(value), 5) AS avg_value
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY avg(value) ASC, key ASC LIMIT 3"""
     O["agg_histogram_value"] = """
 WITH b AS (
   SELECT floor(value / 5.0)::BIGINT AS k, count(*)::BIGINT AS doc_count

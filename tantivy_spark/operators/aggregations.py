@@ -134,11 +134,12 @@ def check_bucket_limit(df: DataFrame, key_col, max_buckets: int | None) -> None:
 
 
 def terms_agg(df: DataFrame, field: str, size: int = 10,
-              order_by: str = "count", missing=None,
+              order_by="count", missing=None,
               sub_aggs: dict | None = None,
               shard_size: int | None = None, shard_col: str | None = None,
               show_doc_count_error: bool = False,
               show_sum_other: bool = False,
+              min_doc_count: int = 1,
               max_buckets: int | None = None) -> DataFrame:
     """Terms bucket, order by count desc then key asc (the reference's
     default order, bucket/term_agg), top `size` buckets.
@@ -162,14 +163,25 @@ def terms_agg(df: DataFrame, field: str, size: int = 10,
     check_bucket_limit(df, key, max_buckets)
     if shard_size is None:
         g = df.groupBy(key.alias("key")).agg(*_sub_metric_exprs(sub_aggs))
+        if min_doc_count > 1:
+            # term_agg/mod.rs:331 — buckets below min_doc_count dropped
+            # (0 and 1 coincide here: buckets are derived from the data)
+            g = g.filter(F.col("doc_count") >= F.lit(min_doc_count))
         if show_doc_count_error:
             g = g.withColumn(
                 "doc_count_error_upper_bound", F.lit(0).cast("long")
             )
-        if order_by == "count":
-            g = g.orderBy(F.desc("doc_count"), F.asc("key"))
+        # CustomOrder (term_agg/mod.rs:238-249): target "_count", "_key",
+        # or a sub-aggregation metric column; ties break by key asc
+        if isinstance(order_by, dict):
+            (target, direction), = order_by.items()
+        elif order_by == "count":
+            target, direction = "_count", "desc"
         else:
-            g = g.orderBy(F.asc("key"))
+            target, direction = "_key", "asc"
+        col = {"_count": "doc_count", "_key": "key"}.get(target, target)
+        primary = F.asc(col) if direction == "asc" else F.desc(col)
+        g = g.orderBy(primary, F.asc("key"))
         out = g.limit(size)
         if show_sum_other:
             out = _with_sum_other(out, df, key)
@@ -504,6 +516,7 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
     if kind == "terms":
         return terms_agg(df, body["field"], body.get("size", 10),
                          body.get("order", "count"), body.get("missing"), sub,
+                         min_doc_count=body.get("min_doc_count", 1),
                          shard_size=body.get("shard_size"),
                          shard_col=body.get("shard_col"),
                          show_doc_count_error=body.get(

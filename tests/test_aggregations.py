@@ -292,3 +292,29 @@ def test_terms_sum_other_doc_count(events):
     total = events.filter(F.col("etype").isNotNull()).count()
     covered = sum(r.doc_count for r in out)
     assert all(r.sum_other_doc_count == total - covered for r in out)
+
+
+def test_terms_custom_order_and_min_doc_count(events):
+    # order by a sub-metric (term_agg/mod.rs CustomOrder SubAggregation)
+    out = A.run_aggregation(events, {
+        "terms": {"field": "etype", "size": 10,
+                  "order": {"avg_val": "desc"}},
+        "aggs": {"avg_val": {"avg": {"field": "val"}}},
+    }).collect()
+    avgs = [r["avg_val"] for r in out]
+    assert avgs == sorted(avgs, reverse=True)
+    # order by key ascending
+    out = A.run_aggregation(events, {
+        "terms": {"field": "etype", "size": 10, "order": {"_key": "asc"}},
+    }).collect()
+    keys = [r["key"] for r in out if r["key"] is not None]
+    assert keys == sorted(keys)
+    # min_doc_count filters sparse buckets
+    all_counts = {r["key"]: r["doc_count"] for r in A.run_aggregation(
+        events, {"terms": {"field": "etype", "size": 10}}).collect()}
+    floor_n = min(all_counts.values()) + 1
+    filtered = A.run_aggregation(events, {
+        "terms": {"field": "etype", "size": 10,
+                  "min_doc_count": floor_n}}).collect()
+    assert all(r["doc_count"] >= floor_n for r in filtered)
+    assert len(filtered) < len(all_counts)
