@@ -198,6 +198,15 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     tokenizer = cfg.tokenizer
     positions = cfg.positions
     extra_fields = tuple(cfg.extra_fields)
+    reserved = {"doc_id", "segment_ord", "fieldnorm_id", "terms",
+                "token_count", "positions", "term_fns", "__pid"}
+    clash = reserved & set(source.columns)
+    if clash:
+        # a source column with an internal docmap name would be silently
+        # overwritten by the build (and break the merge remap later)
+        raise ValueError(
+            f"source columns {sorted(clash)} collide with reserved "
+            "internal docmap column names — rename them before indexing")
 
     tok_schema = "terms array<string>"
     if positions:

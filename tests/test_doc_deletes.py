@@ -71,3 +71,14 @@ def test_delete_all_documents(spark, small_index):
     s = Searcher(spark, small_index)
     assert s.total_docs == 0
     assert s.top_docs_frame(L.AllQuery(), k=None, mode="taat64").count() == 0
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    from tantivy_spark.operators.build import build_docmap
+
+    src = spark.createDataFrame([("a", "x", 1)],
+                                "doc_id string, text string, v int")
+    cfg = IndexConfig(text_col="text", key_cols=("doc_id",),
+                      segment_col="doc_id", n_segments=1, n_term_buckets=1)
+    with pytest.raises(ValueError, match="reserved"):
+        build_docmap(spark, src, cfg)

@@ -190,10 +190,10 @@ def test_snippet_generator_end_to_end(spark, tmp_path):
 
     rows = [("d1", TEST_TEXT), ("d2", "rust rust rust"),
             ("d3", "unrelated words entirely")]
-    src = spark.createDataFrame(rows, "doc_id string, text string")
+    src = spark.createDataFrame(rows, "k string, text string")
     idx = str(tmp_path / "snip_idx")
-    cfg = IndexConfig(text_col="text", key_cols=("doc_id",),
-                      segment_col="doc_id", n_segments=2,
+    cfg = IndexConfig(text_col="text", key_cols=("k",),
+                      segment_col="k", n_segments=2,
                       n_term_buckets=4, tokenizer="en_stem",
                       positions=False)
     build_index(spark, src, idx, cfg)

@@ -12,10 +12,10 @@ def test_space_usage_components(spark, tmp_path):
 
     rows = [(f"d{i}", f"alpha beta gamma doc{i} " * 5, i)
             for i in range(40)]
-    src = spark.createDataFrame(rows, "doc_id string, text string, v int")
+    src = spark.createDataFrame(rows, "k string, text string, v int")
     idx = str(tmp_path / "su_idx")
-    cfg = IndexConfig(text_col="text", key_cols=("doc_id",),
-                      segment_col="doc_id", n_segments=4,
+    cfg = IndexConfig(text_col="text", key_cols=("k",),
+                      segment_col="k", n_segments=4,
                       n_term_buckets=4, positions=True)
     build_index(spark, src, idx, cfg)
     usage = Searcher(spark, idx).space_usage()
@@ -39,10 +39,10 @@ def test_space_usage_no_positions_and_deletes(spark, tmp_path):
     from tantivy_spark.operators.search import Searcher
 
     rows = [(f"d{i}", f"alpha beta doc{i}") for i in range(20)]
-    src = spark.createDataFrame(rows, "doc_id string, text string")
+    src = spark.createDataFrame(rows, "k string, text string")
     idx = str(tmp_path / "su_idx2")
-    cfg = IndexConfig(text_col="text", key_cols=("doc_id",),
-                      segment_col="doc_id", n_segments=2,
+    cfg = IndexConfig(text_col="text", key_cols=("k",),
+                      segment_col="k", n_segments=2,
                       n_term_buckets=2, positions=False)
     build_index(spark, src, idx, cfg)
     usage = Searcher(spark, idx).space_usage()
