@@ -641,6 +641,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          "aggs": {"avg_value": {"avg": {"field": "value"}}}},
     ).withColumn("avg_value", F.round("avg_value", 5))
     # CustomOrder by sub-metric (term_agg/mod.rs:238-249)
+    # typed composite sources (bucket/composite/mod.rs:140-145)
+    Q["agg_composite_typed"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"composite": {"sources": [
+            {"day": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}}},
+            {"etype": {"terms": {"field": "event_type", "order": "desc",
+                                 "missing_bucket": False}}},
+        ], "size": 20}},
+    )
     Q["agg_terms_order_metric"] = lambda s, d: A.run_aggregation(
         _tbl(s, d, "events"),
         {"terms": {"field": "event_type", "size": 3,
@@ -1353,6 +1363,11 @@ SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(avg(value), 5) AS avg_value
 FROM events GROUP BY event_type
 ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_composite_typed"] = """
+SELECT date_trunc('day', ts) AS day, event_type AS etype,
+       count(*)::BIGINT AS doc_count
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY day ASC, etype DESC LIMIT 20"""
     O["agg_terms_order_metric"] = """
 SELECT event_type AS key, count(*)::BIGINT AS doc_count,
        round(avg(value), 5) AS avg_value

@@ -371,21 +371,68 @@ def filter_agg(df: DataFrame, condition, sub_aggs: dict | None = None) -> DataFr
     return df.filter(cond).agg(*_sub_metric_exprs(sub_aggs))
 
 
-def composite_agg(df: DataFrame, sources: list[str], size: int = 10,
+def _composite_source(spec):
+    """One composite source -> (name, key expr, direction, drop_missing).
+    Accepts a bare column name (terms, asc — the original shorthand) or
+    the reference's source spec {name: {terms|histogram|date_histogram:
+    {field, interval?, fixed_interval?, calendar_interval?, order?,
+    missing_bucket?}}} (bucket/composite/mod.rs:50-145)."""
+    if isinstance(spec, str):
+        return spec, F.col(spec), "asc", False
+    (name, inner), = spec.items()
+    (kind, body), = inner.items()
+    field = body["field"]
+    if kind == "terms":
+        key = F.col(field)
+    elif kind == "histogram":
+        iv = float(body["interval"])
+        key = F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)
+    elif kind == "date_histogram":
+        if "fixed_interval" in body:
+            iv = parse_fixed_interval_ms(body["fixed_interval"])
+            ms = F.unix_millis(F.col(field).cast("timestamp"))
+            key = F.timestamp_millis(
+                (F.floor(ms / F.lit(iv)) * F.lit(iv)).cast("long")
+            ).cast("timestamp_ntz")
+        else:
+            key = F.date_trunc(body.get("calendar_interval", "day"),
+                               F.col(field))
+    else:
+        raise ValueError(f"unknown composite source kind {kind!r}")
+    return (name, key, body.get("order", "asc"),
+            not body.get("missing_bucket", False))
+
+
+def composite_agg(df: DataFrame, sources: list, size: int = 10,
                   after: tuple | None = None,
                   sub_aggs: dict | None = None) -> DataFrame:
-    """Composite bucket with keyset pagination (bucket/composite/): buckets
-    ordered by the source tuple; `after` resumes past the given key tuple."""
-    g = df.groupBy(*[F.col(s) for s in sources]).agg(*_sub_metric_exprs(sub_aggs))
+    """Composite bucket with keyset pagination (bucket/composite/):
+    buckets ordered by the source tuple per-source asc|desc; `after`
+    resumes past the given key tuple.  Sources are terms, histogram, or
+    date_histogram (mod.rs:140-145); docs missing a source value are
+    dropped unless that source sets missing_bucket (mod.rs:59-62)."""
+    parsed = [_composite_source(s) for s in sources]
+    names = [n for n, _, _, _ in parsed]
+    keyed = df.select(
+        *[k.alias(n) for n, k, _, _ in parsed],
+        *[c for c in df.columns if c not in names])
+    for n, _, _, drop_missing in parsed:
+        if drop_missing:
+            keyed = keyed.filter(F.col(n).isNotNull())
+    g = keyed.groupBy(*names).agg(*_sub_metric_exprs(sub_aggs))
     if after is not None:
-        # keyset predicate: (s0, s1, ...) > after, lexicographically
+        # keyset predicate: source tuple strictly beyond `after` in the
+        # per-source sort direction, lexicographically
         pred = F.lit(False)
         eq = F.lit(True)
-        for s, a in zip(sources, after):
-            pred = pred | (eq & (F.col(s) > F.lit(a)))
-            eq = eq & (F.col(s) == F.lit(a))
+        for (n, _, order, _), a in zip(parsed, after):
+            beyond = (F.col(n) > F.lit(a)) if order == "asc"                 else (F.col(n) < F.lit(a))
+            pred = pred | (eq & beyond)
+            eq = eq & (F.col(n) == F.lit(a))
         g = g.filter(pred)
-    return g.orderBy(*[F.asc(s) for s in sources]).limit(size)
+    sort = [F.asc(n) if order == "asc" else F.desc(n)
+            for n, _, order, _ in parsed]
+    return g.orderBy(*sort).limit(size)
 
 
 def missing_agg(df: DataFrame, field: str,

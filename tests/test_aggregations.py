@@ -318,3 +318,33 @@ def test_terms_custom_order_and_min_doc_count(events):
                   "min_doc_count": floor_n}}).collect()
     assert all(r["doc_count"] >= floor_n for r in filtered)
     assert len(filtered) < len(all_counts)
+
+
+def test_composite_typed_sources(events):
+    # date_histogram + terms sources with per-source order and keyset
+    # pagination (bucket/composite/mod.rs:50-145)
+    req = {"composite": {
+        "sources": [
+            {"day": {"date_histogram": {"field": "ts",
+                                        "calendar_interval": "day"}}},
+            {"etype": {"terms": {"field": "etype", "order": "desc",
+                                 "missing_bucket": False}}},
+        ], "size": 3}}
+    page1 = A.run_aggregation(events, req).collect()
+    assert len(page1) == 3
+    assert all(r["etype"] is not None for r in page1)  # missing dropped
+    days = [r["day"] for r in page1]
+    assert days == sorted(days)
+    # within a day, terms descend
+    last = page1[-1]
+    req2 = {"composite": {**req["composite"],
+                          "after": (last["day"], last["etype"])}}
+    page2 = A.run_aggregation(events, req2).collect()
+    assert page2 and (page2[0]["day"], page2[0]["etype"]) != \
+        (last["day"], last["etype"])
+    # histogram source buckets on the interval grid
+    out = A.run_aggregation(events, {"composite": {
+        "sources": [{"bucket": {"histogram": {"field": "val",
+                                              "interval": 10.0}}}],
+        "size": 100}}).collect()
+    assert all(float(r["bucket"]) % 10.0 == 0.0 for r in out)
