@@ -906,6 +906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts", "text_fingerprint",
         "text_rolling_fingerprint", "text_stopword_multilang",
     ]
+    never_sampled = [
+        "ft_delete_query_top10", "agg_composite_typed",
+        "agg_terms_order_metric", "agg_date_histogram_fixed",
+        "agg_histogram_value",          # oracle changed to gap-filled
+    ] + never_sampled
     front = {k: Q[k] for k in never_sampled if k in Q}
     return front | {k: v for k, v in Q.items() if k not in front}
 
