@@ -721,11 +721,13 @@ class Searcher:
 
         toks, _ = get_analyzer(self.cfg.tokenizer)(q.doc_text)
         tf = Counter(toks)
+        stop = set(q.stop_words)
         cand = [
             t for t, c in tf.items()
             if c >= q.min_term_frequency
             and len(t) >= q.min_word_length
             and (q.max_word_length is None or len(t) <= q.max_word_length)
+            and t not in stop      # more_like_this.rs:293-296
         ]
         if not cand:
             return L.EmptyQuery()

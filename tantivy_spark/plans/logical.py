@@ -171,6 +171,8 @@ class MoreLikeThisQuery(Query):
     min_word_length: int = 0
     max_word_length: int | None = None
     boost_factor: float = 1.0
+    #: terms never selected (more_like_this.rs:64 `stop_words`)
+    stop_words: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -468,3 +468,15 @@ class TestRegexRustParity:
                 uni_index.expand_regex(pat)
         # escaped digits and \0 are NOT backreferences
         assert uni_index.expand_regex(r"d\d\d\dry") == ["d123ry"]
+
+
+def test_more_like_this_stop_words(exp_index):
+    text = "wizard wizard lizard lizard gizzard gizzard"
+    base = exp_index.more_like_this_query(L.MoreLikeThisQuery(
+        text, min_doc_frequency=1, min_term_frequency=1))
+    stopped = exp_index.more_like_this_query(L.MoreLikeThisQuery(
+        text, min_doc_frequency=1, min_term_frequency=1,
+        stop_words=("wizard", "lizard")))
+    assert "wizard" in base.terms() and "wizard" not in stopped.terms()
+    assert "lizard" not in stopped.terms()
+    assert "gizzard" in stopped.terms()
