@@ -106,8 +106,28 @@ def _hw_envelope() -> dict:
     }
 
 
+_SRC_CACHE: dict[int, str] = {}
+
+
+def _transcripts_parquet(spark, n_convs: int) -> str:
+    """Generate the bench corpus ONCE per size and park it as parquet:
+    re-generating per scaling attempt burned ~20-40 s of untimed wall
+    per run, which is exactly the retry budget on noisy-host days.  The
+    timed build still reads a memory-persisted frame (the read+persist+
+    count below happens before t0), so what is measured is unchanged."""
+    from tantivy_spark.sources.transcripts import transcripts_df
+
+    if n_convs not in _SRC_CACHE:
+        path = f"/tmp/tantivy_spark_bench/src-{n_convs}"
+        shutil.rmtree(path, ignore_errors=True)
+        transcripts_df(spark, n_convs, partitions=64).write.parquet(path)
+        _SRC_CACHE[n_convs] = path
+    return _SRC_CACHE[n_convs]
+
+
 def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> dict:
-    """Generate transcripts + build the full index at `cores` parallelism.
+    """Build the full index at `cores` parallelism over the pre-generated
+    corpus.
 
     The config (segments, buckets, shuffle partitions, generator
     partitioning) is IDENTICAL across parallelism levels — only the core
@@ -116,15 +136,14 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> 
     """
     from tantivy_spark.config import IndexConfig
     from tantivy_spark.operators.build import build_index
-    from tantivy_spark.sources.transcripts import transcripts_df
 
     spark = _fresh_spark(cores, f"bench_idx_{run_tag}", shuffle_partitions=64)
     idx_dir = f"/tmp/tantivy_spark_bench/transcripts-{run_tag}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    src = transcripts_df(spark, n_convs or _N_CONVS, partitions=64)
-    src = src.persist()
-    n_turns = src.count()  # materialize generation outside the timed build
+    src = spark.read.parquet(_transcripts_parquet(spark, n_convs or _N_CONVS))
+    src = src.repartition(64).persist()
+    n_turns = src.count()  # materialize input in memory outside the timed build
 
     cfg = IndexConfig(n_segments=32, n_term_buckets=16)
     t0 = time.time()
