@@ -76,14 +76,19 @@ class IndexConfig:
     #: key_cols order.  key_cols remain the tiebreak either way, so the
     #: assignment stays deterministic.
     sort_by_field: tuple[str, str] | None = None
-    #: tokenize stage dataflow: True (default) runs the `default` analyzer
-    #: as pure Catalyst expressions (whole-stage codegen, no Python in the
-    #: docmap stage) whenever the config allows it (tokenizer="default",
-    #: positions=False); parity with the Python analyzer is pinned
-    #: per-codepoint (tools/probe_jvm_tokenize.py, tests/test_jvm_tokenize).
-    #: False forces the vectorized-pandas path (the parity oracle).
-    #: Non-default tokenizers / positions always use the pandas path.
+    #: tokenize stage dataflow: True (default) uses the hot-path engine
+    #: below whenever tokenizer="default"; False forces the
+    #: vectorized-pandas path (the parity oracle).  Non-default
+    #: tokenizers always use the pandas path.
     jvm_tokenize: bool = True
+    #: hot-path engine when jvm_tokenize applies: "arrow" (default) runs
+    #: the vectorized numpy kernel over raw Arrow buffers in a mapInArrow
+    #: stage (functions/arrow_tokenize.py — ~12x the per-core throughput
+    #: of either regex engine, parity pinned by tests/test_arrow_tokenize;
+    #: handles single/multi field, with and without positions); "jvm"
+    #: keeps the pure-Catalyst regexp path (zero Python workers —
+    #: single/multi field, no positions; positions fall back to pandas).
+    tokenize_engine: str = "arrow"
     k1: float = 1.2
     b: float = 0.75
     #: per-field BM25 overrides, ((field, k1, b), ...) — the reference's

@@ -164,6 +164,113 @@ def _tokenize_jvm(base: DataFrame, text_col: str,
     )
 
 
+def _tokenize_arrow(base: DataFrame, text_col: str,
+                    extra_fields: tuple[str, ...] = (),
+                    positions: bool = False) -> DataFrame:
+    """Stage-1 tokenize as a vectorized-numpy mapInArrow stage (default
+    chain, single or multi field, with or without positions) — the scale
+    hot path.
+
+    The kernel (functions/arrow_tokenize.py) runs ~12x faster per core
+    than either regex engine (java.util.regex via Catalyst
+    regexp_extract_all, or RE2), so the Arrow serialization boundary is
+    a net win; output columns and values match the pandas/JVM paths
+    exactly (tests/test_arrow_tokenize.py pins the kernel per-codepoint
+    and the docmap frames against each other).
+
+    Multi-field output follows the pandas path's combined contract:
+    scoped ``f:token`` terms appended after the main field's, `term_fns`
+    carrying each token's own field's quantized norm, per-field
+    `xf_tc_/xf_fn_` scalars.  Extra fields are cast to string in the
+    Spark plan (identical to the JVM path's cast semantics) before
+    crossing into Arrow.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tantivy_spark.functions.arrow_tokenize import (
+        concat_list_rows, tokenize_default_arrow)
+    from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
+
+    for f in extra_fields:
+        base = base.withColumn(f, F.col(f).cast("string"))
+    passthrough = [f.name for f in base.schema.fields if f.name != text_col]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields if f.name != text_col)
+    out_schema = f"{out_fields}, terms array<string>"
+    if positions:
+        out_schema += ", positions array<int>"
+    out_schema += ", token_count int, fieldnorm_id int"
+    if extra_fields:
+        out_schema += ", term_fns array<int>"
+        for f in extra_fields:
+            out_schema += f", xf_tc_{f} int, xf_fn_{f} int"
+
+    def _tok(col):
+        if positions:
+            return tokenize_default_arrow(col, positions=True)
+        return tokenize_default_arrow(col), None
+
+    def tok_batches(it):
+        for batch in it:
+            cols = {name: batch.column(name) for name in batch.schema.names}
+            names = list(passthrough)
+            arrays = [cols[n] for n in passthrough]
+            toks, poss = _tok(cols[text_col])
+            counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+            fn_ids = fieldnorm_to_id(counts).astype(np.int32)
+            if not extra_fields:
+                names += ["terms"] + (["positions"] if positions else [])
+                arrays += [toks] + ([poss] if positions else [])
+                arrays += [pa.array(counts.astype(np.int32)),
+                           pa.array(fn_ids)]
+                names += ["token_count", "fieldnorm_id"]
+                yield pa.RecordBatch.from_arrays(arrays, names)
+                continue
+            tok_arrs, pos_arrs = [toks], [poss]
+            fn_flats = [np.repeat(fn_ids, counts)]
+            xf_scalar_cols = []
+            for f in extra_fields:
+                xtoks, xposs = _tok(cols[f])
+                xcounts = np.diff(np.asarray(xtoks.offsets, dtype=np.int64))
+                xfn = fieldnorm_to_id(xcounts).astype(np.int32)
+                scoped = pa.ListArray.from_arrays(
+                    xtoks.offsets,
+                    pc.binary_join_element_wise(
+                        pa.scalar(f + ":"), xtoks.values, pa.scalar("")))
+                tok_arrs.append(scoped)
+                pos_arrs.append(xposs)
+                fn_flats.append(np.repeat(xfn, xcounts))
+                xf_scalar_cols.append(
+                    (f, pa.array(xcounts.astype(np.int32)), pa.array(xfn)))
+            comb_off, perm = concat_list_rows(tok_arrs)
+            off_arr = pa.array(comb_off)
+            flat = pa.concat_arrays(
+                [t.values.cast(pa.string()) for t in tok_arrs]
+            ).take(pa.array(perm))
+            names += ["terms"]
+            arrays += [pa.ListArray.from_arrays(off_arr, flat)]
+            if positions:
+                pos_flat = np.concatenate(
+                    [np.asarray(p.values, dtype=np.int32)
+                     for p in pos_arrs])[perm]
+                names += ["positions"]
+                arrays += [pa.ListArray.from_arrays(
+                    off_arr, pa.array(pos_flat, type=pa.int32()))]
+            arrays += [pa.array(counts.astype(np.int32)), pa.array(fn_ids)]
+            names += ["token_count", "fieldnorm_id"]
+            fns_flat = np.concatenate(fn_flats)[perm].astype(np.int32)
+            arrays += [pa.ListArray.from_arrays(off_arr, pa.array(fns_flat))]
+            names += ["term_fns"]
+            for f, tc, fn in xf_scalar_cols:
+                arrays += [tc, fn]
+                names += [f"xf_tc_{f}", f"xf_fn_{f}"]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return base.mapInArrow(tok_batches, schema=out_schema)
+
+
 def _marker(index_dir: str, stage: str) -> str:
     return os.path.join(index_dir, f"_done_{stage}")
 
@@ -325,6 +432,16 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
         lead = F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
         order = [lead] + order
     w = Window.partitionBy("segment_ord").orderBy(*order)
+
+    if (cfg.jvm_tokenize and tokenizer == "default"
+            and cfg.tokenize_engine == "arrow"):
+        # default chain: the vectorized-numpy Arrow kernel (~12x the
+        # regex engines per core; see functions/arrow_tokenize.py) — the
+        # default scale hot path; single or multi field, ± positions
+        tokenized = _tokenize_arrow(base, text_col, extra_fields,
+                                    positions=positions)
+        return tokenized.withColumn(
+            "doc_id", (F.row_number().over(w) - 1).cast("int"))
 
     if cfg.jvm_tokenize and tokenizer == "default" and not positions:
         # default chain, no positions: tokenize stays JVM-side (whole-stage
