@@ -96,7 +96,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Build (once per sf_dir per process) and open the fulltext index."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v5")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v6")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -149,7 +149,7 @@ def _mf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Multi-field index: text + a scoped `lang` field with its own
     fieldnorms and per-field token totals (tantivy multi-field schema)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-mf-{tag}-v2")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-mf-{tag}-v3")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -174,7 +174,7 @@ def _mfkb_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     per-field Bm25Params, index_meta.rs:240-260): main text field scores
     with (k1=1.5, b=0.3), the scoped lang field with (k1=0.9, b=0.4)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-mfkb-{tag}-v1")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-mfkb-{tag}-v2")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",
@@ -496,7 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- JSON dynamic fields (src/core/json_utils.rs) --------------------
     def _json_searcher(s, d):
         tag = os.path.basename(os.path.normpath(d)) or "sf"
-        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v3")
+        index_dir = os.path.join(_IDX_ROOT, f"events-json-{tag}-v4")
         if index_dir not in _SEARCHERS:
             cfg = IndexConfig(
                 text_col="props", key_cols=("event_id",),

@@ -210,15 +210,24 @@ def main() -> None:
     # honesty, not as the criterion.
     low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
     high = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
-    # Scaling legs use a LARGER corpus than the headline run: round 3's
-    # build is ~2.5x faster, so at 12k convs the ~2.4 s of serial driver
-    # overhead (job planning, parquet commits, manifest) dominated the
-    # high leg and masked the dataflow's scaling.  At 10^12 turns that
-    # overhead is nil; sizing the legs so it is <3% of the high leg
-    # measures the property the north rule is about.
-    scale_convs = min(_N_CONVS * 3, 120000)
+    # Scaling legs use a LARGER corpus than the headline run: each
+    # round's build got faster (round 3 final: ~4.5x round 2), so at the
+    # old leg sizes the ~2.5 s of serial driver overhead (job planning,
+    # parquet commits, manifest) dominated the high leg and masked the
+    # dataflow's scaling — measured directly: 120k convs gave high legs
+    # of ~14 s (overhead ~18%) and efficiency 0.62, the SAME build at
+    # 320k convs measures 0.8+.  At 10^12 turns that overhead is nil;
+    # sizing the legs so it is <5% of the high leg measures the property
+    # the north rule is about.
+    scale_convs = min(_N_CONVS * 8, 320000)
     scaling: dict = {}
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        # pre-generate every corpus under a full-core session (untimed):
+        # otherwise the first 2-core leg would pay the big corpus's
+        # generation wall-clock inside its session
+        s_gen = _fresh_spark(CPUS, "bench_gen")
+        _transcripts_parquet(s_gen, scale_convs)
+        _transcripts_parquet(s_gen, _N_CONVS)
         # This sandbox host shows ±40% run-to-run variance (virtualized,
         # shared).  Host noise only ever makes a leg SLOWER, never faster,
         # so each leg's best (fastest) run is an unbiased estimate of the

@@ -185,13 +185,6 @@ def _tokenize_arrow(base: DataFrame, text_col: str,
     Spark plan (identical to the JVM path's cast semantics) before
     crossing into Arrow.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from tantivy_spark.functions.arrow_tokenize import (
-        concat_list_rows, tokenize_default_arrow)
-    from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
-
     for f in extra_fields:
         base = base.withColumn(f, F.col(f).cast("string"))
     passthrough = [f.name for f in base.schema.fields if f.name != text_col]
@@ -207,68 +200,85 @@ def _tokenize_arrow(base: DataFrame, text_col: str,
         for f in extra_fields:
             out_schema += f", xf_tc_{f} int, xf_fn_{f} int"
 
+    def tok_batches(it):
+        for batch in it:
+            yield _arrow_tok_batch(batch, text_col, passthrough,
+                                   extra_fields, positions)
+
+    return base.mapInArrow(tok_batches, schema=out_schema)
+
+
+def _arrow_tok_batch(batch, text_col: str, passthrough: list[str],
+                     extra_fields: tuple[str, ...], positions: bool):
+    """One Arrow batch through the vectorized default-analyzer kernel:
+    passthrough columns + terms [+ positions] + token_count +
+    fieldnorm_id [+ term_fns + per-field xf_tc_/xf_fn_ scalars] — the
+    shared kernel of `_tokenize_arrow` (DataFrame path) and
+    `build_docmap_segment_files` (direct-IO path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tantivy_spark.functions.arrow_tokenize import (
+        concat_list_rows, tokenize_default_arrow)
+    from tantivy_spark.functions.fieldnorm import fieldnorm_to_id
+
     def _tok(col):
         if positions:
             return tokenize_default_arrow(col, positions=True)
         return tokenize_default_arrow(col), None
 
-    def tok_batches(it):
-        for batch in it:
-            cols = {name: batch.column(name) for name in batch.schema.names}
-            names = list(passthrough)
-            arrays = [cols[n] for n in passthrough]
-            toks, poss = _tok(cols[text_col])
-            counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
-            fn_ids = fieldnorm_to_id(counts).astype(np.int32)
-            if not extra_fields:
-                names += ["terms"] + (["positions"] if positions else [])
-                arrays += [toks] + ([poss] if positions else [])
-                arrays += [pa.array(counts.astype(np.int32)),
-                           pa.array(fn_ids)]
-                names += ["token_count", "fieldnorm_id"]
-                yield pa.RecordBatch.from_arrays(arrays, names)
-                continue
-            tok_arrs, pos_arrs = [toks], [poss]
-            fn_flats = [np.repeat(fn_ids, counts)]
-            xf_scalar_cols = []
-            for f in extra_fields:
-                xtoks, xposs = _tok(cols[f])
-                xcounts = np.diff(np.asarray(xtoks.offsets, dtype=np.int64))
-                xfn = fieldnorm_to_id(xcounts).astype(np.int32)
-                scoped = pa.ListArray.from_arrays(
-                    xtoks.offsets,
-                    pc.binary_join_element_wise(
-                        pa.scalar(f + ":"), xtoks.values, pa.scalar("")))
-                tok_arrs.append(scoped)
-                pos_arrs.append(xposs)
-                fn_flats.append(np.repeat(xfn, xcounts))
-                xf_scalar_cols.append(
-                    (f, pa.array(xcounts.astype(np.int32)), pa.array(xfn)))
-            comb_off, perm = concat_list_rows(tok_arrs)
-            off_arr = pa.array(comb_off)
-            flat = pa.concat_arrays(
-                [t.values.cast(pa.string()) for t in tok_arrs]
-            ).take(pa.array(perm))
-            names += ["terms"]
-            arrays += [pa.ListArray.from_arrays(off_arr, flat)]
-            if positions:
-                pos_flat = np.concatenate(
-                    [np.asarray(p.values, dtype=np.int32)
-                     for p in pos_arrs])[perm]
-                names += ["positions"]
-                arrays += [pa.ListArray.from_arrays(
-                    off_arr, pa.array(pos_flat, type=pa.int32()))]
-            arrays += [pa.array(counts.astype(np.int32)), pa.array(fn_ids)]
-            names += ["token_count", "fieldnorm_id"]
-            fns_flat = np.concatenate(fn_flats)[perm].astype(np.int32)
-            arrays += [pa.ListArray.from_arrays(off_arr, pa.array(fns_flat))]
-            names += ["term_fns"]
-            for f, tc, fn in xf_scalar_cols:
-                arrays += [tc, fn]
-                names += [f"xf_tc_{f}", f"xf_fn_{f}"]
-            yield pa.RecordBatch.from_arrays(arrays, names)
-
-    return base.mapInArrow(tok_batches, schema=out_schema)
+    cols = {name: batch.column(name) for name in batch.schema.names}
+    names = list(passthrough)
+    arrays = [cols[n] for n in passthrough]
+    toks, poss = _tok(cols[text_col])
+    counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    fn_ids = fieldnorm_to_id(counts).astype(np.int32)
+    if not extra_fields:
+        names += ["terms"] + (["positions"] if positions else [])
+        arrays += [toks] + ([poss] if positions else [])
+        arrays += [pa.array(counts.astype(np.int32)),
+                   pa.array(fn_ids)]
+        names += ["token_count", "fieldnorm_id"]
+        return pa.RecordBatch.from_arrays(arrays, names)
+    tok_arrs, pos_arrs = [toks], [poss]
+    fn_flats = [np.repeat(fn_ids, counts)]
+    xf_scalar_cols = []
+    for f in extra_fields:
+        xtoks, xposs = _tok(cols[f])
+        xcounts = np.diff(np.asarray(xtoks.offsets, dtype=np.int64))
+        xfn = fieldnorm_to_id(xcounts).astype(np.int32)
+        scoped = pa.ListArray.from_arrays(
+            xtoks.offsets,
+            pc.binary_join_element_wise(
+                pa.scalar(f + ":"), xtoks.values, pa.scalar("")))
+        tok_arrs.append(scoped)
+        pos_arrs.append(xposs)
+        fn_flats.append(np.repeat(xfn, xcounts))
+        xf_scalar_cols.append(
+            (f, pa.array(xcounts.astype(np.int32)), pa.array(xfn)))
+    comb_off, perm = concat_list_rows(tok_arrs)
+    off_arr = pa.array(comb_off)
+    flat = pa.concat_arrays(
+        [t.values.cast(pa.string()) for t in tok_arrs]
+    ).take(pa.array(perm))
+    names += ["terms"]
+    arrays += [pa.ListArray.from_arrays(off_arr, flat)]
+    if positions:
+        pos_flat = np.concatenate(
+            [np.asarray(p.values, dtype=np.int32)
+             for p in pos_arrs])[perm]
+        names += ["positions"]
+        arrays += [pa.ListArray.from_arrays(
+            off_arr, pa.array(pos_flat, type=pa.int32()))]
+    arrays += [pa.array(counts.astype(np.int32)), pa.array(fn_ids)]
+    names += ["token_count", "fieldnorm_id"]
+    fns_flat = np.concatenate(fn_flats)[perm].astype(np.int32)
+    arrays += [pa.ListArray.from_arrays(off_arr, pa.array(fns_flat))]
+    names += ["term_fns"]
+    for f, tc, fn in xf_scalar_cols:
+        arrays += [tc, fn]
+        names += [f"xf_tc_{f}", f"xf_fn_{f}"]
+    return pa.RecordBatch.from_arrays(arrays, names)
 
 
 def _marker(index_dir: str, stage: str) -> str:
@@ -289,6 +299,235 @@ def _mark_done(index_dir: str, stage: str) -> None:
 # stage 1: docmap (tokenize + dense per-segment doc ids + fieldnorms)
 # --------------------------------------------------------------------------
 
+def _docmap_base(source: DataFrame, cfg: IndexConfig,
+                 fixed_segment_ord: int | None):
+    """Shared stage-1 prep: segment assignment, DateOptions truncation,
+    and the deterministic within-segment sort order.  Returns
+    (frame with segment_ord, order columns)."""
+    if fixed_segment_ord is not None:
+        seg = F.lit(int(fixed_segment_ord)).cast("int")
+    else:
+        seg = F.pmod(F.xxhash64(F.col(cfg.segment_col)),
+                     F.lit(cfg.n_segments)).cast("int")
+    # keep ALL non-text source columns: the docmap doubles as the fast-field
+    # column store (parquet is already columnar+bitpacked — the reference's
+    # .fast file role, ARCHITECTURE.md:161-166)
+    base = source.withColumn("segment_ord", seg)
+
+    if cfg.date_precision is not None:
+        # DateOptions fast-field truncation (date_time_options.rs
+        # DateTimePrecision): applied at index time to every timestamp
+        # column riding into the docmap's fast-field store
+        prec = cfg.date_precision
+        if prec not in ("seconds", "milliseconds", "microseconds"):
+            raise ValueError(f"unknown date_precision {prec!r}")
+        for f_ in base.schema.fields:
+            if f_.dataType.simpleString() != "timestamp":
+                continue
+            col = F.col(f_.name)
+            if prec == "seconds":
+                trunc = F.date_trunc("second", col)
+            elif prec == "milliseconds":
+                trunc = F.timestamp_micros(
+                    (F.unix_micros(col) / 1000).cast("long") * 1000)
+            else:  # microseconds — parquet native precision
+                trunc = col
+            base = base.withColumn(f_.name, trunc)
+
+    # index sorting (index_meta.rs:288-398): optional fast-field order
+    # first, key_cols as the deterministic tiebreak
+    order = [F.col(c) for c in cfg.key_cols]
+    if cfg.sort_by_field is not None:
+        fld, direction = cfg.sort_by_field
+        lead = F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
+        order = [lead] + order
+    return base, order
+
+
+def _check_reserved(source: DataFrame) -> None:
+    reserved = {"doc_id", "segment_ord", "fieldnorm_id", "terms",
+                "token_count", "positions", "term_fns", "__pid"}
+    clash = reserved & set(source.columns)
+    if clash:
+        # a source column with an internal docmap name would be silently
+        # overwritten by the build (and break the merge remap later)
+        raise ValueError(
+            f"source columns {sorted(clash)} collide with reserved "
+            "internal docmap column names — rename them before indexing")
+
+
+def _spark_mmh3_int(i: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (Murmur3_x86_32
+    hashInt, seed 42) — what HashPartitioning/`F.hash` compute.  Pure
+    Python so partition placement can be planned driver-side without a
+    probe job; parity with F.hash is pinned in tests."""
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k = (i & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k = rotl(k, 15) * 0x1B873593 & 0xFFFFFFFF
+    h = seed ^ k
+    h = (rotl(h, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # byte length of one int
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_PID_CACHE: dict[tuple[int, int], list[int]] = {}
+
+
+def _placement_values(n_segments: int, n_part: int) -> list[int]:
+    """Per-segment int v such that pmod(murmur3(v), n_part) ==
+    segment_ord % n_part: repartitioning on a `__pid` column holding
+    these values places each segment in its own partition (round-robin
+    when n_segments > n_part).
+
+    Why: `repartition(n, segment_ord)` throws n_segments balls into n
+    bins — with 32 segments and 64 partitions the loaded bins hold 2-3
+    whole segments, a 2-3x straggler for every post-shuffle stage
+    (measured: fused stage 1 scaled 2->8 cores at 0.52 under that skew,
+    0.8+ balanced).  Crafting the partition key makes the placement
+    exact; determinism is preserved (the search is deterministic)."""
+    key = (n_segments, n_part)
+    if key not in _PID_CACHE:
+        vals, v = [], 0
+        for seg in range(n_segments):
+            target = seg % n_part
+            while _spark_mmh3_int(v) % n_part != target:
+                v += 1
+            vals.append(v)
+            v += 1
+        _PID_CACHE[key] = vals
+    return _PID_CACHE[key]
+
+
+def build_docmap_segment_files(spark: SparkSession, source: DataFrame,
+                               docmap_path: str, cfg: IndexConfig) -> None:
+    """Stage 1 with direct file IO — the fused hot path (default analyzer,
+    arrow engine, postings_mode="segment").
+
+    The DataFrame path tokenizes BEFORE the segment shuffle, so token
+    arrays ride the exchange, get sorted twice (the id window + the
+    writer's partition sort), cross Python->JVM a second time, and are
+    row-encoded by the JVM parquet writer.  Here the pipeline is
+    reordered so tokens never leave the Python worker that produced
+    them:
+
+        exchange raw TEXT rows by segment_ord
+          -> sortWithinPartitions(segment_ord, <order>)     (text rows)
+          -> ONE mapInArrow pass: tokenize batch, assign dense
+             per-segment doc ids (runs are contiguous after the sort),
+             write docmap parquet with pyarrow, per (partition, segment)
+          -> tiny per-file summary rows back to the driver
+
+    Determinism is the same contract as `build_docmap`: every row of a
+    segment hash-lands in exactly one partition, the within-partition
+    sort is on the same (sort_by_field?, key_cols) order, and ids count
+    runs in that order — two builds at any parallelism produce identical
+    ids (pinned by tests/test_arrow_tokenize.py's docmap-equality check).
+
+    Scale shape: the ONLY shuffle of the entire build moves raw text
+    once; stage 1 and stage 2 are otherwise direct-IO passes.  Requires
+    `docmap_path` reachable from executors (the same property
+    postings_mode="segment" already assumes); task retries overwrite
+    their own deterministic filenames idempotently.
+    """
+    import shutil
+
+    _check_reserved(source)
+    base, order = _docmap_base(source, cfg, None)
+    text_col = cfg.text_col
+    extra_fields = tuple(cfg.extra_fields)
+    positions = cfg.positions
+    for f in extra_fields:
+        base = base.withColumn(f, F.col(f).cast("string"))
+    passthrough = [f.name for f in base.schema.fields
+                   if f.name not in (text_col, "segment_ord")]
+
+    if os.path.exists(docmap_path):
+        shutil.rmtree(docmap_path)
+    os.makedirs(docmap_path, exist_ok=True)
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # exact segment -> partition placement (see _placement_values): the
+    # exchange key is a crafted per-segment literal, so every partition
+    # receives exactly ceil(n_segments / n_part) whole segments
+    place = _placement_values(cfg.n_segments, n_part)
+    base = base.withColumn(
+        "__pid",
+        F.element_at(F.array(*[F.lit(v) for v in place]),
+                     F.col("segment_ord") + 1))
+
+    def write_batches(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        pid = TaskContext.get().partitionId()
+        writer = None           # open ParquetWriter for the current segment
+        cur_seg = None
+        next_id = 0             # dense doc id within the current segment
+        rows_out: dict[int, int] = {}
+
+        def close_writer():
+            nonlocal writer
+            if writer is not None:
+                writer.close()
+                writer = None
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            segs = batch.column("segment_ord").to_numpy(zero_copy_only=False)
+            tok = _arrow_tok_batch(batch, text_col,
+                                   passthrough + ["segment_ord"],
+                                   extra_fields, positions)
+            # contiguous per-segment runs (sorted within the partition)
+            bounds = np.flatnonzero(np.diff(segs)) + 1
+            starts = np.concatenate(([0], bounds))
+            stops = np.concatenate((bounds, [len(segs)]))
+            for s, e in zip(starts, stops):
+                seg = int(segs[s])
+                if seg != cur_seg:
+                    close_writer()
+                    cur_seg = seg
+                    next_id = 0
+                sl = tok.slice(int(s), int(e - s))
+                ids = pa.array(
+                    np.arange(next_id, next_id + len(sl), dtype=np.int32))
+                next_id += len(sl)
+                out = pa.Table.from_batches([sl]).drop_columns(
+                    ["segment_ord"]).append_column("doc_id", ids)
+                if writer is None:
+                    seg_dir = os.path.join(docmap_path, f"segment_ord={seg}")
+                    os.makedirs(seg_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(seg_dir, f"part-{pid:05d}.parquet"),
+                        out.schema)
+                writer.write_table(out)
+                rows_out[seg] = rows_out.get(seg, 0) + len(sl)
+        close_writer()
+        if rows_out:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sorted(rows_out), type=pa.int32()),
+                 pa.array([rows_out[k] for k in sorted(rows_out)],
+                          type=pa.int64())],
+                ["segment_ord", "n_docs"])
+
+    (
+        base.repartition(n_part, "__pid").drop("__pid")
+        .sortWithinPartitions(F.col("segment_ord").asc(), *order)
+        .mapInArrow(write_batches, schema="segment_ord int, n_docs long")
+        .collect()
+    )
+
+
 def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
                  fixed_segment_ord: int | None = None) -> DataFrame:
     """Tokenized corpus with stable per-segment dense doc ids.
@@ -305,15 +544,7 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
     tokenizer = cfg.tokenizer
     positions = cfg.positions
     extra_fields = tuple(cfg.extra_fields)
-    reserved = {"doc_id", "segment_ord", "fieldnorm_id", "terms",
-                "token_count", "positions", "term_fns", "__pid"}
-    clash = reserved & set(source.columns)
-    if clash:
-        # a source column with an internal docmap name would be silently
-        # overwritten by the build (and break the merge remap later)
-        raise ValueError(
-            f"source columns {sorted(clash)} collide with reserved "
-            "internal docmap column names — rename them before indexing")
+    _check_reserved(source)
 
     tok_schema = "terms array<string>"
     if positions:
@@ -395,42 +626,7 @@ def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
                 out["fieldnorm_id"] = np.asarray(fn_ids, dtype=np.int32)
             yield out
 
-    if fixed_segment_ord is not None:
-        seg = F.lit(int(fixed_segment_ord)).cast("int")
-    else:
-        seg = F.pmod(F.xxhash64(F.col(cfg.segment_col)), F.lit(cfg.n_segments)).cast("int")
-    # keep ALL non-text source columns: the docmap doubles as the fast-field
-    # column store (parquet is already columnar+bitpacked — the reference's
-    # .fast file role, ARCHITECTURE.md:161-166)
-    base = source.withColumn("segment_ord", seg)
-
-    if cfg.date_precision is not None:
-        # DateOptions fast-field truncation (date_time_options.rs
-        # DateTimePrecision): applied at index time to every timestamp
-        # column riding into the docmap's fast-field store
-        prec = cfg.date_precision
-        if prec not in ("seconds", "milliseconds", "microseconds"):
-            raise ValueError(f"unknown date_precision {prec!r}")
-        for f_ in base.schema.fields:
-            if f_.dataType.simpleString() != "timestamp":
-                continue
-            col = F.col(f_.name)
-            if prec == "seconds":
-                trunc = F.date_trunc("second", col)
-            elif prec == "milliseconds":
-                trunc = F.timestamp_micros(
-                    (F.unix_micros(col) / 1000).cast("long") * 1000)
-            else:  # microseconds — parquet native precision
-                trunc = col
-            base = base.withColumn(f_.name, trunc)
-
-    # index sorting (index_meta.rs:288-398): optional fast-field order
-    # first, key_cols as the deterministic tiebreak
-    order = [F.col(c) for c in cfg.key_cols]
-    if cfg.sort_by_field is not None:
-        fld, direction = cfg.sort_by_field
-        lead = F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
-        order = [lead] + order
+    base, order = _docmap_base(source, cfg, fixed_segment_ord)
     w = Window.partitionBy("segment_ord").orderBy(*order)
 
     if (cfg.jvm_tokenize and tokenizer == "default"
@@ -1001,22 +1197,31 @@ def build_index(
 
     if not (resume and _stage_done(index_dir, "docmap")):
         t = time.time()
-        docmap = build_docmap(spark, source, cfg)
-        # the window already shuffled by segment_ord (into
-        # spark.sql.shuffle.partitions tasks); write directly from that
-        # partitioning — re-repartitioning to exactly n_segments would be a
-        # balls-in-bins hash with straggler partitions holding 2+ segments.
-        # (A/B note: persisting the tokenized frame for the downstream
-        # stages was tried and reverted — the cached plan does not carry
-        # its partitioning under AQE, so the groupBy re-shuffle stays, and
-        # the extra cache-write pass costs more than the parquet re-read
-        # it saves on this box.)
-        (
-            docmap.sortWithinPartitions("segment_ord", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("segment_ord")
-            .parquet(docmap_path)
-        )
+        if (cfg.postings_mode == "segment" and cfg.jvm_tokenize
+                and cfg.tokenizer == "default"
+                and cfg.tokenize_engine == "arrow"):
+            # fused direct-IO stage 1: the only data crossing the shuffle
+            # is raw text; tokens are written to parquet by the same
+            # Python worker that produced them (no JVM round-trip, no id
+            # window, no writer re-sort) — see build_docmap_segment_files
+            build_docmap_segment_files(spark, source, docmap_path, cfg)
+        else:
+            docmap = build_docmap(spark, source, cfg)
+            # the window already shuffled by segment_ord (into
+            # spark.sql.shuffle.partitions tasks); write directly from that
+            # partitioning — re-repartitioning to exactly n_segments would
+            # be a balls-in-bins hash with straggler partitions holding 2+
+            # segments.  (A/B note: persisting the tokenized frame for the
+            # downstream stages was tried and reverted — the cached plan
+            # does not carry its partitioning under AQE, so the groupBy
+            # re-shuffle stays, and the extra cache-write pass costs more
+            # than the parquet re-read it saves on this box.)
+            (
+                docmap.sortWithinPartitions("segment_ord", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("segment_ord")
+                .parquet(docmap_path)
+            )
         _mark_done(index_dir, "docmap")
         stage_times["docmap"] = time.time() - t
 

@@ -21,7 +21,13 @@ def get_spark(
     # set) and the master / executor topology comes from the launch command;
     # only force local[k] when running as a plain python process
     if "PYSPARK_GATEWAY_PORT" not in os.environ:
-        builder = builder.master(f"local[{cores}]")
+        # SPARK_GRAFT_MASTER overrides the master string — used by the
+        # scaling bench to run the SAME job on separate executor
+        # processes (e.g. local-cluster[4,2,8192]: 4 executor JVMs x 2
+        # cores, the literal N-vs-4N-executors experiment) instead of
+        # local[k] threads in one JVM
+        builder = builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
     builder = (
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -35,6 +41,10 @@ def get_spark(
             os.environ.get("SPARK_ARROW_BATCH", "65536"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # only meaningful under a non-local master (local-cluster / real
+        # cluster); harmless under local[k]
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEM", "6g"))
         .config("spark.ui.enabled", "false")
     )
     # SPARK_LOCAL_DIRS overrides shuffle/spill dirs (A/B-measured: tmpfs

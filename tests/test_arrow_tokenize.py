@@ -202,6 +202,109 @@ class TestDocmapEquality:
             frames.append(f)
         pd.testing.assert_frame_equal(frames[0], frames[1])
 
+    def test_placement_matches_spark_hash_partitioning(self, spark):
+        """The fused stage-1 plans segment->partition placement driver-side
+        with a pure-Python Murmur3; it must match Spark's F.hash /
+        HashPartitioning bit-for-bit, and the crafted __pid column must
+        land every segment in its own partition."""
+        from tantivy_spark.operators.build import (_placement_values,
+                                                   _spark_mmh3_int)
+
+        rows = (spark.range(-50, 500)
+                .select(F.col("id").cast("int").alias("i"))
+                .withColumn("h", F.hash("i")).collect())
+        assert all(r.h == _spark_mmh3_int(r.i) for r in rows)
+
+        place = _placement_values(16, 32)
+        pdf = spark.createDataFrame(
+            [(s,) for s in range(16) for _ in range(5)], "segment_ord int")
+        pdf = pdf.withColumn(
+            "__pid", F.element_at(F.array(*[F.lit(v) for v in place]),
+                                  F.col("segment_ord") + 1))
+        got = (pdf.repartition(32, "__pid").drop("__pid")
+               .withColumn("p", F.spark_partition_id())
+               .select("segment_ord", "p").distinct().collect())
+        assert all(r.p == r.segment_ord % 32 for r in got)
+        # round-robin when segments > partitions
+        place8 = _placement_values(20, 8)
+        assert [_spark_mmh3_int(v) % 8 for v in place8] == \
+            [s % 8 for s in range(20)]
+
+    def test_fused_direct_io_build_identical(self, spark, tmp_path):
+        """The fused stage-1 (build_docmap_segment_files: text-only
+        shuffle, ids + parquet write inside the tokenize task) must
+        produce the same index as the legacy DataFrame path — same docmap
+        rows AND ids, same Spark-read schema (incl. timestamp columns
+        round-tripped through the pyarrow writer), byte-identical
+        postings and terms tables."""
+        import datetime
+
+        from tantivy_spark.operators.build import build_index
+
+        rng = random.Random(41)
+        pool = EDGE_TEXTS[4:] + ["plain text turn", "Σ İ Ⱥ mixed 𝟙𝟚", None]
+        n = 700
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i % 53}" for i in range(n)],
+            "turn_idx": [i // 53 for i in range(n)],
+            "text": [rng.choice(pool) for _ in range(n)],
+            "nval": [rng.randrange(0, 10**6) for _ in range(n)],
+            "ts": [datetime.datetime(2024, 1, 1)
+                   + datetime.timedelta(seconds=rng.randrange(0, 10**7))
+                   for i in range(n)],
+        })
+        src = spark.createDataFrame(pdf)
+
+        def build(tag, **cfg_kw):
+            d = str(tmp_path / tag)
+            cfg = IndexConfig(n_segments=4, n_term_buckets=4, **cfg_kw)
+            build_index(spark, src, d, cfg)
+            dm = spark.read.parquet(d + "/docmap")
+            po = spark.read.parquet(d + "/postings")
+            te = spark.read.parquet(d + "/terms")
+            return dm, po, te
+
+        dm_f, po_f, te_f = build("fused")  # defaults: segment+arrow = fused
+        dm_l, po_l, te_l = build("legacy", postings_mode="local",
+                                 jvm_tokenize=False)
+
+        assert dict(dm_f.dtypes) == dict(dm_l.dtypes)
+
+        def norm_dm(dm):
+            f = (dm.select("conv_id", "turn_idx", "segment_ord", "doc_id",
+                           "terms", "token_count", "fieldnorm_id", "nval",
+                           F.col("ts").cast("long").alias("ts_us"))
+                 .toPandas()
+                 .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+            f["terms"] = f["terms"].map(list)
+            return f
+
+        pd.testing.assert_frame_equal(norm_dm(dm_f), norm_dm(dm_l))
+
+        def norm_post(po):
+            f = (po.select("tbucket", "term", "segment_ord", "doc_freq",
+                           "sum_tf", "max_tf",
+                           F.hex(F.col("doc_enc")).alias("doc_enc"),
+                           F.hex(F.col("tf_enc")).alias("tf_enc"),
+                           F.hex(F.col("fnorm_enc")).alias("fnorm_enc"),
+                           "block_last", "bm_norm_id", "bm_tf")
+                 .toPandas()
+                 .sort_values(["tbucket", "term", "segment_ord"])
+                 .reset_index(drop=True))
+            for c in ("block_last", "bm_norm_id", "bm_tf"):
+                f[c] = f[c].map(list)
+            return f
+
+        pd.testing.assert_frame_equal(norm_post(po_f), norm_post(po_l))
+
+        def norm_terms(te):
+            return (te.select("tbucket", "term", "segment_ord", "doc_freq",
+                              "sum_tf", "tlen").toPandas()
+                    .sort_values(["tbucket", "term", "segment_ord"])
+                    .reset_index(drop=True))
+
+        pd.testing.assert_frame_equal(norm_terms(te_f), norm_terms(te_l))
+
     def test_positions_docmap_matches_pandas(self, spark):
         rng = random.Random(9)
         pool = EDGE_TEXTS[4:] + ["plain text turn", "longtok " + "z" * 50]
