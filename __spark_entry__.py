@@ -195,6 +195,37 @@ def _mfkb_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _ivfseg_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Docs index carrying a per-segment IVF vector component through the
+    SegmentPlugin hook (operators/vector_index.py): per-segment k-means
+    codebook + cluster member lists, built inside the index build and
+    pruned by the live-segment set like every other component."""
+    from tantivy_spark.operators.vector_index import ivf_segment_component
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(_IDX_ROOT, f"docs-ivfseg-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            segment_col="ext_id",
+            n_segments=4,
+            n_term_buckets=8,
+        )
+        plug = ivf_segment_component(
+            _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
+            doc_key="ext_id", vec_key="vec_id",
+            n_clusters=4, iters=3,
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            build_index(spark, _documents(spark, sf_dir), index_dir, cfg,
+                        plugins={"ivf": plug}, resume=True)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _topk(spark: SparkSession, sf_dir: str, query: L.Query, k: int,
           mode: str = "taat64", ids_only: bool = False,
           searcher=None) -> DataFrame:
@@ -846,6 +877,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["ann_ivf_top10"] = _ann_ivf
 
+    def _ann_ivf_segment(s, d):
+        # per-segment IVF component (SegmentPlugin): nprobe = n_clusters
+        # scans every cluster of every live segment -> exact flat search
+        # (oracle-comparable); pruned-probe recall is pytest-covered
+        # (tests/test_vector_index.py)
+        from tantivy_spark.operators.vector_index import ivf_segment_topk
+
+        return ivf_segment_topk(
+            _ivfseg_searcher(s, d), _qvec(s, d), k=10, nprobe=4,
+            key_alias="vec_id",
+        ).withColumn("cosine", F.round("cosine", 6))
+
+    Q["ann_ivf_segment_top10"] = _ann_ivf_segment
+
     def _lang_id_input(s, d):
         # mixed-language slice: the (English-ish) documents corpus plus
         # the deterministic multilingual sample rows — exercises all 15
@@ -907,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fingerprint", "text_stopword_multilang",
     ]
     never_sampled = [
+        "ann_ivf_segment_top10",
         "ft_delete_query_top10", "agg_composite_typed",
         "agg_terms_order_metric", "agg_date_histogram_fixed",
         "agg_histogram_value",          # oracle changed to gap-filled
@@ -1554,6 +1600,19 @@ pairs AS (
 sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
          FROM pairs GROUP BY vec_id)
 -- nprobe = n_clusters -> IVF is exact, equals the flat cosine scan
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+    # per-segment IVF component probed with nprobe = n_clusters scans
+    # every member of every live segment -> exact flat cosine (members =
+    # documents ∩ embeddings, which is every vec_id <> 0 here)
+    O["ann_ivf_segment_top10"] = """
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.embedding)::DOUBLE AS y
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+sums AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id)
 SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
     # multi-language stopword-ratio argmax over the 15 in-repo stop

@@ -631,16 +631,9 @@ def ivf_train(df: DataFrame, key_col: str, vec_col: str,
     mat = np.array([r["_v"] for r in sdf.collect()], dtype=np.float64)
     if len(mat) == 0:
         raise ValueError("ivf_train: empty input")
-    n_clusters = min(n_clusters, len(mat))
-    centroids = mat[:n_clusters].copy()
-    for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(n_clusters):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    from tantivy_spark.operators.vector_index import lloyd_kmeans
+
+    return lloyd_kmeans(mat, n_clusters, iters)
 
 
 def ivf_assign(df: DataFrame, key_col: str, vec_col: str,
