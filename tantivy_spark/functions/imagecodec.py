@@ -18,10 +18,11 @@ formats that need nothing beyond the standard library:
   tests against the JVM's ImageIO reader.
 
 plus a minimal PNG *encoder* (filter 0 scanlines) so tests can build
-real files and round-trip them.  WEBP and the audio/video container
-formats stay explicitly unsupported (`ValueError`) — those genuinely
-need codec libraries, and the pipeline's deterministic-fake path covers
-their plumbing.
+real files and round-trip them.  Lossless WebP (VP8L) is real too —
+see `webpcodec.py`, bit-exact vs the official libwebp.  Lossy WebP
+(VP8) and the audio/video container formats stay explicitly
+unsupported (`ValueError`) — those genuinely need codec libraries, and
+the pipeline's deterministic-fake path covers their plumbing.
 
 Every decoder returns `(H, W, C)` with C in {1, 2, 3, 4} — uint8, or
 uint16 for 16-bit PNGs.
@@ -848,11 +849,14 @@ _DECODERS = (
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-sniffing dispatch.  Raises ValueError for formats that need
-    real codec libraries (JPEG, WEBP, ...)."""
+    real codec libraries (lossy WEBP, AVIF, ...)."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from .webpcodec import decode_webp
+        return decode_webp(blob)
     for magic, fn in _DECODERS:
         if blob.startswith(magic):
             return fn(blob)
     raise ValueError(
         f"unsupported image format (magic {blob[:4]!r}); "
-        "WEBP/AVIF/... need codec libraries not present in this "
+        "AVIF/... need codec libraries not present in this "
         "environment")
