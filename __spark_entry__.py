@@ -73,6 +73,24 @@ def _lang_samples_values() -> str:
     return ",".join(
         "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in _LANG_SAMPLES
     )
+
+
+# deterministic PII-bearing rows for the text_pii entry (the synthetic
+# documents corpus contains no emails/IPs/phones, so these exercise the
+# detectors; reproduced verbatim as VALUES in the oracle SQL)
+_PII_SAMPLES = (
+    (-201, "Contact me at john.doe+spam@example.co.uk or at work"),
+    (-202, "server at 192.168.1.254 and 10.0.0.1, call +1 (650) 555-0199"),
+    (-203, "no pii here at all"),
+    (-204, "mail: A.B@x.io; backup a_b%c@sub.domain.org phone +44 20 7946 0958"),
+    (-205, "tag x1.2.3.4x fails the word boundary but 8.8.8.8 matches"),
+)
+
+
+def _pii_samples_values() -> str:
+    return ",".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in _PII_SAMPLES
+    )
 _IDX_ROOT = "/tmp/tantivy_spark_index"
 _SEARCHERS: dict[str, Searcher] = {}
 
@@ -939,6 +957,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_stopword_multilang"] = _multilang_stop
 
+    def _contamination(s, d):
+        # benchmark decontamination: a deterministic 1/7 slice of the
+        # corpus plays the eval set; per-train-doc 8-gram overlap
+        docs = _tbl(s, d, "documents")
+        train = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("bid"), "text")
+        return P.ngram_contamination(train, bench, "doc_id", "text",
+                                     "bid", "text", n=8)
+
+    Q["text_contamination"] = _contamination
+
+    def _repetition(s, d):
+        # sentence breaks become newlines so the duplicate-line filter
+        # has lines to see (literal replace — identical in DuckDB)
+        docs = _tbl(s, d, "documents").select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(". "), F.lit("\n")).alias("text"))
+        return P.repetition_features(docs, "doc_id")
+
+    Q["text_repetition"] = _repetition
+
+    def _pii(s, d):
+        docs = _tbl(s, d, "documents").select("doc_id", "text")
+        extra = s.createDataFrame(list(_PII_SAMPLES),
+                                  "doc_id long, text string")
+        return P.pii_features(docs.unionByName(extra), "doc_id")
+
+    Q["text_pii"] = _pii
+
     # Put the never-driver-verified entries FIRST: the driver samples
     # queries() in dict order (50 of 68 in r2), and through round 2 the
     # dedup/ann/text entries (plus the new per-field-kb entry) had never
@@ -952,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fingerprint", "text_stopword_multilang",
     ]
     never_sampled = [
+        "text_contamination", "text_repetition", "text_pii",
         "ann_ivf_segment_top10",
         "ft_delete_query_top10", "agg_composite_typed",
         "agg_terms_order_metric", "agg_date_histogram_fixed",
@@ -1808,6 +1857,99 @@ ORDER BY key_a, key_b"""
     # the tokenize/route/anti-join/aggregate pipeline)
     from tantivy_spark.functions.analysis import get_stopwords
 
+    # benchmark decontamination: distinct 8-token shingles of each train
+    # doc (1/7 corpus slice = eval set) joined against the eval shingles
+    # — identical tokenization/shingling to pipeline.shingles_df
+    O["text_contamination"] = """
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+bench AS (SELECT doc_id AS bid, text FROM documents WHERE doc_id % 7 = 0),
+ttoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     t -> t <> '' AND length(t) < 40) AS tk FROM train),
+btoks AS (SELECT bid, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '' AND length(t) < 40) AS tk FROM bench),
+tsh AS (
+  SELECT DISTINCT doc_id AS key, array_to_string(tk[i:i+7], ' ') AS shingle
+  FROM ttoks, unnest(range(1, len(tk) - 8 + 2)) r(i) WHERE len(tk) >= 8
+),
+bsh AS (
+  SELECT DISTINCT bid, array_to_string(tk[i:i+7], ' ') AS shingle
+  FROM btoks, unnest(range(1, len(tk) - 8 + 2)) r(i) WHERE len(tk) >= 8
+),
+per AS (SELECT key, count(*)::BIGINT AS n_shingles FROM tsh GROUP BY key),
+hits AS (
+  SELECT tsh.key, count(DISTINCT tsh.shingle)::BIGINT AS contaminated,
+         count(DISTINCT bsh.bid)::BIGINT AS bench_docs_hit
+  FROM tsh JOIN bsh ON tsh.shingle = bsh.shingle GROUP BY tsh.key
+)
+SELECT t.doc_id AS key,
+       coalesce(per.n_shingles, 0) AS n_shingles,
+       coalesce(hits.contaminated, 0) AS contaminated,
+       round(CASE WHEN coalesce(per.n_shingles, 0) > 0
+             THEN coalesce(hits.contaminated, 0)::DOUBLE / per.n_shingles
+             ELSE 0.0 END, 6) AS contaminated_frac,
+       coalesce(hits.bench_docs_hit, 0) AS bench_docs_hit
+FROM train t LEFT JOIN per ON t.doc_id = per.key
+LEFT JOIN hits ON t.doc_id = hits.key"""
+    # Gopher-style repetition filters over the sentence-break-to-newline
+    # variant; top_token_frac = max token multiplicity / n (the Spark
+    # side computes it as the longest run in the sorted token array)
+    O["text_repetition"] = r"""
+WITH src AS (SELECT doc_id, replace(text, '. ', chr(10)) AS text FROM documents),
+tk AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '' AND length(t) < 40) AS tk
+  FROM src
+),
+feats AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS g2,
+    CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk)-1),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS g3,
+    tk
+  FROM tk
+),
+runs AS (
+  SELECT doc_id,
+    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tk) u(t) GROUP BY t) m) AS top_cnt,
+    len(tk) AS n
+  FROM feats
+)
+SELECT f.doc_id,
+  round(CASE WHEN len(lines) > 0
+        THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN len(g2) > 0
+        THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+        ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+        ELSE 0.0 END, 6) AS dup_3gram_frac,
+  round(CASE WHEN runs.n > 0 THEN runs.top_cnt::DOUBLE / runs.n
+        ELSE 0.0 END, 6) AS top_token_frac
+FROM feats f JOIN runs ON f.doc_id = runs.doc_id"""
+    # PII detection counts: RE2-compatible patterns run verbatim by both
+    # engines (pipeline.PII_PATTERNS)
+    O["text_pii"] = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_pii_samples_values()}) v(doc_id, text)
+),
+c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))::INT AS n_email,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))::INT AS n_ipv4,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\\+[0-9][0-9 ()-]{{6,}}[0-9]'))::INT AS n_phone
+  FROM src
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       (n_email + n_ipv4 + n_phone) > 0 AS has_pii FROM c"""
     stop_vals = ",".join(
         "('%s','%s')" % (lang, w.replace("'", "''"))
         for lang in ("de", "en", "es", "fr")

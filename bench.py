@@ -210,6 +210,8 @@ def _query_workload(spark, sf_dir: str) -> dict[str, float]:
         # round-2 operators
         "dedup_simhash", "dedup_minhash_lsh", "ann_lsh_top10",
         "text_stopword_multilang", "ft_parsed_date_range",
+        # round-3 training-pipeline operators
+        "text_contamination", "text_repetition", "text_pii",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).collect())
     return times

@@ -817,3 +817,151 @@ def rolling_fingerprints(df: DataFrame, key_col: str, text_col: str = "text",
     prepped = df.select(F.col(key_col), tokens_col(text_col).alias("_toks"))
     ktype = dict(df.dtypes)[key_col]
     return prepped.mapInPandas(batches, schema=f"key {ktype}, min_rolling_hash long")
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame, key_col: str,
+                        text_col: str = "text", bench_key: str = "key",
+                        bench_text: str = "text", n: int = 8,
+                        broadcast_bench: bool = False) -> DataFrame:
+    """Per-doc overlap with a benchmark/eval set: the standard
+    decontamination pass of an LLM training pipeline (drop or flag train
+    docs sharing long n-grams with eval data).
+
+    Returns (key, n_shingles, contaminated, contaminated_frac,
+    bench_docs_hit) per doc — `contaminated` counts the doc's DISTINCT
+    n-token shingles that occur anywhere in the benchmark set.
+
+    Scale: shingle co-occurrence join keyed on the shingle — never
+    all-pairs.  The benchmark side is usually bounded (eval suites, not
+    corpora): pass broadcast_bench=True to skip its shuffle; the default
+    keeps both sides shuffled (the r2 lesson: per-doc side tables must
+    never be broadcast by default).  Docs with fewer than n tokens have
+    zero shingles and report 0 contamination.
+    """
+    doc_sh = shingles_df(docs, key_col, text_col, n)
+    bench_sh = (shingles_df(bench, bench_key, bench_text, n)
+                .select(F.col("key").alias("bkey"), "shingle"))
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    else:
+        bench_sh = bench_sh.hint("shuffle_hash")
+    per_doc = doc_sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("key")
+        .agg(F.countDistinct("shingle").alias("contaminated"),
+             F.countDistinct("bkey").alias("bench_docs_hit"))
+    )
+    out_key = docs.select(F.col(key_col).alias("key"))
+    return (
+        out_key.join(per_doc.hint("shuffle_hash"), "key", "left")
+        .join(hits.hint("shuffle_hash"), "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            F.round(
+                F.when(F.coalesce("n_shingles", F.lit(0)) > 0,
+                       F.coalesce("contaminated", F.lit(0)).cast("double")
+                       / F.col("n_shingles")).otherwise(0.0), 6,
+            ).alias("contaminated_frac"),
+            F.coalesce("bench_docs_hit", F.lit(0)).alias("bench_docs_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition features (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def repetition_features(df: DataFrame, key_col: str,
+                        text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals, the Gopher/MassiveText-style filters
+    (Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate 2-gram /
+    3-gram occurrence fractions (1 - distinct/total), and the most
+    frequent token's occurrence fraction.
+
+    Pure Catalyst projection, zero shuffles.  top_token_frac avoids the
+    O(distinct x total) count-each-distinct shape: it sorts the token
+    array and takes the longest equal run via one linear aggregate fold
+    — O(n log n) per doc, safe for arbitrarily long documents.
+    """
+    toks = tokens_col(text_col)
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != "")
+
+    def dup_frac(arr):
+        total = F.size(arr)
+        return F.round(
+            F.when(total > 0,
+                   (total - F.size(F.array_distinct(arr))).cast("double")
+                   / total).otherwise(0.0), 6)
+
+    def grams(k: int):
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # longest equal run in the sorted token array: fold with a
+    # (prev, run, best) struct accumulator
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    fold = F.aggregate(
+        F.array_sort(toks), zero,
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(key_col),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+        F.round(F.when(n > 0, fold["best"].cast("double") / n)
+                .otherwise(0.0), 6).alias("top_token_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection (counts for filtering/redaction decisions)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the RE2-compatible subset (no lookaround, ASCII
+# \d), so the DuckDB oracle runs the IDENTICAL pattern: what Spark's Java
+# regex and DuckDB's RE2 both scan leftmost-non-overlapping.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def pii_features(df: DataFrame, key_col: str,
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (emails / IPv4 addresses / international
+    phone numbers) + a has_pii flag — the inputs to a redaction or
+    drop-document policy.  Pure Catalyst regexp projection, zero
+    shuffles; detection only (redaction is `regexp_replace` with the
+    same patterns, left to the caller's policy)."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    counts = [
+        F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(key_col), *counts)
+    total = sum((F.col(f"n_{name}") for name in PII_PATTERNS),
+                F.lit(0))
+    return out.withColumn("has_pii", total > 0)

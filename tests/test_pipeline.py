@@ -374,3 +374,68 @@ def test_bucket_cap_guards(docs):
     sh_cap = P.simhash_pairs(docs, "id", max_hamming=6,
                              max_bucket=10_000).count()
     assert sh_base == sh_cap
+
+
+def test_ngram_contamination(docs):
+    # bench = doc 0's text: docs 0,1 fully contaminated (6 shingles of
+    # n=3 over 8 tokens), doc 2 shares the 5-token prefix -> 3 of its 6
+    # 3-gram shingles; others untouched
+    bench = docs.filter(F.col("id") == 0).select(
+        F.col("id").alias("bid"), "text")
+    out = {r["key"]: r for r in P.ngram_contamination(
+        docs, bench, "id", "text", "bid", "text", n=3).collect()}
+    assert len(out) == 8
+    assert out[0]["contaminated"] == out[0]["n_shingles"] == 6
+    assert out[0]["contaminated_frac"] == 1.0
+    assert out[1]["contaminated_frac"] == 1.0
+    # doc 2 shares the 7-token prefix with doc 0 -> 5 of its 6 shingles
+    assert out[2]["n_shingles"] == 6 and out[2]["contaminated"] == 5
+    assert out[2]["bench_docs_hit"] == 1
+    assert out[3]["contaminated"] == 0 and out[3]["contaminated_frac"] == 0.0
+    assert out[7]["n_shingles"] == 0  # 2 tokens < n -> no shingles
+
+    # broadcast_bench only changes the plan, never the result
+    bcast = {r["key"]: r["contaminated"] for r in P.ngram_contamination(
+        docs, bench, "id", "text", "bid", "text", n=3,
+        broadcast_bench=True).collect()}
+    assert bcast == {k: v["contaminated"] for k, v in out.items()}
+
+
+def test_repetition_features(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "text": [
+            "spam spam spam spam",                    # one token repeated
+            "a b\na b\nc d",                          # duplicate line
+            "alpha beta gamma delta",                 # clean
+            "",                                       # empty
+        ],
+    })
+    out = {r["id"]: r for r in P.repetition_features(
+        spark.createDataFrame(pdf), "id").collect()}
+    # "spam spam spam spam": 3 bigrams all equal -> dup frac 2/3;
+    # top token fraction 4/4
+    assert out[0]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[0]["top_token_frac"] == 1.0
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[3]["top_token_frac"] == 0.0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_pii_features(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "text": [
+            "reach me at First.Last+x@corp.example.com today",
+            "hosts 10.0.0.1 and 192.168.0.254; tag x1.2.3.4x is no match",
+            "call +1 (650) 555-0199 or +44 20 7946 0958",
+            "nothing sensitive here",
+        ],
+    })
+    out = {r["id"]: r for r in P.pii_features(
+        spark.createDataFrame(pdf), "id").collect()}
+    assert out[0]["n_email"] == 1 and out[0]["has_pii"]
+    assert out[1]["n_ipv4"] == 2 and out[1]["n_email"] == 0
+    assert out[2]["n_phone"] == 2
+    assert not out[3]["has_pii"]
