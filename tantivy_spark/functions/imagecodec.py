@@ -18,11 +18,12 @@ formats that need nothing beyond the standard library:
   tests against the JVM's ImageIO reader.
 
 plus a minimal PNG *encoder* (filter 0 scanlines) so tests can build
-real files and round-trip them.  Lossless WebP (VP8L) is real too —
-see `webpcodec.py`, bit-exact vs the official libwebp.  Lossy WebP
-(VP8) and the audio/video container formats stay explicitly
-unsupported (`ValueError`) — those genuinely need codec libraries, and
-the pipeline's deterministic-fake path covers their plumbing.
+real files and round-trip them.  WebP is real too — lossless VP8L in
+`webpcodec.py` and lossy VP8 (full RFC 6386 keyframe decode incl. the
+loop filter, plus ALPH alpha chunks) in `vp8codec.py`, both bit-exact
+vs the official libwebp.  The audio/video container formats stay
+explicitly unsupported (`ValueError`) — the pipeline's
+deterministic-fake path covers their plumbing.
 
 Every decoder returns `(H, W, C)` with C in {1, 2, 3, 4} — uint8, or
 uint16 for 16-bit PNGs.
@@ -849,7 +850,7 @@ _DECODERS = (
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Magic-sniffing dispatch.  Raises ValueError for formats that need
-    real codec libraries (lossy WEBP, AVIF, ...)."""
+    real codec libraries (AVIF, ...)."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         from .webpcodec import decode_webp
         return decode_webp(blob)

@@ -560,22 +560,89 @@ def _apply_inverse_transforms(argb: np.ndarray, transforms) -> np.ndarray:
 # Container + entry point
 # ---------------------------------------------------------------------------
 
-def _find_vp8l(blob: bytes) -> bytes:
+def _find_bitstream(blob: bytes):
+    """Walk the RIFF container.  Returns (fourcc, payload, alpha_payload)
+    for the first VP8L (lossless) or VP8 (lossy) chunk; alpha_payload is
+    the ALPH chunk body when present (lossy + alpha, container spec §
+    "Alpha")."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) file")
     pos = 12
+    alpha = None
     while pos + 8 <= len(blob):
         fourcc = blob[pos: pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4: pos + 8])
         payload = blob[pos + 8: pos + 8 + size]
-        if fourcc == b"VP8L":
-            return payload
-        if fourcc == b"VP8 ":
-            raise ValueError(
-                "lossy (VP8) WebP needs a video-codec library; only "
-                "lossless VP8L is implemented (inject decoder= for lossy)")
+        if fourcc in (b"VP8L", b"VP8 "):
+            return fourcc, payload, alpha
+        if fourcc == b"ALPH":
+            alpha = payload
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    raise ValueError("no VP8L chunk found")
+    raise ValueError("no VP8L/VP8 chunk found")
+
+
+def _find_vp8l(blob: bytes) -> bytes:
+    fourcc, payload, _ = _find_bitstream(blob)
+    if fourcc != b"VP8L":
+        raise ValueError("not a lossless (VP8L) WebP")
+    return payload
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """ALPH filtering inverse (libwebp filters.c, mod-256 arithmetic;
+    row 0 of every method falls back to horizontal with no prev row)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    out[0] = np.cumsum(plane[0], dtype=np.uint32).astype(np.uint8)
+    if method == 1:      # horizontal: pred = left; first col pred = above
+        for i in range(1, h):
+            row = np.cumsum(plane[i], dtype=np.uint32) + out[i - 1, 0]
+            out[i] = row.astype(np.uint8)
+    elif method == 2:    # vertical: pred = above (row 0 = horizontal)
+        corr = np.cumsum(plane[0], dtype=np.uint32) - plane[0]
+        out = (np.cumsum(plane.astype(np.uint32), axis=0)
+               + corr[None, :]).astype(np.uint8)
+    else:                # gradient: pred = clip(left + above - above_left)
+        for i in range(1, h):
+            prev = out[i - 1]
+            left = int(prev[0])
+            tl = left
+            row = plane[i]
+            o = out[i]
+            for j in range(w):
+                top = int(prev[j])
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(row[j]) + g) & 0xFF
+                tl = top
+                o[j] = left
+    return out
+
+
+def _decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
+    """ALPH chunk -> (H, W) uint8 alpha plane.  Compression 0 = raw,
+    1 = VP8L-coded green channel with externally-supplied dimensions."""
+    head = payload[0]
+    compression = head & 3
+    filt = (head >> 2) & 3
+    pre = (head >> 4) & 3
+    if pre != 0:
+        raise ValueError("ALPH preprocessed-levels (lossy alpha) is not "
+                         "implemented (inject decoder= for these)")
+    data = payload[1:]
+    if compression == 0:
+        plane = np.frombuffer(data[: width * height],
+                              dtype=np.uint8).reshape(height, width).copy()
+    elif compression == 1:
+        bits = _Bits(data)
+        argb, transforms = _decode_image_stream(bits, width, height, True)
+        argb = _apply_inverse_transforms(argb, transforms)
+        plane = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(height, width)
+    else:
+        raise ValueError(f"bad ALPH compression method {compression}")
+    return _unfilter_alpha(plane, filt)
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
@@ -600,5 +667,13 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
-    """Decode a lossless WebP file to (H, W, 4) uint8 RGBA."""
-    return decode_vp8l(_find_vp8l(blob))
+    """Decode a WebP file (lossless VP8L, lossy VP8, or lossy + ALPH
+    alpha) to (H, W, 4) uint8 RGBA, bit-exact vs WebPDecodeRGBA."""
+    fourcc, payload, alpha = _find_bitstream(blob)
+    if fourcc == b"VP8L":
+        return decode_vp8l(payload)
+    from .vp8codec import vp8_to_rgba
+    rgba = vp8_to_rgba(payload)
+    if alpha is not None:
+        rgba[..., 3] = _decode_alpha(alpha, rgba.shape[1], rgba.shape[0])
+    return rgba

@@ -154,16 +154,18 @@ def test_vp8x_container():
     assert np.array_equal(decode_webp(wrapped), W.decode_rgba(LIB, wrapped))
 
 
-def test_lossy_rejected_with_clear_error():
+def test_lossy_dispatches_to_vp8():
+    """decode_webp routes "VP8 " chunks to the lossy decoder
+    (tests/test_vp8codec.py owns its parity suite)."""
     img = np.ascontiguousarray(_fixtures()["photo"])
     blob = W.encode_lossy(LIB, img, 75.0)
-    with pytest.raises(ValueError, match="lossy"):
-        decode_webp(blob)
+    assert np.array_equal(decode_webp(blob), W.decode_rgba(LIB, blob))
 
 
 def test_real_os_webp_files():
-    """Any .webp shipped with the OS/toolchain: lossless ones must be
-    bit-exact; lossy ones must raise the documented ValueError."""
+    """Any .webp shipped with the OS/toolchain must be bit-exact
+    (lossless AND lossy), except lossy-with-alpha which raises the
+    documented ValueError."""
     files = glob.glob("/root/.pyenv/versions/*/lib/python*/test/**/*.webp",
                       recursive=True)
     if not files:
@@ -179,7 +181,7 @@ def test_real_os_webp_files():
         try:
             got = decode_webp(blob)
         except ValueError as e:
-            assert "lossy" in str(e)
+            assert "ALPH" in str(e)
             continue
         assert np.array_equal(got, ref)
     assert seen > 0

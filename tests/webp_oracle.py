@@ -33,6 +33,13 @@ def load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.WebPFree.restype = None
     lib.WebPFree.argtypes = [ctypes.c_void_p]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     return lib
 
 
@@ -60,6 +67,31 @@ def encode_lossy(lib, rgba: np.ndarray, quality: float = 75.0) -> bytes:
     data = ctypes.string_at(out, n)
     lib.WebPFree(out)
     return data
+
+
+def decode_yuv(lib, blob: bytes):
+    """Official pre-upsampling planes: (Y, U, V) uint8 arrays, 4:2:0."""
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    ptr = lib.WebPDecodeYUV(blob, len(blob), ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(u), ctypes.byref(v),
+                            ctypes.byref(stride), ctypes.byref(uv_stride))
+    if not ptr:
+        raise RuntimeError("WebPDecodeYUV failed")
+    W, H, s, us = w.value, h.value, stride.value, uv_stride.value
+    uw, uh = (W + 1) // 2, (H + 1) // 2
+    Y = np.frombuffer(ctypes.string_at(ptr, s * H),
+                      dtype=np.uint8).reshape(H, s)[:, :W].copy()
+    U = np.frombuffer(ctypes.string_at(u, us * uh),
+                      dtype=np.uint8).reshape(uh, us)[:, :uw].copy()
+    V = np.frombuffer(ctypes.string_at(v, us * uh),
+                      dtype=np.uint8).reshape(uh, us)[:, :uw].copy()
+    lib.WebPFree(ptr)
+    return Y, U, V
 
 
 def decode_rgba(lib, blob: bytes) -> np.ndarray:
