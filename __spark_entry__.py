@@ -137,6 +137,34 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _input_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """The same documents corpus built with segment_assignment="input" —
+    the fused, shuffle-free single-pass build (tantivy's arrival-order
+    IndexWriter semantics, operators/build.py:build_fused_input).  Query
+    results must be identical to the hash-mode index (BM25 uses global
+    manifest stats; only the physical segment layout differs), so the
+    oracle is the same full-corpus BM25 CTE the hash entries use."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(_IDX_ROOT, f"docs-input-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            n_term_buckets=8,
+            positions=True,
+            segment_assignment="input",
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            # content-deterministic input partitioning (hash on the key),
+            # so the resulting segment layout is reproducible too
+            src = _documents(spark, sf_dir).repartition(4, "ext_id")
+            build_index(spark, src, index_dir, cfg, resume=True)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """A copy of the fulltext index with `delete_query(term "merge")`
     applied — address tombstones exercised through the driver contract.
@@ -423,6 +451,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, L.TermQuery("join"), 10, searcher=_delq_searcher(s, d))
     Q["ft_term_top10"] = lambda s, d: _topk(
         s, d, L.TermQuery("table"), 10)
+    # the fused shuffle-free build path (segment_assignment="input") must
+    # give bit-identical scores to the hash-mode index — same oracle CTEs
+    Q["ft_term_input_mode"] = lambda s, d: _topk(
+        s, d, L.TermQuery("table"), 10, searcher=_input_searcher(s, d))
+    Q["ft_phrase_input_mode"] = lambda s, d: _topk(
+        s, d, L.PhraseQuery(["fast", "table"]), 10,
+        searcher=_input_searcher(s, d))
     Q["ft_or_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.union(["spark", "key", "dup"]), 10)
     Q["ft_and_top10"] = lambda s, d: _topk(
@@ -1000,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fingerprint", "text_stopword_multilang",
     ]
     never_sampled = [
+        "ft_term_input_mode", "ft_phrase_input_mode",
         "text_contamination", "text_repetition", "text_pii",
         "ann_ivf_segment_top10",
         "ft_delete_query_top10", "agg_composite_typed",
@@ -1050,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT doc_id FROM tf WHERE term = 'merge')",
     )
     O["ft_term_top10"] = _bool_topk_sql([("should", "table", 1.0)], 10)
+    O["ft_term_input_mode"] = _bool_topk_sql([("should", "table", 1.0)], 10)
     O["ft_or_top10"] = _bool_topk_sql(
         [("should", "spark", 1.0), ("should", "key", 1.0), ("should", "dup", 1.0)], 10)
     O["ft_and_top10"] = _bool_topk_sql(
@@ -1296,6 +1333,8 @@ SELECT doc_id, round(score, 5) AS score FROM magg
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
     )
     O["ft_phrase_top10"] = _phrase_sql(["fast", "table"], 10, ids_only=False)
+    O["ft_phrase_input_mode"] = _phrase_sql(["fast", "table"], 10,
+                                            ids_only=False)
     _mixed_phrase_sql = f"""{_BM25_PRELUDE},
 tpos AS (
   SELECT d.doc_id, tk[i] AS term, i - 1 AS pos

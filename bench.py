@@ -107,6 +107,7 @@ def _hw_envelope() -> dict:
 
 
 _SRC_CACHE: dict[int, str] = {}
+_BYTES_CACHE: dict[int, int] = {}
 
 
 def _transcripts_parquet(spark, n_convs: int) -> str:
@@ -125,7 +126,8 @@ def _transcripts_parquet(spark, n_convs: int) -> str:
     return _SRC_CACHE[n_convs]
 
 
-def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> dict:
+def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
+                       mode: str = "input") -> dict:
     """Build the full index at `cores` parallelism over the pre-generated
     corpus.
 
@@ -133,6 +135,13 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> 
     partitioning) is IDENTICAL across parallelism levels — only the core
     count differs, so the scaling ratio isolates executor parallelism
     (the N vs 4N executor experiment of the north rule).
+
+    `mode` is IndexConfig.segment_assignment: "input" (default benched
+    configuration — the fused shuffle-free single-pass build, tantivy's
+    arrival-order IndexWriter semantics and the documented at-scale
+    path) or "hash" (content-deterministic assignment, one raw-text
+    exchange) — BOTH are measured and recorded every round so the two
+    numbers can be read against each other (BENCH.md).
     """
     from tantivy_spark.config import IndexConfig
     from tantivy_spark.operators.build import build_index
@@ -146,7 +155,8 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> 
     idx_dir = f"/tmp/tantivy_spark_bench/transcripts-{run_tag}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    cfg = IndexConfig(n_segments=32, n_term_buckets=16)
+    cfg = IndexConfig(n_segments=32, n_term_buckets=16,
+                      segment_assignment=mode)
 
     # untimed same-session warm build: a FRESH session's first build pays
     # ~2-3 s of one-off cost (codegen, Python-worker spawn, py4j paths)
@@ -162,6 +172,12 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> 
     src = spark.read.parquet(_transcripts_parquet(spark, n_convs or _N_CONVS))
     src = src.repartition(64).persist()
     n_turns = src.count()  # materialize input in memory outside the timed build
+    nc = n_convs or _N_CONVS
+    if nc not in _BYTES_CACHE:
+        from pyspark.sql import functions as F
+        _BYTES_CACHE[nc] = int(
+            src.select(F.sum(F.octet_length("text"))).collect()[0][0])
+    text_bytes = _BYTES_CACHE[nc]
 
     t0 = time.time()
     manifest = build_index(spark, src, idx_dir, cfg)
@@ -169,10 +185,13 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None) -> 
     src.unpersist()
     return {
         "cores": cores,
+        "mode": mode,
         "n_turns": n_turns,
         "total_tokens": manifest["total_tokens"],
+        "text_bytes": text_bytes,
         "index_sec": round(dt, 3),
         "turns_per_sec": round(n_turns / dt, 1),
+        "mb_per_sec": round(text_bytes / dt / 1e6, 1),
         "index_dir": idx_dir,
     }
 
@@ -292,10 +311,28 @@ def main() -> None:
             if i % 2 == 1:
                 runs_low.append(_index_transcripts(low, f"c{low}", scale_convs))
         r_low, r_high_s, eff = best_eff()
+        # transparency legs: the SAME experiment on the hash-assignment
+        # path (content-deterministic segments, one raw-text exchange) so
+        # both modes' scaling is on the record every round — the benched
+        # default above is segment_assignment="input" (the fused
+        # shuffle-free pass; see BENCH.md "segment assignment modes")
+        hash_low = _index_transcripts(low, f"h{low}", scale_convs,
+                                      mode="hash")
+        hash_high = _index_transcripts(high, f"h{high}", scale_convs,
+                                       mode="hash")
         scaling = {
             "low": {k: v for k, v in r_low.items() if k != "index_dir"},
             "high": {k: v for k, v in r_high_s.items() if k != "index_dir"},
             "efficiency_low_to_high": round(eff, 3),
+            "hash_mode": {
+                "low_sec": hash_low["index_sec"],
+                "high_sec": hash_high["index_sec"],
+                "efficiency_low_to_high": round(
+                    (hash_high["turns_per_sec"]
+                     / hash_low["turns_per_sec"]) / (high / low), 3),
+                "note": ("single pair, not best-of-N — recorded for "
+                         "cross-mode transparency, not as the criterion"),
+            },
             # the box's own scaling ceiling, measured Spark-free: any job
             # that streams memory lives under membw_eff (BENCH.md);
             # cpu_eff < 1 means the box wasn't delivering the cores at all
@@ -314,11 +351,20 @@ def main() -> None:
 
     # ---- headline indexing throughput at full parallelism ----------------
     r_full = _index_transcripts(CPUS, f"c{CPUS}")
+    r_full_hash = _index_transcripts(CPUS, f"ch{CPUS}", mode="hash")
     out["indexing"] = {
         "n_turns": r_full["n_turns"],
         "turns_per_sec": r_full["turns_per_sec"],
         "index_sec": r_full["index_sec"],
+        "mb_per_sec": r_full["mb_per_sec"],
+        "text_bytes": r_full["text_bytes"],
+        "mode": r_full["mode"],
         "cores": CPUS,
+        "hash_mode": {
+            "turns_per_sec": r_full_hash["turns_per_sec"],
+            "index_sec": r_full_hash["index_sec"],
+            "mb_per_sec": r_full_hash["mb_per_sec"],
+        },
     }
     out["scaling"] = scaling
 

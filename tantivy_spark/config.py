@@ -89,6 +89,28 @@ class IndexConfig:
     #: keeps the pure-Catalyst regexp path (zero Python workers —
     #: single/multi field, no positions; positions fall back to pandas).
     tokenize_engine: str = "arrow"
+    #: how documents are assigned to segments:
+    #: "hash" (default): segment = pmod(xxhash64(segment_col), n_segments).
+    #:   Content-deterministic — the same doc lands in the same segment no
+    #:   matter how the input is partitioned — at the cost of ONE raw-text
+    #:   exchange + within-partition sort (the only shuffle of the build).
+    #: "input": one segment per INPUT partition — the reference's actual
+    #:   IndexWriter semantics (index_writer.rs worker threads fill
+    #:   segments in arrival order; doc ids are ingestion order, not
+    #:   content-hashed).  ZERO shuffles: one fused mapInArrow pass per
+    #:   input split tokenizes, writes the docmap, encodes the postings
+    #:   and writes the term-dictionary slice (build.build_fused_input).
+    #:   Segment layout is deterministic given the same input partitioning
+    #:   (for parquet scans, pin spark.sql.files.maxPartitionBytes /
+    #:   minPartitionNum; a repartition()ed or persisted frame is already
+    #:   fixed) and is by construction independent of executor count —
+    #:   the 100-TB shape: n_segments/segment_col are ignored, segment
+    #:   size is bounded by the split size instead of corpus/n_segments.
+    #:   Requires postings_mode="segment", tokenizer="default",
+    #:   tokenize_engine="arrow".  Query results are identical to "hash"
+    #:   builds (scores use global manifest stats; only the physical
+    #:   layout differs).
+    segment_assignment: str = "hash"
     k1: float = 1.2
     b: float = 0.75
     #: per-field BM25 overrides, ((field, k1, b), ...) — the reference's

@@ -528,6 +528,142 @@ def build_docmap_segment_files(spark: SparkSession, source: DataFrame,
     )
 
 
+def build_fused_input(spark: SparkSession, source: DataFrame,
+                      docmap_path: str, postings_path: str,
+                      terms_path: str, cfg: IndexConfig) -> list[dict]:
+    """The whole build as ONE shuffle-free mapInArrow pass —
+    ``segment_assignment="input"``.
+
+    This is the reference's actual IndexWriter dataflow
+    (index_writer.rs: worker threads pull arriving documents and each
+    fills its own segment in arrival order; doc ids are ingestion
+    order): one Spark task per INPUT partition tokenizes its rows,
+    writes the segment's docmap parquet as it streams, then encodes the
+    segment's complete postings and writes the term-bucket files and
+    the term-dictionary slice — tokens never cross a shuffle, never
+    re-enter the JVM, and the docmap is never re-read.  The "hash" mode
+    keeps the content-deterministic assignment (one raw-text exchange);
+    this mode's layout is deterministic given the input partitioning
+    and — because there is no exchange — independent of executor count
+    by construction, which is exactly the N-vs-4N-identical-output
+    property the scaling criterion wants.
+
+    Scale shape: at 100 TB each task owns one input split (bounded by
+    spark.sql.files.maxPartitionBytes, so per-task memory is bounded by
+    the split size, not corpus/n_segments) and the job is a pure map —
+    no exchange to skew, nothing to salt.  Segment count = input split
+    count; the LogMergePolicy compacts small segments afterwards, like
+    the reference.
+
+    Returns per-segment lineage metrics (same rows `_segment_task`
+    produces), collected through the mapInArrow output — stage 3 needs
+    no stats jobs.
+    """
+    import shutil
+
+    _check_reserved(source)
+    base, order = _docmap_base(source, cfg, fixed_segment_ord=0)
+    base = base.drop("segment_ord")
+    if cfg.sort_by_field is not None:
+        # index sorting needs a within-segment order; a local sort has no
+        # exchange, so the pass stays shuffle-free
+        base = base.sortWithinPartitions(*order)
+    text_col = cfg.text_col
+    extra_fields = tuple(cfg.extra_fields)
+    positions = cfg.positions
+    basic = cfg.record == "basic"
+    multi = bool(extra_fields)
+    nb = cfg.n_term_buckets
+    for f in extra_fields:
+        base = base.withColumn(f, F.col(f).cast("string"))
+    passthrough = [f.name for f in base.schema.fields if f.name != text_col]
+
+    for p in (docmap_path, postings_path, terms_path):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
+
+    enc_cols = ["doc_id", "fieldnorm_id", "terms", "token_count"]
+    if positions:
+        enc_cols.append("positions")
+    if multi:
+        enc_cols.append("term_fns")
+    enc_cols += [f"xf_tc_{f}" for f in extra_fields]
+
+    metrics_schema = ("segment_ord int, n_docs long, n_tokens long, "
+                      "n_terms long, n_postings long")
+    metrics_schema += "".join(
+        f", xf_tokens_{f} long" for f in extra_fields)
+
+    def fused(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        pid = TaskContext.get().partitionId()
+        writer = None
+        next_id = 0
+        kept: list = []
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            tok = _arrow_tok_batch(batch, text_col, passthrough,
+                                   extra_fields, positions)
+            ids = pa.array(
+                np.arange(next_id, next_id + tok.num_rows, dtype=np.int32))
+            next_id += tok.num_rows
+            out = pa.Table.from_batches([tok]).append_column("doc_id", ids)
+            if writer is None:
+                seg_dir = os.path.join(docmap_path, f"segment_ord={pid}")
+                os.makedirs(seg_dir, exist_ok=True)
+                # deterministic filename: task retries overwrite
+                # idempotently (same property as the other direct-IO paths)
+                writer = pq.ParquetWriter(
+                    os.path.join(seg_dir, "part-00000.parquet"), out.schema)
+            writer.write_table(out)
+            # retain only the encode columns — the passthrough/fast-field
+            # columns are already on disk and not needed for postings
+            kept.append(out.select(enc_cols))
+        if writer is None:
+            return  # empty input partition -> no segment
+        writer.close()
+        t = pa.concat_tables(kept).combine_chunks()
+        m = _encode_write_segment(t, pid, postings_path, nb, positions,
+                                  multi, extra_fields, terms_path, basic)
+        arrays = [
+            pa.array([m["segment_ord"]], type=pa.int32()),
+            pa.array([m["n_docs"]], type=pa.int64()),
+            pa.array([m["n_tokens"]], type=pa.int64()),
+            pa.array([m["n_terms"]], type=pa.int64()),
+            pa.array([m["n_postings"]], type=pa.int64()),
+        ]
+        names = ["segment_ord", "n_docs", "n_tokens", "n_terms",
+                 "n_postings"]
+        for f in extra_fields:
+            arrays.append(
+                pa.array([m["field_tokens"][f]], type=pa.int64()))
+            names.append(f"xf_tokens_{f}")
+        yield pa.RecordBatch.from_arrays(arrays, names)
+
+    rows = base.mapInArrow(fused, schema=metrics_schema).collect()
+    metrics = []
+    for r in rows:
+        m = {
+            "segment_ord": int(r["segment_ord"]),
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+        }
+        if extra_fields:
+            m["field_tokens"] = {
+                f: int(r[f"xf_tokens_{f}"]) for f in extra_fields}
+        metrics.append(m)
+    return metrics
+
+
 def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,
                  fixed_segment_ord: int | None = None) -> DataFrame:
     """Tokenized corpus with stable per-segment dense doc ids.
@@ -951,6 +1087,25 @@ def _segment_task(seg_dir: str, out_path: str, nb: int, positions: bool,
         cols.append("term_fns")
     cols += [f"xf_tc_{f}" for f in extra_fields]
     t = pq.read_table(seg_dir, columns=cols, use_threads=False)
+    return _encode_write_segment(t, seg, out_path, nb, positions,
+                                 multi_field, extra_fields, terms_path,
+                                 basic)
+
+
+def _encode_write_segment(t, seg: int, out_path: str, nb: int,
+                          positions: bool, multi_field: bool,
+                          extra_fields: tuple[str, ...],
+                          terms_path: str | None = None,
+                          basic: bool = False) -> dict:
+    """Encode one segment's in-memory docmap table and write its
+    term-bucketed postings (+ optional term-dictionary slice); returns
+    the segment's lineage metrics.  Shared by `_segment_task` (stage-2
+    file path) and `build_fused_input` (single-pass build)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import zlib
+
     t = t.append_column(
         "segment_ord", pa.array(np.full(len(t), seg, dtype=np.int32)))
     out = _encode_segment_arrow(t, positions, multi_field, basic)
@@ -1188,12 +1343,38 @@ def build_index(
         # the reference ties positions to WithFreqsAndPositions
         # (index_record_option.rs:15-27) — Basic cannot carry them
         raise ValueError("record='basic' cannot record positions")
+    if cfg.segment_assignment not in ("hash", "input"):
+        raise ValueError(
+            f"unknown segment_assignment {cfg.segment_assignment!r}")
+    fused_input = cfg.segment_assignment == "input"
+    if fused_input and not (cfg.postings_mode == "segment"
+                            and cfg.tokenizer == "default"
+                            and cfg.tokenize_engine == "arrow"):
+        raise ValueError(
+            "segment_assignment='input' requires postings_mode='segment', "
+            "tokenizer='default' and tokenize_engine='arrow' (the fused "
+            "single-pass path); use segment_assignment='hash' otherwise")
     os.makedirs(index_dir, exist_ok=True)
     docmap_path = os.path.join(index_dir, "docmap")
     postings_path = os.path.join(index_dir, "postings")
 
     t0 = time.time()
     stage_times: dict[str, float] = {}
+
+    if fused_input:
+        seg_metrics_fused: list[dict] | None = None
+        if not (resume and _stage_done(index_dir, "docmap")
+                and _stage_done(index_dir, "postings")):
+            t = time.time()
+            seg_metrics_fused = build_fused_input(
+                spark, source, docmap_path, postings_path,
+                os.path.join(index_dir, TERMS_DIR), cfg)
+            for st in ("docmap", "postings", "terms"):
+                _mark_done(index_dir, st)
+            stage_times["fused_build"] = time.time() - t
+        return _finish_build(spark, index_dir, docmap_path, postings_path,
+                             cfg, plugins, resume, seg_metrics_fused,
+                             t0, stage_times)
 
     if not (resume and _stage_done(index_dir, "docmap")):
         t = time.time()
@@ -1285,6 +1466,27 @@ def build_index(
                     os.path.join(index_dir, TERMS_DIR))
         _mark_done(index_dir, "terms")
         stage_times["terms"] = time.time() - t
+
+    return _finish_build(spark, index_dir, docmap_path, postings_path,
+                         cfg, plugins, resume, seg_metrics, t0, stage_times)
+
+
+def _finish_build(spark: SparkSession, index_dir: str, docmap_path: str,
+                  postings_path: str, cfg: IndexConfig,
+                  plugins: dict | None, resume: bool,
+                  seg_metrics: list[dict] | None, t0: float,
+                  stage_times: dict[str, float]) -> dict:
+    """Shared build tail: plugin components, stats/lineage, manifest-last
+    atomic commit.  `seg_metrics` non-None means the encode tasks already
+    collected per-segment lineage (segment/fused modes); None falls back
+    to DataFrame stats jobs over the written tables (resume and the
+    "local"/"salted" modes)."""
+    _docmap_df: list[DataFrame | None] = [None]
+
+    def docmap_df() -> DataFrame:
+        if _docmap_df[0] is None:
+            _docmap_df[0] = spark.read.parquet(docmap_path)
+        return _docmap_df[0]
 
     # stage 2.6: segment plugins (extra per-segment components)
     for pname, pfn in sorted((plugins or {}).items()):

@@ -131,7 +131,7 @@ def test_ppm_with_comment():
 def test_unsupported_formats_raise():
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"\x00\x00\x00 ftypavif")
-    with pytest.raises(ValueError, match="no VP8L chunk"):
+    with pytest.raises(ValueError, match="no VP8L/VP8 chunk"):
         # WebP now dispatches to the real VP8L decoder; a magic-only
         # stub fails structurally, not as an unsupported format
         decode_image(b"RIFF\x04\x00\x00\x00WEBP")
