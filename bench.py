@@ -73,6 +73,12 @@ def _hw_envelope() -> dict:
 
         a = _np.zeros(64 * 1024 * 1024, dtype=_np.uint8)
         b = _np.empty_like(a)
+        # touch both buffers before timing: simultaneous cold
+        # page-faults across workers serialize in the kernel on this VM
+        # (measured 0.3 GB/s aggregate vs ~90 warm at 8 workers) and
+        # would make the probe report fault-storm cost, not bandwidth
+        _np.copyto(b, a)
+        _np.copyto(b, a)
         n, t0 = 0, _t.time()
         while _t.time() - t0 < seconds:
             _np.copyto(b, a)
@@ -127,7 +133,7 @@ def _transcripts_parquet(spark, n_convs: int) -> str:
 
 
 def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
-                       mode: str = "input") -> dict:
+                       mode: str = "input", reps: int = 2) -> dict:
     """Build the full index at `cores` parallelism over the pre-generated
     corpus.
 
@@ -136,15 +142,28 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
     count differs, so the scaling ratio isolates executor parallelism
     (the N vs 4N executor experiment of the north rule).
 
-    `mode` is IndexConfig.segment_assignment: "input" (default benched
-    configuration — the fused shuffle-free single-pass build, tantivy's
-    arrival-order IndexWriter semantics and the documented at-scale
-    path) or "hash" (content-deterministic assignment, one raw-text
-    exchange) — BOTH are measured and recorded every round so the two
-    numbers can be read against each other (BENCH.md).
+    `mode`: "input" (default benched configuration — the fused
+    shuffle-free single-pass build with DIRECT parquet reads,
+    `build_index_direct`: tantivy's arrival-order IndexWriter semantics
+    and the documented at-scale dataflow — bytes never touch the JVM) or
+    "hash" (content-deterministic assignment through the DataFrame
+    build, one raw-text exchange) — BOTH are measured and recorded every
+    round so the two numbers can be read against each other (BENCH.md).
+
+    STEADY-STATE protocol: one untimed FULL-SIZE build first, then the
+    best of 2 timed builds in the same session.  The first
+    full-batch-shape build in a session pays a one-off per-worker
+    transient (Python-worker heap growth page-faults + full-size JIT;
+    measured: 2-core first build 61 s vs 27 s steady on a 1.3 M-turn
+    corpus) that is a fixed startup cost, nil over a production-size
+    build — and because it lands proportionally HARDER in the low leg,
+    including it would INFLATE the scaling ratio (the same failure mode
+    as round 1's cold-JIT flattery, BENCH.md "Honest accounting").  The
+    first-build time is still recorded (`first_build_sec`) so the
+    transient stays on the record.
     """
     from tantivy_spark.config import IndexConfig
-    from tantivy_spark.operators.build import build_index
+    from tantivy_spark.operators.build import build_index, build_index_direct
 
     spark = _fresh_spark(cores, f"bench_idx_{run_tag}", shuffle_partitions=64)
     # AQE adds a materialization round-trip per exchange and buys the
@@ -153,45 +172,54 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
     # workload keeps AQE.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     idx_dir = f"/tmp/tantivy_spark_bench/transcripts-{run_tag}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
 
-    cfg = IndexConfig(n_segments=32, n_term_buckets=16,
-                      segment_assignment=mode)
-
-    # untimed same-session warm build: a FRESH session's first build pays
-    # ~2-3 s of one-off cost (codegen, Python-worker spawn, py4j paths)
-    # that exists per-JVM, not per-build — at 10^12 turns it is nil, and
-    # each leg runs in its own session, so without this the fast leg
-    # carries a ~15% constant that the slow leg amortizes (measured:
-    # first-in-session build 6.4 s vs 3.5 s steady-state on a 13k-turn
-    # corpus at 8 cores)
-    warm_src = spark.read.parquet(_transcripts_parquet(spark, 2000))
-    build_index(spark, warm_src, idx_dir, cfg)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-
-    src = spark.read.parquet(_transcripts_parquet(spark, n_convs or _N_CONVS))
-    src = src.repartition(64).persist()
-    n_turns = src.count()  # materialize input in memory outside the timed build
     nc = n_convs or _N_CONVS
+    src_path = _transcripts_parquet(spark, nc)
     if nc not in _BYTES_CACHE:
         from pyspark.sql import functions as F
-        _BYTES_CACHE[nc] = int(
-            src.select(F.sum(F.octet_length("text"))).collect()[0][0])
-    text_bytes = _BYTES_CACHE[nc]
+        df = spark.read.parquet(src_path)
+        row = df.select(F.count(F.lit(1)),
+                        F.sum(F.octet_length("text"))).collect()[0]
+        _BYTES_CACHE[nc] = (int(row[0]), int(row[1]))
+    n_turns, text_bytes = _BYTES_CACHE[nc]
+
+    if mode == "input":
+        cfg = IndexConfig(n_segments=32, n_term_buckets=16)
+
+        def build():
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            return build_index_direct(spark, src_path, idx_dir, cfg)
+    else:
+        cfg = IndexConfig(n_segments=32, n_term_buckets=16,
+                          segment_assignment="hash")
+        src = spark.read.parquet(src_path).repartition(64).persist()
+        src.count()  # materialize in memory outside the timed builds
+
+        def build():
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            return build_index(spark, src, idx_dir, cfg)
 
     t0 = time.time()
-    manifest = build_index(spark, src, idx_dir, cfg)
-    dt = time.time() - t0
-    src.unpersist()
+    build()                       # untimed full-size warm (see docstring)
+    first_sec = time.time() - t0
+    best = float("inf")
+    manifest = None
+    for _ in range(reps):
+        t0 = time.time()
+        manifest = build()
+        best = min(best, time.time() - t0)
+    if mode != "input":
+        spark.catalog.clearCache()
     return {
         "cores": cores,
         "mode": mode,
         "n_turns": n_turns,
         "total_tokens": manifest["total_tokens"],
         "text_bytes": text_bytes,
-        "index_sec": round(dt, 3),
-        "turns_per_sec": round(n_turns / dt, 1),
-        "mb_per_sec": round(text_bytes / dt / 1e6, 1),
+        "index_sec": round(best, 3),
+        "first_build_sec": round(first_sec, 3),
+        "turns_per_sec": round(n_turns / best, 1),
+        "mb_per_sec": round(text_bytes / best / 1e6, 1),
         "index_dir": idx_dir,
     }
 
@@ -267,7 +295,6 @@ def main() -> None:
         s_gen = _fresh_spark(CPUS, "bench_gen")
         _transcripts_parquet(s_gen, scale_convs)
         _transcripts_parquet(s_gen, _N_CONVS)
-        _transcripts_parquet(s_gen, 2000)  # per-leg warm-build corpus
         # This sandbox host shows ±40% run-to-run variance (virtualized,
         # shared).  Host noise only ever makes a leg SLOWER, never faster,
         # so each leg's best (fastest) run is an unbiased estimate of the
@@ -285,10 +312,11 @@ def main() -> None:
         # against that record.
         env_pre = _hw_envelope()
         t_scaling = time.time()
-        runs_low = [_index_transcripts(low, f"c{low}", scale_convs)
-                    for _ in range(2)]
-        runs_high = [_index_transcripts(high, f"c{high}", scale_convs)
-                     for _ in range(2)]
+        # one attempt per leg to start (each attempt is already
+        # steady-state best-of-2 inside one session); the loop below adds
+        # attempts while the ratio looks noise-degraded
+        runs_low = [_index_transcripts(low, f"c{low}", scale_convs)]
+        runs_high = [_index_transcripts(high, f"c{high}", scale_convs)]
 
         def best_eff():
             r_l = min(runs_low, key=lambda r: r["index_sec"])
@@ -317,9 +345,9 @@ def main() -> None:
         # default above is segment_assignment="input" (the fused
         # shuffle-free pass; see BENCH.md "segment assignment modes")
         hash_low = _index_transcripts(low, f"h{low}", scale_convs,
-                                      mode="hash")
+                                      mode="hash", reps=1)
         hash_high = _index_transcripts(high, f"h{high}", scale_convs,
-                                       mode="hash")
+                                       mode="hash", reps=1)
         scaling = {
             "low": {k: v for k, v in r_low.items() if k != "index_dir"},
             "high": {k: v for k, v in r_high_s.items() if k != "index_dir"},
@@ -351,7 +379,8 @@ def main() -> None:
 
     # ---- headline indexing throughput at full parallelism ----------------
     r_full = _index_transcripts(CPUS, f"c{CPUS}")
-    r_full_hash = _index_transcripts(CPUS, f"ch{CPUS}", mode="hash")
+    r_full_hash = _index_transcripts(CPUS, f"ch{CPUS}", mode="hash",
+                                     reps=1)
     out["indexing"] = {
         "n_turns": r_full["n_turns"],
         "turns_per_sec": r_full["turns_per_sec"],

@@ -345,9 +345,13 @@ def _docmap_base(source: DataFrame, cfg: IndexConfig,
 
 
 def _check_reserved(source: DataFrame) -> None:
+    _check_reserved_names(source.columns)
+
+
+def _check_reserved_names(columns) -> None:
     reserved = {"doc_id", "segment_ord", "fieldnorm_id", "terms",
                 "token_count", "positions", "term_fns", "__pid"}
-    clash = reserved & set(source.columns)
+    clash = reserved & set(columns)
     if clash:
         # a source column with an internal docmap name would be silently
         # overwritten by the build (and break the merge remap later)
@@ -597,41 +601,17 @@ def build_fused_input(spark: SparkSession, source: DataFrame,
 
     def fused(it):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         pid = TaskContext.get().partitionId()
-        writer = None
-        next_id = 0
-        kept: list = []
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            tok = _arrow_tok_batch(batch, text_col, passthrough,
-                                   extra_fields, positions)
-            ids = pa.array(
-                np.arange(next_id, next_id + tok.num_rows, dtype=np.int32))
-            next_id += tok.num_rows
-            out = pa.Table.from_batches([tok]).append_column("doc_id", ids)
-            if writer is None:
-                seg_dir = os.path.join(docmap_path, f"segment_ord={pid}")
-                os.makedirs(seg_dir, exist_ok=True)
-                # deterministic filename: task retries overwrite
-                # idempotently (same property as the other direct-IO paths)
-                writer = pq.ParquetWriter(
-                    os.path.join(seg_dir, "part-00000.parquet"), out.schema)
-            writer.write_table(out)
-            # retain only the encode columns — the passthrough/fast-field
-            # columns are already on disk and not needed for postings
-            kept.append(out.select(enc_cols))
-        if writer is None:
+        m = _fused_segment_core(it, pid, text_col, passthrough,
+                                extra_fields, positions, multi, basic, nb,
+                                docmap_path, postings_path, terms_path,
+                                enc_cols)
+        if m is None:
             return  # empty input partition -> no segment
-        writer.close()
-        t = pa.concat_tables(kept).combine_chunks()
-        m = _encode_write_segment(t, pid, postings_path, nb, positions,
-                                  multi, extra_fields, terms_path, basic)
         arrays = [
             pa.array([m["segment_ord"]], type=pa.int32()),
             pa.array([m["n_docs"]], type=pa.int64()),
@@ -662,6 +642,243 @@ def build_fused_input(spark: SparkSession, source: DataFrame,
                 f: int(r[f"xf_tokens_{f}"]) for f in extra_fields}
         metrics.append(m)
     return metrics
+
+
+def _fused_segment_core(batches, seg: int, text_col: str,
+                        passthrough: list[str],
+                        extra_fields: tuple[str, ...], positions: bool,
+                        multi: bool, basic: bool, nb: int,
+                        docmap_path: str, postings_path: str,
+                        terms_path: str, enc_cols: list[str]) -> dict | None:
+    """One segment through the fused build: stream Arrow batches ->
+    tokenize -> write the docmap parquet incrementally -> encode the
+    segment's postings + terms slice; returns lineage metrics (None for
+    an empty input).  Shared by `build_fused_input` (mapInArrow over a
+    DataFrame) and `build_fused_input_files` (direct parquet-split
+    reads)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    writer = None
+    next_id = 0
+    kept: list = []
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        tok = _arrow_tok_batch(batch, text_col, passthrough,
+                               extra_fields, positions)
+        ids = pa.array(
+            np.arange(next_id, next_id + tok.num_rows, dtype=np.int32))
+        next_id += tok.num_rows
+        out = pa.Table.from_batches([tok]).append_column("doc_id", ids)
+        if writer is None:
+            seg_dir = os.path.join(docmap_path, f"segment_ord={seg}")
+            os.makedirs(seg_dir, exist_ok=True)
+            # deterministic filename: task retries overwrite
+            # idempotently (same property as the other direct-IO paths)
+            writer = pq.ParquetWriter(
+                os.path.join(seg_dir, "part-00000.parquet"), out.schema)
+        writer.write_table(out)
+        # retain only the encode columns — the passthrough/fast-field
+        # columns are already on disk and not needed for postings
+        kept.append(out.select(enc_cols))
+    if writer is None:
+        return None
+    writer.close()
+    t = pa.concat_tables(kept).combine_chunks()
+    return _encode_write_segment(t, seg, postings_path, nb, positions,
+                                 multi, extra_fields, terms_path, basic)
+
+
+def plan_parquet_splits(src_path: str,
+                        split_bytes: int = 128 << 20) -> list[tuple]:
+    """Driver-side split planning for the direct-IO fused build: walk the
+    parquet footers (metadata only — no data read) and greedily pack
+    row groups into splits of <= ``split_bytes`` (uncompressed), the
+    same role as Spark's maxPartitionBytes.  Returns
+    [(file, (row_group_idx, ...)), ...] in deterministic (file, order)
+    order — the split list IS the segment list, independent of cluster
+    size by construction."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(src_path):
+        files = sorted(_glob.glob(os.path.join(src_path, "*.parquet")))
+    else:
+        files = [src_path]
+    if not files:
+        raise ValueError(f"no parquet files under {src_path!r}")
+    splits: list[tuple] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cur: list[int] = []
+        cur_bytes = 0
+        for i in range(md.num_row_groups):
+            b = md.row_group(i).total_byte_size
+            if cur and cur_bytes + b > split_bytes:
+                splits.append((f, tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += b
+        if cur:
+            splits.append((f, tuple(cur)))
+    return splits
+
+
+def build_fused_input_files(spark: SparkSession, src_path: str,
+                            docmap_path: str, postings_path: str,
+                            terms_path: str, cfg: IndexConfig,
+                            split_bytes: int = 128 << 20,
+                            batch_rows: int = 65536) -> list[dict]:
+    """The fused build with DIRECT parquet reads — the fully JVM-free
+    data path (``build_index_direct``).
+
+    `build_fused_input` already removed every shuffle; its remaining
+    per-core tax is the JVM feed (block-manager / ColumnarToRow / Arrow
+    IPC into the Python worker), which is also the single shared JVM's
+    scaling drag on one box.  Here the driver plans row-group splits
+    from the parquet footers (`plan_parquet_splits`) and each Spark task
+    reads its own split with pyarrow directly — bytes go disk ->
+    pyarrow -> numpy kernel -> parquet out, never touching the JVM.
+    Spark provides scheduling, retries and lineage only — exactly the
+    role it plays in the stage-2 direct-IO postings build.
+
+    Segment = planned split: deterministic given the input files
+    (footer metadata), independent of executor count, size bounded by
+    ``split_bytes``.  At 100 TB this is the object-store pattern
+    (pyarrow.fs reads s3://... the same way).
+
+    Restrictions (clear errors, not silent fallbacks): default analyzer
+    + arrow engine (like segment_assignment="input"); date_precision
+    and sort_by_field are not supported on this path — use
+    `build_fused_input` (the DataFrame variant applies them in
+    Catalyst)."""
+    import shutil
+
+    if cfg.date_precision is not None or cfg.sort_by_field is not None:
+        raise ValueError(
+            "build_index_direct does not support date_precision / "
+            "sort_by_field — use the DataFrame build (segment_assignment="
+            "'input'), which applies them in Catalyst")
+    text_col = cfg.text_col
+    extra_fields = tuple(cfg.extra_fields)
+    positions = cfg.positions
+    basic = cfg.record == "basic"
+    multi = bool(extra_fields)
+    nb = cfg.n_term_buckets
+
+    splits = plan_parquet_splits(src_path, split_bytes)
+    for p in (docmap_path, postings_path, terms_path):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
+
+    enc_cols = ["doc_id", "fieldnorm_id", "terms", "token_count"]
+    if positions:
+        enc_cols.append("positions")
+    if multi:
+        enc_cols.append("term_fns")
+    enc_cols += [f"xf_tc_{f}" for f in extra_fields]
+
+    # column pruning at the source: read what the docmap keeps (all
+    # source columns ride along as fast fields), but let the footer
+    # schema drive it so missing-column errors are immediate
+    import pyarrow.parquet as _pq
+
+    schema_names = _pq.ParquetFile(splits[0][0]).schema_arrow.names
+    if text_col not in schema_names:
+        raise ValueError(f"text_col {text_col!r} not in {schema_names}")
+    _check_reserved_names(schema_names)
+    passthrough = [n for n in schema_names if n != text_col]
+
+    def split_task(item):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        sid, (fname, rgs) = item
+
+        def batches():
+            pf = pq.ParquetFile(fname)
+            for b in pf.iter_batches(batch_size=batch_rows,
+                                     row_groups=list(rgs)):
+                cols = {n: b.column(n) for n in b.schema.names}
+                changed = False
+                for n, c in cols.items():
+                    # INT96/nanos timestamps read as timestamp[ns] —
+                    # normalize to Spark's micros so the docmap parquet
+                    # stays Spark-readable (and matches the DataFrame
+                    # path's fast-field values)
+                    if (pa.types.is_timestamp(c.type)
+                            and c.type.unit == "ns"):
+                        cols[n] = pc.cast(
+                            c, pa.timestamp("us", tz=c.type.tz))
+                        changed = True
+                for f in extra_fields:
+                    # the DataFrame path casts extra fields to string in
+                    # Catalyst; mirror it here so term bytes match
+                    if not pa.types.is_string(cols[f].type):
+                        cols[f] = pc.cast(cols[f], pa.string())
+                        changed = True
+                if changed:
+                    b = pa.RecordBatch.from_arrays(
+                        [cols[n] for n in b.schema.names],
+                        list(b.schema.names))
+                yield b
+
+        return _fused_segment_core(batches(), sid, text_col, passthrough,
+                                   extra_fields, positions, multi, basic,
+                                   nb, docmap_path, postings_path,
+                                   terms_path, enc_cols)
+
+    metrics = (
+        spark.sparkContext.parallelize(list(enumerate(splits)), len(splits))
+        .map(split_task)
+        .collect()
+    )
+    return [m for m in metrics if m is not None]
+
+
+def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
+                       cfg: IndexConfig | None = None,
+                       resume: bool = False,
+                       plugins: dict | None = None,
+                       split_bytes: int = 128 << 20) -> dict:
+    """`build_index` over a parquet path with the direct-IO fused
+    dataflow (`build_fused_input_files`): one task per planned row-group
+    split does tokenize -> docmap -> postings -> terms with pyarrow
+    only — no shuffle, no JVM in the data path.  Same index layout,
+    same manifest-last commit, same resume markers."""
+    cfg = cfg or IndexConfig()
+    if cfg.record not in ("freqs", "basic"):
+        raise ValueError(f"unknown record option {cfg.record!r}")
+    if cfg.record == "basic" and cfg.positions:
+        raise ValueError("record='basic' cannot record positions")
+    if not (cfg.tokenizer == "default" and cfg.tokenize_engine == "arrow"):
+        raise ValueError(
+            "build_index_direct requires tokenizer='default' and "
+            "tokenize_engine='arrow' (the fused single-pass path)")
+    os.makedirs(index_dir, exist_ok=True)
+    docmap_path = os.path.join(index_dir, "docmap")
+    postings_path = os.path.join(index_dir, "postings")
+    t0 = time.time()
+    stage_times: dict[str, float] = {}
+    seg_metrics: list[dict] | None = None
+    if not (resume and _stage_done(index_dir, "docmap")
+            and _stage_done(index_dir, "postings")):
+        t = time.time()
+        seg_metrics = build_fused_input_files(
+            spark, src_path, docmap_path, postings_path,
+            os.path.join(index_dir, TERMS_DIR), cfg,
+            split_bytes=split_bytes)
+        for st in ("docmap", "postings", "terms"):
+            _mark_done(index_dir, st)
+        stage_times["fused_build"] = time.time() - t
+    return _finish_build(spark, index_dir, docmap_path, postings_path,
+                         cfg, plugins, resume, seg_metrics, t0, stage_times)
 
 
 def build_docmap(spark: SparkSession, source: DataFrame, cfg: IndexConfig,

@@ -156,6 +156,68 @@ def test_invalid_combinations_raise(spark, tmp_root):
                     IndexConfig(segment_assignment="nope"))
 
 
+def test_direct_build_parity(spark, tmp_root):
+    """build_index_direct (driver-planned parquet splits, direct pyarrow
+    reads — no JVM in the data path) produces the same query results,
+    totals and per-field stats as the DataFrame builds."""
+    from tantivy_spark.operators.build import build_index_direct
+
+    src = transcripts_df(spark, 120, partitions=4)
+    src_path = f"{tmp_root}/direct_src_{time.time_ns()}"
+    src.write.parquet(src_path)
+
+    d_direct = f"{tmp_root}/direct_a_{time.time_ns()}"
+    m1 = build_index_direct(
+        spark, src_path, d_direct,
+        IndexConfig(n_term_buckets=4, positions=True,
+                    extra_fields=("role",)))
+    d_hash = f"{tmp_root}/direct_b_{time.time_ns()}"
+    m2 = build_index(
+        spark, spark.read.parquet(src_path), d_hash,
+        IndexConfig(n_segments=4, n_term_buckets=4, positions=True,
+                    extra_fields=("role",)))
+    assert m1["total_docs"] == m2["total_docs"]
+    assert m1["total_tokens"] == m2["total_tokens"]
+    assert m1["field_tokens"] == m2["field_tokens"]
+    s1, s2 = Searcher(spark, d_direct), Searcher(spark, d_hash)
+    for q in (L.TermQuery("the"), L.PhraseQuery(["of", "the"]),
+              L.TermQuery("role:user")):
+        assert _results(s1, q) == _results(s2, q)
+    # fast fields (incl. the ns->us-normalized timestamp) readable by Spark
+    dm = spark.read.parquet(f"{d_direct}/docmap")
+    assert dm.filter(dm.ts.isNotNull()).count() == m1["total_docs"]
+
+
+def test_direct_build_split_planning(spark, tmp_root):
+    """Splits follow the parquet row-group layout deterministically and
+    respect the byte bound."""
+    from tantivy_spark.operators.build import plan_parquet_splits
+
+    src = transcripts_df(spark, 60, partitions=2)
+    src_path = f"{tmp_root}/plan_src_{time.time_ns()}"
+    src.write.parquet(src_path)
+    a = plan_parquet_splits(src_path, split_bytes=1)   # 1 split per row group
+    b = plan_parquet_splits(src_path, split_bytes=1 << 40)  # 1 per file
+    assert a == plan_parquet_splits(src_path, split_bytes=1)
+    assert len(a) >= len(b)
+    assert all(len(rgs) == 1 for _, rgs in a)
+
+
+def test_direct_build_rejects_unsupported(spark, tmp_root):
+    from tantivy_spark.operators.build import build_index_direct
+
+    src = transcripts_df(spark, 5, partitions=1)
+    src_path = f"{tmp_root}/rej_src_{time.time_ns()}"
+    src.write.parquet(src_path)
+    idx = f"{tmp_root}/rej_{time.time_ns()}"
+    with pytest.raises(ValueError, match="sort_by_field"):
+        build_index_direct(spark, src_path, idx,
+                           IndexConfig(sort_by_field=("turn_idx", "asc")))
+    with pytest.raises(ValueError, match="tokenize_engine"):
+        build_index_direct(spark, src_path, idx,
+                           IndexConfig(tokenize_engine="jvm"))
+
+
 def test_sort_by_field_local_sort(spark, tmp_root):
     """Index sorting composes with the fused pass (local sort only): docs
     within each segment are ordered by the sort field."""
