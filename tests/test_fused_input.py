@@ -218,6 +218,26 @@ def test_direct_build_rejects_unsupported(spark, tmp_root):
                            IndexConfig(tokenize_engine="jvm"))
 
 
+def test_merge_compacts_input_mode_segments(spark, tmp_root):
+    """The fused build's many small arrival-order segments compact through
+    the standard merge (the LogMergePolicy story at scale: split-sized
+    segments in, log-structured compaction after), preserving results."""
+    from tantivy_spark.operators.merge import merge_segments
+
+    src = transcripts_df(spark, 100, partitions=6)
+    idx = f"{tmp_root}/fused_merge_{time.time_ns()}"
+    m = build_index(spark, src, idx,
+                    IndexConfig(n_term_buckets=4,
+                                segment_assignment="input"))
+    assert len(m["segments"]) > 1
+    before = _results(Searcher(spark, idx), L.TermQuery("the"))
+    m2 = merge_segments(spark, idx)  # full compaction
+    assert len(m2["segments"]) == 1
+    assert m2["total_docs"] == m["total_docs"]
+    after = _results(Searcher(spark, idx), L.TermQuery("the"))
+    assert before == after
+
+
 def test_sort_by_field_local_sort(spark, tmp_root):
     """Index sorting composes with the fused pass (local sort only): docs
     within each segment are ordered by the sort field."""

@@ -48,6 +48,38 @@ def main() -> None:
 
     sections: list[tuple[str, str, str]] = []
 
+    # fused input-mode build plan (segment_assignment="input"): show the
+    # mapInArrow stage over the raw scan — NO Exchange, NO Sort anywhere
+    def _fused_build_plan() -> str:
+        from tantivy_spark.config import IndexConfig
+        from tantivy_spark.operators import build as B
+
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cfg = IndexConfig(segment_assignment="input")
+        base, _ = B._docmap_base(src, cfg, fixed_segment_ord=0)
+        base = base.drop("segment_ord")
+
+        def noop(it):
+            yield from ()
+
+        return fmt(base.mapInArrow(noop, schema="segment_ord int"))
+
+    sections.append((
+        "Fused input-mode index build (segment_assignment=\"input\")",
+        "The ENTIRE build — tokenize, docmap write, postings encode, term "
+        "dictionary — in one job (the benched headline + scaling "
+        "configuration; BENCH.md \"Segment assignment modes\").  What to "
+        "look for: **no Exchange and no Sort** — a pure map, so the "
+        "shuffle machinery cannot become the scale bottleneck and output "
+        "is independent of executor count by construction.  "
+        "`build_index_direct` goes further: the same fused core over "
+        "driver-planned parquet row-group splits read directly with "
+        "pyarrow (an RDD of file tasks — no JVM in the data path at "
+        "all).  The hash-assignment build keeps its single raw-text "
+        "Exchange for content-deterministic segments.",
+        _fused_build_plan(),
+    ))
+
     sections.append((
         "Pruned postings scan (exact-term lookup)",
         "`tbucket` hits parquet **PartitionFilters** (directory pruning = "
