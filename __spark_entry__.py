@@ -165,6 +165,36 @@ def _input_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _direct_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """The documents corpus built with `build_index_direct` — the benched
+    at-scale dataflow (driver-planned parquet row-group splits, direct
+    pyarrow reads, zero JVM in the data path).  Score-identical to the
+    hash/DataFrame builds, so the oracle is the same BM25 CTE.  The
+    source is staged once as parquet (doc_id renamed to ext_id — the
+    engine reserves doc_id for its dense per-segment ids)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(_IDX_ROOT, f"docs-direct-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        from tantivy_spark.operators.build import build_index_direct
+
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            n_term_buckets=8,
+            positions=True,
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            staged = os.path.join(_IDX_ROOT, f"docs-src-{tag}-v1")
+            if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+                _documents(spark, sf_dir).repartition(4, "ext_id") \
+                    .write.mode("overwrite").parquet(staged)
+            build_index_direct(spark, staged, index_dir, cfg, resume=True)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """A copy of the fulltext index with `delete_query(term "merge")`
     applied — address tombstones exercised through the driver contract.
@@ -458,6 +488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["ft_phrase_input_mode"] = lambda s, d: _topk(
         s, d, L.PhraseQuery(["fast", "table"]), 10,
         searcher=_input_searcher(s, d))
+    # the direct-IO build (build_index_direct — the benched at-scale
+    # dataflow) under the same oracle
+    Q["ft_term_direct_build"] = lambda s, d: _topk(
+        s, d, L.TermQuery("table"), 10, searcher=_direct_searcher(s, d))
     Q["ft_or_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.union(["spark", "key", "dup"]), 10)
     Q["ft_and_top10"] = lambda s, d: _topk(
@@ -1036,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     never_sampled = [
         "ft_term_input_mode", "ft_phrase_input_mode",
+        "ft_term_direct_build",
         "text_contamination", "text_repetition", "text_pii",
         "ann_ivf_segment_top10",
         "ft_delete_query_top10", "agg_composite_typed",
@@ -1087,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
     )
     O["ft_term_top10"] = _bool_topk_sql([("should", "table", 1.0)], 10)
     O["ft_term_input_mode"] = _bool_topk_sql([("should", "table", 1.0)], 10)
+    O["ft_term_direct_build"] = _bool_topk_sql([("should", "table", 1.0)],
+                                               10)
     O["ft_or_top10"] = _bool_topk_sql(
         [("should", "spark", 1.0), ("should", "key", 1.0), ("should", "dup", 1.0)], 10)
     O["ft_and_top10"] = _bool_topk_sql(

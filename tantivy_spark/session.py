@@ -16,6 +16,18 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # glibc malloc tuning for the Python workers (they inherit this env
+    # through the JVM -> pyspark daemon): numpy/Arrow buffers above the
+    # default 128 KB mmap threshold are munmap'd on free and re-faulted
+    # on every batch — at 32 concurrent workers the simultaneous
+    # page-fault traffic serializes in the kernel (measured: 84-86% sys
+    # time; 32-core steady-state build 3.7 s tuned vs 5-17 s default on
+    # the same corpus).  256 MB thresholds keep working buffers in the
+    # arena; per-worker RSS stays bounded by its peak working set.
+    # Must be set BEFORE the JVM spawns; setdefault keeps it overridable.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     builder = SparkSession.builder
     # under spark-submit the JVM gateway already exists (PYSPARK_GATEWAY_PORT
     # set) and the master / executor topology comes from the launch command;
@@ -45,6 +57,13 @@ def get_spark(
         # cluster); harmless under local[k]
         .config("spark.executor.memory",
                 os.environ.get("SPARK_EXECUTOR_MEM", "6g"))
+        # same malloc tuning for Python workers forked by REMOTE executors
+        # (cluster deployments; local workers inherit the os.environ set
+        # above)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ.get("MALLOC_MMAP_THRESHOLD_", "268435456"))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ.get("MALLOC_TRIM_THRESHOLD_", "268435456"))
         .config("spark.ui.enabled", "false")
     )
     # SPARK_LOCAL_DIRS overrides shuffle/spill dirs (A/B-measured: tmpfs
