@@ -282,7 +282,8 @@ def _query_workload(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _leg(cores: int, run_tag: str, n_convs: int | None = None,
-         mode: str = "input", reps: int = 2) -> dict:
+         mode: str = "input", reps: int = 2,
+         master: str | None = None) -> dict:
     """One indexing leg in its OWN subprocess (fresh JVM + fresh Python
     workers): cross-leg JVM state (heap history, GC ergonomics, codegen
     caches) measurably contaminated later legs when every leg shared one
@@ -295,6 +296,12 @@ def _leg(cores: int, run_tag: str, n_convs: int | None = None,
            run_tag, str(n_convs or _N_CONVS), mode, str(reps)]
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    if master is not None:
+        # local-cluster mode: executor JVMs don't inherit the driver's
+        # sys.path, so the repo must be on PYTHONPATH before they spawn
+        env["SPARK_GRAFT_MASTER"] = master
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                          env=env)
     for line in reversed(out.stdout.splitlines()):
@@ -393,10 +400,37 @@ def main() -> None:
         # shuffle-free pass; see BENCH.md "segment assignment modes")
         hash_low = _leg(low, f"h{low}", scale_convs, mode="hash", reps=1)
         hash_high = _leg(high, f"h{high}", scale_convs, mode="hash", reps=1)
+        # the LITERAL N-vs-4N-EXECUTORS experiment: local-cluster spawns
+        # real separate executor JVMs (own heap, own GC, own forked
+        # Python workers) on this box — 1 executor x 2 cores vs
+        # 4 executors x 2 cores, same job, same input
+        executors: dict = {}
+        try:
+            ex_low = _leg(2, "e1", scale_convs,
+                          master="local-cluster[1,2,8192]")
+            ex_high = _leg(8, "e4", scale_convs,
+                           master="local-cluster[4,2,8192]")
+            executors = {
+                "low": {"executors": 1, "cores_per_executor": 2,
+                        "index_sec": ex_low["index_sec"],
+                        "turns_per_sec": ex_low["turns_per_sec"]},
+                "high": {"executors": 4, "cores_per_executor": 2,
+                         "index_sec": ex_high["index_sec"],
+                         "turns_per_sec": ex_high["turns_per_sec"]},
+                "efficiency_low_to_high": round(
+                    (ex_high["turns_per_sec"]
+                     / ex_low["turns_per_sec"]) / 4, 3),
+                "master": "local-cluster[{1|4},2,8192]",
+            }
+        except Exception as e:  # local-cluster can be env-fragile
+            executors = {"error": str(e)[:300]}
         scaling = {
             "low": {k: v for k, v in r_low.items() if k != "index_dir"},
             "high": {k: v for k, v in r_high_s.items() if k != "index_dir"},
             "efficiency_low_to_high": round(eff, 3),
+            # real separate executor JVMs — the most literal in-sandbox
+            # reading of the north rule's "N and 4N executors"
+            "executors": executors,
             "hash_mode": {
                 "low_sec": hash_low["index_sec"],
                 "high_sec": hash_high["index_sec"],
