@@ -932,6 +932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(s, d, "documents"), "doc_id", max_hamming=6,
         max_bucket=None,  # exact banded semantics (the API default caps)
     )  # signature arithmetic is deterministic — full SQL oracle below
+    Q["dedup_embedding_cosine"] = lambda s, d: P.embedding_near_dup_pairs(
+        _tbl(s, d, "embeddings"), "vec_id", "embedding",
+        threshold=0.4,  # corpus max pairwise cosine is ~0.51 — 0.4 keeps
+        max_bucket=None,  # a stable nonzero pair set at every sf
+    )  # banded buckets + cosine are deterministic — full SQL oracle below
     Q["ann_cosine_top10"] = lambda s, d: P.brute_force_topk(
         _tbl(s, d, "embeddings").filter(F.col("vec_id") != 0),
         "vec_id", "embedding", _qvec(s, d), k=10,
@@ -1070,7 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     never_sampled = [
         "ft_term_input_mode", "ft_phrase_input_mode",
-        "ft_term_direct_build",
+        "ft_term_direct_build", "dedup_embedding_cosine",
         "text_contamination", "text_repetition", "text_pii",
         "ann_ivf_segment_top10",
         "ft_delete_query_top10", "agg_composite_typed",
@@ -1834,6 +1839,50 @@ LEFT JOIN (SELECT doc_id, min(wh) AS mn FROM wins GROUP BY doc_id) m
     # = sign pattern over 8 planes, multi-probe = hamming<=1 on bucket
     # ids, exact cosine rerank of the candidates (pipeline.py
     # _hyperplanes/lsh_bucket_topk; n_planes=8, n_probe_bits=1, seed=42).
+    # Embedding near-dup pairs end-to-end in SQL: the same closed-form
+    # splitmix64 hyperplanes (seed 42 -> the (seed+1)*golden constant
+    # below), banded sign-pattern buckets (band = p // 4, bit = p % 4 —
+    # pipeline.embedding_near_dup_pairs' reshape), co-bucket candidate
+    # pairs, exact float64 cosine >= 0.4.
+    O["dedup_embedding_cosine"] = """
+WITH pl0 AS (SELECT ii.i // 64 AS p, ii.i % 64 AS d,
+        (ii.i + 43::HUGEINT * 11400714819323198485) % 18446744073709551616 AS z1
+        FROM unnest(range(2048)) ii(i)),
+pl1 AS (SELECT p, d, xor(z1, z1 >> 30) AS a1 FROM pl0),
+pl2 AS (SELECT p, d, ((a1 % 4294967296) * 13787848793156543929
+         + ((((a1 // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296))
+         % 18446744073709551616 AS z2 FROM pl1),
+pl3 AS (SELECT p, d, xor(z2, z2 >> 27) AS a2 FROM pl2),
+pl4 AS (SELECT p, d, ((a2 % 4294967296) * 10723151780598845931
+         + ((((a2 // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296))
+         % 18446744073709551616 AS z3 FROM pl3),
+planes AS (SELECT p, d,
+           (xor(z3, z3 >> 31)::DOUBLE / 18446744073709551616.0) * 2 - 1 AS val
+           FROM pl4),
+ve AS (SELECT e.vec_id, dd.d, e.embedding[dd.d + 1]::DOUBLE AS x
+       FROM embeddings e, unnest(range(64)) dd(d)),
+dots AS (SELECT ve.vec_id, planes.p, sum(ve.x * planes.val) AS dot
+         FROM ve JOIN planes USING (d) GROUP BY 1, 2),
+buckets AS (SELECT vec_id, p // 4 AS band,
+            sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.vec_id < b.vec_id),
+pv AS (SELECT c.key_a, c.key_b,
+              unnest(ea.embedding)::DOUBLE AS x,
+              unnest(eb.embedding)::DOUBLE AS y
+       FROM cand c
+       JOIN embeddings ea ON ea.vec_id = c.key_a
+       JOIN embeddings eb ON eb.vec_id = c.key_b),
+s AS (SELECT key_a, key_b, sum(x * y) AS dot,
+             sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pv GROUP BY 1, 2)
+SELECT key_a, key_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM s WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.4
+ORDER BY key_a, key_b"""
+
     O["ann_lsh_top10"] = """
 WITH pl0 AS (SELECT ii.i // 64 AS p, ii.i % 64 AS d,
         (ii.i + 43::HUGEINT * 11400714819323198485) % 18446744073709551616 AS z1

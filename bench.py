@@ -276,6 +276,7 @@ def _query_workload(spark, sf_dir: str) -> dict[str, float]:
         "text_stopword_multilang", "ft_parsed_date_range",
         # round-3 training-pipeline operators
         "text_contamination", "text_repetition", "text_pii",
+        "dedup_embedding_cosine",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).collect())
     return times

@@ -247,6 +247,83 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def embedding_near_dup_pairs(df: DataFrame, key_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.9, n_bands: int = 8,
+                             band_planes: int = 4, seed: int = 42,
+                             max_bucket: int | None = 4096) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — banded random-hyperplane
+    LSH candidates + exact cosine verification (the embedding analogue
+    of `minhash_lsh_pairs` for training-data dedup; the reference's
+    vector module only serves query top-k, src/vector/).
+
+    Bucket of band b = sign pattern of that band's `band_planes`
+    hyperplanes (closed-form splitmix64 planes, `_hyperplanes` — fully
+    recomputable in SQL, so the driver entry has an exact DuckDB
+    oracle).  A pair is a candidate iff it co-buckets in >= 1 band
+    (recall tunes via n_bands x band_planes); candidates are verified
+    with the exact float64 cosine and filtered at `threshold`.
+
+    Scale shape: signatures are ONE matmul per Arrow batch (num rows x
+    dim); candidate generation is a (band, bucket) self-join — never
+    all-pairs; verify runs only on candidate pairs as a Catalyst
+    zip_with dot product.  `max_bucket` (default ON, like
+    `simhash_pairs`) drops degenerate hot buckets before the self-join
+    — the c^2 guard; pass None for the exact banded semantics (the
+    oracle entry does).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        return (df.sparkSession.createDataFrame(
+            [], f"key_a long, key_b long, cosine double"))
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_bands * band_planes, seed)
+
+    @pandas_udf("array<int>")
+    def band_buckets(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ planes.T) >= 0
+        w = 1 << np.arange(band_planes, dtype=np.int64)
+        codes = (bits.reshape(len(m), n_bands, band_planes) * w).sum(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    sigs = (
+        df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+        .withColumn("_bb", band_buckets(F.col("_v")))
+        .select("_k", "_v", F.posexplode("_bb").alias("band", "bucket"))
+    )
+    if max_bucket is not None:
+        counts = sigs.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"))
+        sigs = (sigs.join(counts.hint("shuffle_hash"), ["band", "bucket"])
+                .filter(F.col("_n") <= max_bucket).drop("_n"))
+    a = sigs.select("band", "bucket", F.col("_k").alias("key_a"),
+                    F.col("_v").alias("_va"))
+    b = sigs.select("band", "bucket", F.col("_k").alias("key_b"),
+                    F.col("_v").alias("_vb"))
+    # per-doc side tables must never be broadcast (scale smoke, BENCH.md)
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(va, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(vb, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.withColumn("_cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("_cos") >= threshold)
+        .select("key_a", "key_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup detection
 # ---------------------------------------------------------------------------

@@ -439,3 +439,57 @@ def test_pii_features(spark):
     assert out[1]["n_ipv4"] == 2 and out[1]["n_email"] == 0
     assert out[2]["n_phone"] == 2
     assert not out[3]["has_pii"]
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Banded hyperplane LSH + exact cosine verify, checked against a
+    numpy brute-force reproduction of the SAME banded semantics (and
+    recall sanity: a planted near-identical pair must surface)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    vecs = list(base)
+    vecs.append(base[3] + rng.normal(scale=0.01, size=16))  # 20 ~ dup of 3
+    pdf = pd.DataFrame({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["key_a"], r["key_b"]): r["cosine"]
+        for r in P.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.5,
+            max_bucket=None).collect()
+    }
+    assert (3, 20) in got and got[(3, 20)] > 0.99
+
+    # brute-force the same banded rule
+    n_bands, band_planes = 8, 4
+    planes = P._hyperplanes(16, n_bands * band_planes, 42)
+    M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    bits = (M @ planes.T) >= 0
+    w = 1 << np.arange(band_planes)
+    codes = (bits.reshape(len(M), n_bands, band_planes) * w).sum(axis=2)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    expect = {}
+    for a in range(len(M)):
+        for b in range(a + 1, len(M)):
+            if (codes[a] == codes[b]).any() and S[a, b] >= 0.5:
+                expect[(a, b)] = round(float(S[a, b]), 6)
+    assert got == expect
+
+
+def test_embedding_near_dup_hot_bucket_guard(spark):
+    """max_bucket drops degenerate buckets (identical vectors all
+    co-bucket) instead of going c^2 — the scale-safe default."""
+    pdf = pd.DataFrame({
+        "vec_id": list(range(40)),
+        "embedding": [[1.0] * 8 for _ in range(40)],
+    })
+    df = spark.createDataFrame(pdf)
+    n_all = P.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket=None).count()
+    n_guard = P.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket=10).count()
+    assert n_all == 40 * 39 // 2
+    assert n_guard == 0
