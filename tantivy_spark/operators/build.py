@@ -730,7 +730,9 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
                             docmap_path: str, postings_path: str,
                             terms_path: str, cfg: IndexConfig,
                             split_bytes: int = 128 << 20,
-                            batch_rows: int = 65536) -> list[dict]:
+                            batch_rows: int = 65536,
+                            lineage_dir: str | None = None,
+                            resume: bool = False) -> list[dict]:
     """The fused build with DIRECT parquet reads — the fully JVM-free
     data path (``build_index_direct``).
 
@@ -769,10 +771,36 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     nb = cfg.n_term_buckets
 
     splits = plan_parquet_splits(src_path, split_bytes)
+    # per-SPLIT checkpoints (the north rule's "resumable from
+    # per-partition checkpoints with lineage and metrics recorded per
+    # task"): each completed split writes an atomic lineage marker with
+    # its metrics; a resume with the SAME plan (files + config, pinned
+    # by plan_sig) skips completed splits and re-runs only the rest.  A
+    # changed plan invalidates everything (outputs are split-keyed).
+    import hashlib
+
+    plan_sig = hashlib.sha256(
+        (repr(splits) + cfg.to_json() + str(split_bytes)).encode()
+    ).hexdigest()
+    plan_file = (os.path.join(lineage_dir, "plan.json")
+                 if lineage_dir else None)
+    keep_outputs = False
+    if resume and plan_file and os.path.exists(plan_file):
+        with open(plan_file) as f:
+            keep_outputs = json.load(f).get("plan_sig") == plan_sig
     for p in (docmap_path, postings_path, terms_path):
-        if os.path.exists(p):
+        if not keep_outputs and os.path.exists(p):
             shutil.rmtree(p)
         os.makedirs(p, exist_ok=True)
+    if lineage_dir:
+        if not keep_outputs and os.path.exists(lineage_dir):
+            shutil.rmtree(lineage_dir)
+        os.makedirs(lineage_dir, exist_ok=True)
+        tmp = plan_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"plan_sig": plan_sig, "n_splits": len(splits)}, f)
+        os.replace(tmp, plan_file)
+    resume_ok = keep_outputs
 
     enc_cols = ["doc_id", "fieldnorm_id", "terms", "token_count"]
     if positions:
@@ -800,6 +828,11 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         sid, (fname, rgs) = item
+        marker = (os.path.join(lineage_dir, f"seg_{sid}.json")
+                  if lineage_dir else None)
+        if resume_ok and marker and os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)  # split already committed — skip
 
         def batches():
             pf = pq.ParquetFile(fname)
@@ -829,10 +862,19 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
                         list(b.schema.names))
                 yield b
 
-        return _fused_segment_core(batches(), sid, text_col, passthrough,
-                                   extra_fields, positions, multi, basic,
-                                   nb, docmap_path, postings_path,
-                                   terms_path, enc_cols)
+        m = _fused_segment_core(batches(), sid, text_col, passthrough,
+                                extra_fields, positions, multi, basic,
+                                nb, docmap_path, postings_path,
+                                terms_path, enc_cols)
+        if marker is not None:
+            # lineage marker LAST, atomically: a task that dies mid-write
+            # leaves no marker, so its retry (or a resume) redoes the
+            # split and overwrites its deterministic filenames
+            tmpm = marker + ".tmp"
+            with open(tmpm, "w") as f:
+                json.dump(m, f)
+            os.replace(tmpm, marker)
+        return m
 
     metrics = (
         spark.sparkContext.parallelize(list(enumerate(splits)), len(splits))
@@ -873,7 +915,9 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
         seg_metrics = build_fused_input_files(
             spark, src_path, docmap_path, postings_path,
             os.path.join(index_dir, TERMS_DIR), cfg,
-            split_bytes=split_bytes)
+            split_bytes=split_bytes,
+            lineage_dir=os.path.join(index_dir, "lineage"),
+            resume=resume)
         for st in ("docmap", "postings", "terms"):
             _mark_done(index_dir, st)
         stage_times["fused_build"] = time.time() - t

@@ -203,6 +203,53 @@ def test_direct_build_split_planning(spark, tmp_root):
     assert all(len(rgs) == 1 for _, rgs in a)
 
 
+def test_direct_build_per_split_resume(spark, tmp_root):
+    """Per-partition checkpoints: after a partial build (one split's
+    lineage marker missing), resume re-runs ONLY that split — completed
+    splits' output files are untouched."""
+    from tantivy_spark.operators.build import build_index_direct
+
+    src = transcripts_df(spark, 120, partitions=4)
+    src_path = f"{tmp_root}/psr_src_{time.time_ns()}"
+    src.write.parquet(src_path)
+    idx = f"{tmp_root}/psr_{time.time_ns()}"
+    cfg = IndexConfig(n_term_buckets=4)
+    m1 = build_index_direct(spark, src_path, idx, cfg)
+    markers = sorted(
+        f for f in os.listdir(os.path.join(idx, "lineage"))
+        if f.startswith("seg_"))
+    assert len(markers) == len(m1["segments"])
+
+    # simulate a crash: stage markers gone, one split uncommitted
+    for st in ("docmap", "postings", "terms"):
+        os.remove(os.path.join(idx, f"_done_{st}"))
+    os.remove(os.path.join(idx, "lineage", markers[0]))
+    lost_seg = markers[0].removeprefix("seg_").removesuffix(".json")
+    lost_file = os.path.join(idx, "docmap", f"segment_ord={lost_seg}",
+                             "part-00000.parquet")
+    kept_seg = markers[1].removeprefix("seg_").removesuffix(".json")
+    kept_file = os.path.join(idx, "docmap", f"segment_ord={kept_seg}",
+                             "part-00000.parquet")
+    lost_mtime = os.path.getmtime(lost_file)
+    kept_mtime = os.path.getmtime(kept_file)
+
+    m2 = build_index_direct(spark, src_path, idx, cfg, resume=True)
+    assert m2["total_docs"] == m1["total_docs"]
+    assert m2["total_tokens"] == m1["total_tokens"]
+    assert os.path.getmtime(kept_file) == kept_mtime       # untouched
+    assert os.path.getmtime(lost_file) > lost_mtime        # re-run
+
+    # a CHANGED plan (different config) invalidates every checkpoint
+    # (stage markers removed so the fused stage actually re-enters —
+    # stage-level resume semantics are unchanged)
+    for st in ("docmap", "postings", "terms"):
+        os.remove(os.path.join(idx, f"_done_{st}"))
+    m3 = build_index_direct(spark, src_path, idx,
+                            IndexConfig(n_term_buckets=2), resume=True)
+    assert m3["total_docs"] == m1["total_docs"]
+    assert os.path.getmtime(kept_file) > kept_mtime
+
+
 def test_direct_build_rejects_unsupported(spark, tmp_root):
     from tantivy_spark.operators.build import build_index_direct
 
