@@ -704,7 +704,13 @@ def plan_parquet_splits(src_path: str,
     import pyarrow.parquet as pq
 
     if os.path.isdir(src_path):
-        files = sorted(_glob.glob(os.path.join(src_path, "*.parquet")))
+        # recursive: nested directory layouts are planned over all files.
+        # CAVEAT: a Hive-partitioned dataset whose partition-key values
+        # exist ONLY in directory names loses those columns on this path
+        # (files are read as-is) — use the DataFrame build for such
+        # sources, or write the keys into the files
+        files = sorted(_glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                                  recursive=True))
     else:
         files = [src_path]
     if not files:

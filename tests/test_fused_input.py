@@ -250,6 +250,23 @@ def test_direct_build_per_split_resume(spark, tmp_root):
     assert os.path.getmtime(kept_file) > kept_mtime
 
 
+def test_direct_build_nested_layout(spark, tmp_root):
+    """plan_parquet_splits discovers files recursively (nested directory
+    layouts whose files carry all columns)."""
+    from tantivy_spark.operators.build import (build_index_direct,
+                                               plan_parquet_splits)
+
+    src = transcripts_df(spark, 40, partitions=2)
+    root = f"{tmp_root}/nested_{time.time_ns()}"
+    src.filter(F.col("turn_idx") % 2 == 0).write.parquet(f"{root}/part=a")
+    src.filter(F.col("turn_idx") % 2 == 1).write.parquet(f"{root}/part=b")
+    splits = plan_parquet_splits(root)
+    assert len(splits) >= 2
+    idx = f"{tmp_root}/nested_idx_{time.time_ns()}"
+    m = build_index_direct(spark, root, idx, IndexConfig(n_term_buckets=2))
+    assert m["total_docs"] == src.count()
+
+
 def test_direct_build_rejects_unsupported(spark, tmp_root):
     from tantivy_spark.operators.build import build_index_direct
 

@@ -44,6 +44,12 @@ def main(argv: list[str]) -> int:
     b.add_argument("--segments", type=int, default=8)
     b.add_argument("--term-buckets", type=int, default=8)
     b.add_argument("--positions", action="store_true")
+    b.add_argument("--direct", action="store_true",
+                   help="use build_index_direct over --source (fused "
+                        "single-pass, per-split resumable checkpoints — "
+                        "the at-scale dataflow)")
+    b.add_argument("--split-bytes", type=int, default=128 << 20,
+                   help="row-group split target for --direct")
     b.add_argument("--resume", action="store_true",
                    help="resume from per-stage checkpoints")
 
@@ -66,20 +72,30 @@ def main(argv: list[str]) -> int:
 
         if bool(args.source) == bool(args.synthetic_convs):
             ap.error("build needs exactly one of --source / --synthetic-convs")
-        if args.source:
-            src = spark.read.parquet(args.source)
-        else:
-            from tantivy_spark.sources.transcripts import transcripts_df
-
-            src = transcripts_df(spark, args.synthetic_convs)
+        if args.direct and not args.source:
+            ap.error("--direct reads parquet files directly: needs --source")
         cfg = IndexConfig(
             n_segments=args.segments,
             n_term_buckets=args.term_buckets,
             positions=args.positions,
         )
         t0 = time.time()
-        manifest = build_index(spark, src, args.index_dir, cfg,
-                               resume=args.resume)
+        if args.direct:
+            from tantivy_spark.operators.build import build_index_direct
+
+            manifest = build_index_direct(spark, args.source,
+                                          args.index_dir, cfg,
+                                          resume=args.resume,
+                                          split_bytes=args.split_bytes)
+        else:
+            if args.source:
+                src = spark.read.parquet(args.source)
+            else:
+                from tantivy_spark.sources.transcripts import transcripts_df
+
+                src = transcripts_df(spark, args.synthetic_convs)
+            manifest = build_index(spark, src, args.index_dir, cfg,
+                                   resume=args.resume)
         out = {
             "cmd": "build",
             "index_dir": args.index_dir,
