@@ -534,7 +534,9 @@ def build_docmap_segment_files(spark: SparkSession, source: DataFrame,
 
 def build_fused_input(spark: SparkSession, source: DataFrame,
                       docmap_path: str, postings_path: str,
-                      terms_path: str, cfg: IndexConfig) -> list[dict]:
+                      terms_path: str, cfg: IndexConfig,
+                      seg_offset: int = 0,
+                      append: bool = False) -> list[dict]:
     """The whole build as ONE shuffle-free mapInArrow pass —
     ``segment_assignment="input"``.
 
@@ -583,7 +585,7 @@ def build_fused_input(spark: SparkSession, source: DataFrame,
     passthrough = [f.name for f in base.schema.fields if f.name != text_col]
 
     for p in (docmap_path, postings_path, terms_path):
-        if os.path.exists(p):
+        if not append and os.path.exists(p):
             shutil.rmtree(p)
         os.makedirs(p, exist_ok=True)
 
@@ -605,8 +607,12 @@ def build_fused_input(spark: SparkSession, source: DataFrame,
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
-        pid = TaskContext.get().partitionId()
-        m = _fused_segment_core(it, pid, text_col, passthrough,
+        # seg_offset supports APPEND commits (streaming/incremental):
+        # the batch's partitions become new segments above the existing
+        # ords — tantivy's multi-segment commit (one segment per worker
+        # thread per commit, index_writer.rs)
+        seg = seg_offset + TaskContext.get().partitionId()
+        m = _fused_segment_core(it, seg, text_col, passthrough,
                                 extra_fields, positions, multi, basic, nb,
                                 docmap_path, postings_path, terms_path,
                                 enc_cols)

@@ -3,8 +3,10 @@
 The reference has no streaming operators — it is a batch micro-commit
 engine: add_document -> commit -> readers reload (ARCHITECTURE.md:55-66,
 src/reader/mod.rs:21-30).  The Spark-native analogue maps a streaming
-micro-batch to one commit: each `foreachBatch` invocation appends ONE new
-segment (docmap partition + postings rows) and atomically rewrites the
+micro-batch to one commit: each `foreachBatch` invocation appends new
+segments (one per batch partition on the fused default path — tantivy's
+multi-segment commit, where every worker thread seals its own segment;
+one combined segment on the fallback path) and atomically rewrites the
 manifest — the same files-then-meta.json protocol as the batch build.
 Merge pressure from many small segments is handled by the LogMergePolicy
 compaction job (operators/merge.py), tantivy's merge-thread role.
@@ -36,7 +38,11 @@ from tantivy_spark.operators.build import (
 
 def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
                     cfg: IndexConfig) -> dict:
-    """Index one micro-batch as a new segment; returns the new manifest."""
+    """Index one micro-batch as new segment(s); returns the new manifest.
+
+    Default configs take the fused shuffle-free pass (one segment per
+    batch partition, `build.build_fused_input` append mode); non-default
+    analyzers/engines keep the DataFrame path (one combined segment)."""
     docmap_path = os.path.join(index_dir, "docmap")
     postings_path = os.path.join(index_dir, "postings")
     try:
@@ -55,45 +61,72 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
         }
         next_ord = 0
 
-    docmap = build_docmap(spark, batch_df, cfg, fixed_segment_ord=next_ord)
-    docmap.sortWithinPartitions("doc_id").write.mode("append").partitionBy(
-        "segment_ord"
-    ).parquet(docmap_path)
+    fused_ok = (cfg.postings_mode == "segment"
+                and cfg.tokenizer == "default"
+                and cfg.tokenize_engine == "arrow"
+                and cfg.segment_assignment in ("hash", "input"))
+    if fused_ok:
+        # fused append commit: the batch's partitions become new
+        # segments in ONE shuffle-free pass (tantivy's multi-segment
+        # commit — every worker thread seals its own segment,
+        # index_writer.rs); docmap/postings/terms files land under new
+        # segment ords, existing files untouched, manifest-last below
+        from tantivy_spark.operators.build import build_fused_input
 
-    seg_dm = spark.read.parquet(docmap_path).filter(
-        F.col("segment_ord") == next_ord
-    )
-    postings = build_postings_local(seg_dm, cfg)
-    postings.write.mode("append").partitionBy("tbucket").parquet(postings_path)
+        now = time.time()
+        new_entries = [
+            {**m, "committed_at": now}
+            for m in build_fused_input(
+                spark, batch_df, docmap_path, postings_path,
+                os.path.join(index_dir, TERMS_DIR), cfg,
+                seg_offset=next_ord, append=True)
+        ]
+    else:
+        docmap = build_docmap(spark, batch_df, cfg,
+                              fixed_segment_ord=next_ord)
+        docmap.sortWithinPartitions("doc_id").write.mode(
+            "append").partitionBy("segment_ord").parquet(docmap_path)
 
-    # append this commit's term-dict rows (one new segment = append-only)
-    write_terms(
-        spark,
-        spark.read.parquet(postings_path).filter(
+        seg_dm = spark.read.parquet(docmap_path).filter(
             F.col("segment_ord") == next_ord
-        ),
-        os.path.join(index_dir, TERMS_DIR),
-        mode="append",
-    )
+        )
+        postings = build_postings_local(seg_dm, cfg)
+        postings.write.mode("append").partitionBy("tbucket").parquet(
+            postings_path)
 
-    xf_aggs = [
-        F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}") for f in cfg.extra_fields
-    ]
-    stats = seg_dm.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("token_count").alias("n_tokens"),
-        *xf_aggs,
-    ).collect()[0]
-    seg_entry = {
-        "segment_ord": next_ord,
-        "n_docs": int(stats["n_docs"] or 0),
-        "n_tokens": int(stats["n_tokens"] or 0),
-        "committed_at": time.time(),
-    }
-    if cfg.extra_fields:
-        seg_entry["field_tokens"] = {
-            f: int(stats[f"xf_tokens_{f}"] or 0) for f in cfg.extra_fields
+        # append this commit's term-dict rows (one new segment =
+        # append-only)
+        write_terms(
+            spark,
+            spark.read.parquet(postings_path).filter(
+                F.col("segment_ord") == next_ord
+            ),
+            os.path.join(index_dir, TERMS_DIR),
+            mode="append",
+        )
+
+        xf_aggs = [
+            F.sum(f"xf_tc_{f}").alias(f"xf_tokens_{f}")
+            for f in cfg.extra_fields
+        ]
+        stats = seg_dm.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("n_tokens"),
+            *xf_aggs,
+        ).collect()[0]
+        seg_entry = {
+            "segment_ord": next_ord,
+            "n_docs": int(stats["n_docs"] or 0),
+            "n_tokens": int(stats["n_tokens"] or 0),
+            "committed_at": time.time(),
         }
-    manifest["segments"].append(seg_entry)
+        if cfg.extra_fields:
+            seg_entry["field_tokens"] = {
+                f: int(stats[f"xf_tokens_{f}"] or 0)
+                for f in cfg.extra_fields
+            }
+        new_entries = [seg_entry]
+    manifest["segments"].extend(new_entries)
     manifest["total_docs"] = int(sum(s["n_docs"] for s in manifest["segments"]))
     manifest["total_tokens"] = int(
         sum(s["n_tokens"] for s in manifest["segments"])

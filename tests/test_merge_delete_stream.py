@@ -133,10 +133,16 @@ def test_streaming_incremental_commits(spark, tmp_root):
         "conv_id": ["b0"], "turn_idx": [0],
         "text": ["late arrival world"],
     }))
+    # a commit appends one segment per batch PARTITION (the fused path:
+    # tantivy's multi-segment commit — every worker seals its own
+    # segment); ords grow monotonically across commits
     m1 = _append_segment(spark, b1, idx, cfg)
-    assert [s["segment_ord"] for s in m1["segments"]] == [0]
+    ords1 = [s["segment_ord"] for s in m1["segments"]]
+    assert len(ords1) >= 1 and m1["total_docs"] == 2
     m2 = _append_segment(spark, b2, idx, cfg)
-    assert [s["segment_ord"] for s in m2["segments"]] == [0, 1]
+    ords2 = [s["segment_ord"] for s in m2["segments"]]
+    assert ords2[:len(ords1)] == ords1          # append-only
+    assert min(ords2[len(ords1):]) > max(ords1)  # new ords above old
     assert m2["total_docs"] == 3
 
     s = Searcher(spark, idx)
@@ -144,6 +150,13 @@ def test_streaming_incremental_commits(spark, tmp_root):
     assert {r["conv_id"] for r in out} == {"a0", "b0"}
     # global stats span segments (idf over all 3 docs)
     assert s.total_docs == 3
+
+    # non-default analyzer falls back to the combined-segment path
+    idx_f = f"{tmp_root}/stream_idx_fb_{time.time_ns()}"
+    cfg_f = IndexConfig(n_segments=2, n_term_buckets=4, tokenizer="en_stem")
+    mf = _append_segment(spark, b1, idx_f, cfg_f)
+    assert [x["segment_ord"] for x in mf["segments"]] == [0]
+    assert Searcher(spark, idx_f).count(L.TermQuery("stream")) == 1
 
     # real streaming query over a file source, availableNow drain
     src_dir = f"{tmp_root}/stream_src_{time.time_ns()}"
