@@ -906,7 +906,12 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
     split does tokenize -> docmap -> postings -> terms with pyarrow
     only — no shuffle, no JVM in the data path.  Same index layout,
     same manifest-last commit, same resume markers."""
+    import dataclasses
+
     cfg = cfg or IndexConfig()
+    # the manifest must describe the layout actually built: arrival-order
+    # input-split segments, whatever the caller's default said
+    cfg = dataclasses.replace(cfg, segment_assignment="input")
     if cfg.record not in ("freqs", "basic"):
         raise ValueError(f"unknown record option {cfg.record!r}")
     if cfg.record == "basic" and cfg.positions:

@@ -179,6 +179,8 @@ def test_direct_build_parity(spark, tmp_root):
     assert m1["total_docs"] == m2["total_docs"]
     assert m1["total_tokens"] == m2["total_tokens"]
     assert m1["field_tokens"] == m2["field_tokens"]
+    # the manifest describes the layout actually built
+    assert m1["config"]["segment_assignment"] == "input"
     s1, s2 = Searcher(spark, d_direct), Searcher(spark, d_hash)
     for q in (L.TermQuery("the"), L.PhraseQuery(["of", "the"]),
               L.TermQuery("role:user")):
