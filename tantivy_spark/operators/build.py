@@ -783,6 +783,33 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     nb = cfg.n_term_buckets
 
     splits = plan_parquet_splits(src_path, split_bytes)
+
+    # validate config against the footer schema BEFORE any destructive
+    # cleanup below: a typo'd text_col / reserved-name collision must not
+    # destroy a previously built index on its way to the error
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _schema = _pq.ParquetFile(splits[0][0]).schema_arrow
+    schema_names = _schema.names
+    if text_col not in schema_names:
+        raise ValueError(f"text_col {text_col!r} not in {schema_names}")
+    _check_reserved_names(schema_names)
+    for f in extra_fields:
+        if f not in schema_names:
+            raise ValueError(f"extra_field {f!r} not in {schema_names}")
+        if not (_pa.types.is_string(_schema.field(f).type)
+                or _pa.types.is_large_string(_schema.field(f).type)):
+            # Arrow's and Catalyst's to-string casts render doubles /
+            # timestamps differently (e.g. '1' vs '1.0'), so the direct
+            # path would index different term bytes than build_index.
+            # Refuse, like the other restrictions on this path.
+            raise ValueError(
+                f"build_index_direct requires string extra_fields; "
+                f"{f!r} is {_schema.field(f).type} — cast it to string "
+                "in the source, or use the DataFrame build "
+                "(segment_assignment='input'), which casts in Catalyst")
+    passthrough = [n for n in schema_names if n != text_col]
     # per-SPLIT checkpoints (the north rule's "resumable from
     # per-partition checkpoints with lineage and metrics recorded per
     # task"): each completed split writes an atomic lineage marker with
@@ -820,17 +847,6 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     if multi:
         enc_cols.append("term_fns")
     enc_cols += [f"xf_tc_{f}" for f in extra_fields]
-
-    # column pruning at the source: read what the docmap keeps (all
-    # source columns ride along as fast fields), but let the footer
-    # schema drive it so missing-column errors are immediate
-    import pyarrow.parquet as _pq
-
-    schema_names = _pq.ParquetFile(splits[0][0]).schema_arrow.names
-    if text_col not in schema_names:
-        raise ValueError(f"text_col {text_col!r} not in {schema_names}")
-    _check_reserved_names(schema_names)
-    passthrough = [n for n in schema_names if n != text_col]
 
     def split_task(item):
         import pyarrow as pa

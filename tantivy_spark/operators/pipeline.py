@@ -272,10 +272,13 @@ def embedding_near_dup_pairs(df: DataFrame, key_col: str = "vec_id",
     — the c^2 guard; pass None for the exact banded semantics (the
     oracle entry does).
     """
-    first = df.select(vec_col).first()
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:
+        # schema of the empty frame mirrors the non-empty path: key types
+        # come from key_col's actual type, not a hardcoded long
+        ktype = df.schema[key_col].dataType.simpleString()
         return (df.sparkSession.createDataFrame(
-            [], f"key_a long, key_b long, cosine double"))
+            [], f"key_a {ktype}, key_b {ktype}, cosine double"))
     dim = len(first[0])
     planes = _hyperplanes(dim, n_bands * band_planes, seed)
 
@@ -954,6 +957,24 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame, key_col: str,
 # repetition features (Gopher-style quality filters)
 # ---------------------------------------------------------------------------
 
+def _distinct_per_segment(codes: np.ndarray, doc_of: np.ndarray,
+                          n_docs: int) -> np.ndarray:
+    """Distinct-value count per doc segment: sort by (doc, code), count
+    run starts per contiguous doc block — one lexsort + reduceat, no
+    per-doc Python."""
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(codes) == 0:
+        return out
+    order = np.lexsort((codes, doc_of))
+    cs, ds = codes[order], doc_of[order]
+    new_run = np.ones(len(cs), dtype=np.int64)
+    new_run[1:] = ((cs[1:] != cs[:-1]) | (ds[1:] != ds[:-1])).astype(np.int64)
+    seg_starts = np.flatnonzero(
+        np.concatenate(([True], ds[1:] != ds[:-1])))
+    out[ds[seg_starts]] = np.add.reduceat(new_run, seg_starts)
+    return out
+
+
 def repetition_features(df: DataFrame, key_col: str,
                         text_col: str = "text") -> DataFrame:
     """Per-doc repetition signals, the Gopher/MassiveText-style filters
@@ -961,54 +982,112 @@ def repetition_features(df: DataFrame, key_col: str,
     3-gram occurrence fractions (1 - distinct/total), and the most
     frequent token's occurrence fraction.
 
-    Pure Catalyst projection, zero shuffles.  top_token_frac avoids the
-    O(distinct x total) count-each-distinct shape: it sorts the token
-    array and takes the longest equal run via one linear aggregate fold
-    — O(n log n) per doc, safe for arbitrarily long documents.
+    One Arrow kernel per batch (`mapInPandas`), zero shuffles: tokens
+    are factorized once per batch (C-level hash table), n-grams become
+    adjacent-code pairs (tokens carry no spaces, so code pairs <->
+    gram strings bijectively), and every distinct / top-count is a
+    lexsort + run-length pass (np.diff/reduceat) — no per-token Python
+    and no O(distinct x total) shape.  Semantics are pinned to the SQL
+    oracle: split on [^a-z0-9]+ of lower(text), drop empty + len>=40
+    tokens, lines split on \\n keeping those with non-space content
+    (trim strips ASCII space only, like Spark/DuckDB trim), fractions
+    rounded half-away-from-zero to 6 places (floor(x*1e6+0.5): the same
+    double pipeline DuckDB's round executes).
     """
-    toks = tokens_col(text_col)
-    lines = F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda x: F.trim(x) != "")
+    import re
 
-    def dup_frac(arr):
-        total = F.size(arr)
-        return F.round(
-            F.when(total > 0,
-                   (total - F.size(F.array_distinct(arr))).cast("double")
-                   / total).otherwise(0.0), 6)
+    ktype = df.schema[key_col].dataType.simpleString()
+    schema = (f"{key_col} {ktype}, dup_line_frac double, "
+              "dup_2gram_frac double, dup_3gram_frac double, "
+              "top_token_frac double")
+    tok_re = re.compile(r"[^a-z0-9]+")
 
-    def grams(k: int):
-        return F.when(
-            F.size(toks) >= k,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - k),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ).otherwise(F.array().cast("array<string>"))
+    def _round6(v: np.ndarray) -> np.ndarray:
+        # half-away-from-zero at 6 places over non-negative doubles:
+        # bit-identical to DuckDB's round(x, 6) double pipeline
+        return np.floor(v * 1e6 + 0.5) / 1e6
 
-    # longest equal run in the sorted token array: fold with a
-    # (prev, run, best) struct accumulator
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
-    fold = F.aggregate(
-        F.array_sort(toks), zero,
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-    )
-    n = F.size(toks)
-    return df.select(
-        F.col(key_col),
-        dup_frac(lines).alias("dup_line_frac"),
-        dup_frac(grams(2)).alias("dup_2gram_frac"),
-        dup_frac(grams(3)).alias("dup_3gram_frac"),
-        F.round(F.when(n > 0, fold["best"].cast("double") / n)
-                .otherwise(0.0), 6).alias("top_token_frac"),
-    )
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            tok_lists = [
+                [t for t in tok_re.split(s.lower()) if t and len(t) < 40]
+                for s in texts
+            ]
+            line_lists = [
+                [ln for ln in s.split("\n") if ln.strip(" ")]
+                for s in texts
+            ]
+            flat, starts = _token_offsets(tok_lists)
+            lens = np.diff(starts)
+            doc_of = np.repeat(np.arange(n_docs), lens)
+            codes = (pd.factorize(flat)[0].astype(np.int64)
+                     if len(flat) else np.empty(0, np.int64))
+
+            # top token count per doc: runs of equal code within a doc
+            top_cnt = np.zeros(n_docs, dtype=np.int64)
+            if len(codes):
+                order = np.lexsort((codes, doc_of))
+                cs, ds = codes[order], doc_of[order]
+                run_start = np.flatnonzero(np.concatenate(
+                    ([True], (cs[1:] != cs[:-1]) | (ds[1:] != ds[:-1]))))
+                run_lens = np.diff(np.append(run_start, len(cs)))
+                run_doc = ds[run_start]
+                doc_first_run = np.flatnonzero(np.concatenate(
+                    ([True], run_doc[1:] != run_doc[:-1])))
+                top_cnt[run_doc[doc_first_run]] = np.maximum.reduceat(
+                    run_lens, doc_first_run)
+
+            # n-grams as adjacent-code combos; a gram start is valid iff
+            # all its positions share doc_of (doc segments are contiguous
+            # in flat order, so adjacency checks suffice)
+            g2_total = np.maximum(lens - 1, 0)
+            g3_total = np.maximum(lens - 2, 0)
+            g2_distinct = np.zeros(n_docs, dtype=np.int64)
+            g3_distinct = np.zeros(n_docs, dtype=np.int64)
+            if len(codes) >= 2 and g2_total.sum():
+                k = np.int64(codes.max()) + 1
+                same2 = doc_of[:-1] == doc_of[1:]
+                pair_all = codes[:-1] * k + codes[1:]     # every adjacency
+                g2_distinct = _distinct_per_segment(
+                    pair_all[same2], doc_of[:-1][same2], n_docs)
+                if len(codes) >= 3 and g3_total.sum():
+                    # re-factorize pair codes so the 3-way combo stays
+                    # within int64 regardless of vocabulary size
+                    pf = pd.factorize(pair_all)[0].astype(np.int64)
+                    same3 = same2[:-1] & same2[1:]
+                    g3 = pf[:-1][same3] * k + codes[2:][same3]
+                    g3_distinct = _distinct_per_segment(
+                        g3, doc_of[:-2][same3], n_docs)
+
+            lflat, lstarts = _token_offsets(line_lists)
+            llens = np.diff(lstarts)
+            l_doc = np.repeat(np.arange(n_docs), llens)
+            lcodes = (pd.factorize(lflat)[0].astype(np.int64)
+                      if len(lflat) else np.empty(0, np.int64))
+            l_distinct = _distinct_per_segment(lcodes, l_doc, n_docs)
+
+            def dup(total, distinct):
+                t = total.astype(np.float64)
+                return _round6(np.divide(
+                    (total - distinct).astype(np.float64), t,
+                    out=np.zeros(n_docs), where=total > 0))
+
+            yield pd.DataFrame({
+                key_col: pdf[key_col].values,
+                "dup_line_frac": dup(llens, l_distinct),
+                "dup_2gram_frac": dup(g2_total, g2_distinct),
+                "dup_3gram_frac": dup(g3_total, g3_distinct),
+                "top_token_frac": _round6(np.divide(
+                    top_cnt.astype(np.float64),
+                    lens.astype(np.float64),
+                    out=np.zeros(n_docs), where=lens > 0)),
+            })
+
+    return df.select(key_col, text_col).mapInPandas(feats, schema)
 
 
 # ---------------------------------------------------------------------------

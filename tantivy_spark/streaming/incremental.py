@@ -47,7 +47,11 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     postings_path = os.path.join(index_dir, "postings")
     try:
         manifest = load_manifest(index_dir)
-        next_ord = max(s["segment_ord"] for s in manifest["segments"]) + 1
+        # default=-1: a manifest can legitimately carry segments: [] (an
+        # all-empty first micro-batch on the fused path, or a
+        # delete_all_documents commit) — the next batch starts at ord 0
+        next_ord = max(
+            (s["segment_ord"] for s in manifest["segments"]), default=-1) + 1
     except FileNotFoundError:
         os.makedirs(index_dir, exist_ok=True)
         manifest = {
