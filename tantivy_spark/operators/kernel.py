@@ -182,14 +182,50 @@ class Clause:
     postings: TermPostings | ArrayPostings | None
 
 
+def _dead_postings(dead: np.ndarray | None) -> ArrayPostings | None:
+    """The segment's tombstoned doc ids as a virtual posting list — the
+    alive-bitset role (src/fastfield/alive_bitset.rs): exclusion happens
+    INSIDE the scorer, so the heap stays k and nothing proportional to
+    |dead| leaves the segment task."""
+    if dead is None or len(dead) == 0:
+        return None
+    return ArrayPostings(
+        np.asarray(dead, dtype=np.int64),
+        np.ones(len(dead), dtype=np.int64),
+        np.zeros(len(dead), dtype=np.int64),
+    )
+
+
+def _alive_mask(candidates: np.ndarray,
+                dead: np.ndarray | None) -> np.ndarray | None:
+    """Boolean mask of candidates NOT present in the sorted dead array;
+    None when nothing is dead (skip the masking)."""
+    if dead is None or len(dead) == 0 or len(candidates) == 0:
+        return None
+    idx = np.searchsorted(dead, candidates)
+    ok = idx < len(dead)
+    hit = np.zeros(len(candidates), dtype=bool)
+    hit[ok] = dead[idx[ok]] == candidates[ok]
+    if not hit.any():
+        return None
+    return ~hit
+
+
 def segment_topk(
     clauses: list[Clause],
     k: int,
     minimum_should_match: int = 0,
     const_score: float | None = None,
+    dead: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k of one segment -> (doc_ids, f32 scores), ordered by
-    (score desc, doc_id asc)."""
+    (score desc, doc_id asc).  `dead` = sorted tombstoned doc ids of this
+    segment, excluded as an extra must_not clause (which also disables
+    the θ-seed prune — removal-unsafe, see below — exactly like a user
+    must_not)."""
+    dp = _dead_postings(dead)
+    if dp is not None:
+        clauses = clauses + [Clause("must_not", "__tombstones__", None, dp)]
     musts = [c for c in clauses if c.occur == "must"]
     shoulds = [c for c in clauses if c.occur == "should"]
     must_nots = [c for c in clauses if c.occur == "must_not" and c.postings is not None]
@@ -450,6 +486,7 @@ def phrase_match_arrays(
     term_postings: list,
     slop: int = 0,
     last_alternatives: list | None = None,
+    dead: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Evaluate a phrase over one segment -> (doc_ids, phrase_counts,
     fieldnorm_ids) for ALL matching docs — the PhraseScorer docset+
@@ -493,6 +530,13 @@ def phrase_match_arrays(
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
     if cand is None or len(cand) == 0:
         return empty3
+    alive = _alive_mask(cand, dead)
+    if alive is not None:
+        # drop tombstoned docs BEFORE position decode (alive-bitset
+        # applied at the docset, phrase_scorer feeds only live docs)
+        cand = cand[alive]
+        if len(cand) == 0:
+            return empty3
 
     # positions per phrase slot, aligned to candidates
     pos_cache: dict[int, list[np.ndarray]] = {}
@@ -570,6 +614,7 @@ def segment_topk_phrase(
     k: int,
     slop: int = 0,
     last_alternatives: list[TermPostings] | None = None,
+    dead: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact-phrase top-k for one segment.
 
@@ -588,7 +633,8 @@ def segment_topk_phrase(
     (src/query/phrase_prefix_query/phrase_prefix_scorer.rs).
     """
     cand, counts, fns = phrase_match_arrays(
-        term_postings, slop=slop, last_alternatives=last_alternatives
+        term_postings, slop=slop, last_alternatives=last_alternatives,
+        dead=dead,
     )
     if len(cand) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
@@ -599,7 +645,8 @@ def segment_topk_phrase(
 
 
 def segment_topk_dismax(
-    subclauses: list[Clause], tie_breaker: float, k: int
+    subclauses: list[Clause], tie_breaker: float, k: int,
+    dead: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """DisjunctionMax over term subqueries: max + tie_breaker * (sum - max)
     (src/query/disjunction_max_query.rs:64-83, score_combiner.rs)."""
@@ -608,6 +655,11 @@ def segment_topk_dismax(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
     fulls = [c.postings.decode_all() for c in live]
     candidates = np.unique(np.concatenate([f[0] for f in fulls]))
+    alive = _alive_mask(candidates, dead)
+    if alive is not None:
+        candidates = candidates[alive]  # per-doc scores are independent
+        if len(candidates) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
     mx = np.zeros(len(candidates), dtype=_F32)
     sm = np.zeros(len(candidates), dtype=_F32)
     for c, f in zip(live, fulls):

@@ -140,19 +140,29 @@ def delete_by_address(spark: SparkSession, index_dir: str,
 def delete_query(spark: SparkSession, index_dir: str, query) -> int:
     """Tombstone every doc matching `query` (index_writer.rs:750
     delete_query): evaluate the query un-scored against the current
-    searcher snapshot and record the matching addresses.  Returns the
-    number of docs tombstoned."""
+    searcher snapshot and record the matching addresses with a
+    DISTRIBUTED write — a hot-term delete matching 10^7 docs never
+    lands on the driver (the matched count is the only scalar that
+    does).  Returns the number of docs tombstoned."""
+    from pyspark.sql import functions as F
+
     from tantivy_spark.operators.search import Searcher
 
     matches = (
         Searcher(spark, index_dir)
         .top_docs_frame(query, k=None, mode="taat64")
-        .select("segment_ord", "doc_id").distinct().collect()
+        .select(F.col("segment_ord").cast("int"),
+                F.col("doc_id").cast("int"))
+        .distinct()
+        .withColumn("ts", F.lit(float(time.time())))
+        .persist()
     )
-    delete_by_address(
-        spark, index_dir,
-        [(r["segment_ord"], r["doc_id"]) for r in matches])
-    return len(matches)
+    n = matches.count()
+    if n:
+        path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+        matches.write.mode("append").parquet(path)
+    matches.unpersist()
+    return n
 
 
 def doc_tombstones(spark: SparkSession, index_dir: str
@@ -169,17 +179,24 @@ def doc_tombstones(spark: SparkSession, index_dir: str
 def _rewrite_doc_tombstones(spark: SparkSession, index_dir: str,
                             drop_segments: set[int]) -> None:
     """Drop tombstone rows consumed by a merge (their doc ids were
-    remapped into the new segment and physically dropped)."""
+    remapped into the new segment and physically dropped).  Distributed
+    filter + rewrite-then-swap: the surviving tombstones never pass
+    through the driver."""
+    from pyspark.sql import functions as F
+
     path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
     if not os.path.exists(path):
         return
-    rows = [
-        (s, d) for s, d in doc_tombstones(spark, index_dir)
-        if s not in drop_segments
-    ]
+    kept = spark.read.parquet(path).filter(
+        ~F.col("segment_ord").isin(sorted(drop_segments)))
+    if kept.isEmpty():
+        shutil.rmtree(path)
+        return
+    tmp = path + ".rewrite"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.parquet(tmp)     # materialize before dropping the source
     shutil.rmtree(path)
-    if rows:
-        delete_by_address(spark, index_dir, rows)
+    os.rename(tmp, path)
 
 
 def delete_all_documents(spark: SparkSession, index_dir: str) -> None:

@@ -338,6 +338,8 @@ class Searcher:
         self._df_cache: dict[str, int] = {}
         self._tombstones: list[str] | None = None
         self._doc_tombstones: list[tuple[int, int]] | None = None
+        self._has_doc_tombs: bool | None = None
+        self._dead_df: DataFrame | None = None
         self._live_segments = {
             int(s["segment_ord"]) for s in self.manifest["segments"]
         }
@@ -805,7 +807,7 @@ class Searcher:
         valid with no pending deletes (the same no-deletes condition as
         weight.rs count default + term_weight.rs override)."""
         if (isinstance(query, L.TermQuery) and not self.tombstones()
-                and not self.doc_tombstones()):
+                and not self.has_doc_tombstones()):
             return self.doc_freqs([query.term])[query.term]
         df = self.top_docs_frame(query, k=None, mode="taat64")
         return df.count()
@@ -827,7 +829,10 @@ class Searcher:
     # -- execution paths ------------------------------------------------------
     def doc_tombstones(self) -> list[tuple[int, int]]:
         """Pending address-level tombstones (delete_query /
-        delete_by_address), pruned to live segments."""
+        delete_by_address), pruned to live segments — the collected list,
+        for merge/tests.  The QUERY path never calls this: it consumes
+        `dead_docs_df` (distributed) so nothing proportional to |dead|
+        ever lands on the driver."""
         if self._doc_tombstones is None:
             from tantivy_spark.operators.merge import doc_tombstones
 
@@ -837,33 +842,93 @@ class Searcher:
             ]
         return self._doc_tombstones
 
+    def has_doc_tombstones(self) -> bool:
+        """Cheap no-deletes guard (weight.rs count fast-path condition):
+        a filesystem check on the tombstone table, no Spark job."""
+        if self._has_doc_tombs is None:
+            from tantivy_spark.operators.merge import TOMBSTONES_DOCS_DIR
+
+            p = os.path.join(self.index_dir, TOMBSTONES_DOCS_DIR)
+            self._has_doc_tombs = os.path.isdir(p) and any(
+                f.endswith(".parquet") for f in os.listdir(p))
+        return self._has_doc_tombs
+
+    def dead_docs_df(self) -> DataFrame | None:
+        """Pending address tombstones as a DISTRIBUTED (segment_ord,
+        doc_id) frame, live-segment filtered — the per-segment
+        alive-bitset source (src/fastfield/alive_bitset.rs).  None when
+        no tombstones are pending."""
+        if not self.has_doc_tombstones():
+            return None
+        if self._dead_df is None:
+            from tantivy_spark.operators.merge import TOMBSTONES_DOCS_DIR
+
+            self._dead_df = (
+                self.spark.read.parquet(
+                    os.path.join(self.index_dir, TOMBSTONES_DOCS_DIR))
+                .select("segment_ord", "doc_id")
+                .filter(F.col("segment_ord").isin(
+                    sorted(self._live_segments)))
+                .distinct()
+            )
+        return self._dead_df
+
+    def _per_segment(self, feed: DataFrame, run_segment, schema: str
+                     ) -> DataFrame:
+        """Run a per-segment kernel over the pruned-postings feed.  With
+        pending address tombstones, the segment's dead doc ids arrive as
+        the cogrouped side of the SAME task (no driver list, no
+        broadcast scaling with |dead|) and the kernel excludes them as an
+        alive bitset — its heap stays k."""
+        dead = self.dead_docs_df()
+        if dead is None:
+            # run_segment takes (pdf, dead=None): wrap to arity 1, or
+            # applyInPandas would treat it as the (key, pdf) form
+            return feed.groupBy("segment_ord").applyInPandas(
+                lambda pdf: run_segment(pdf), schema)
+
+        def run_cogrouped(left: pd.DataFrame,
+                          right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                # segment has tombstones but no postings for these terms
+                return pd.DataFrame({
+                    "segment_ord": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int32"),
+                    "score": pd.Series(dtype="float32"),
+                })
+            dead_ids = (np.sort(right["doc_id"].to_numpy(np.int64))
+                        if len(right) else None)
+            return run_segment(left, dead_ids)
+
+        return feed.groupBy("segment_ord").cogroup(
+            dead.groupBy("segment_ord")
+        ).applyInPandas(run_cogrouped, schema)
+
+    def _exclude_dead(self, frame: DataFrame) -> DataFrame:
+        """Distributed anti-join of pending address tombstones, for the
+        full-scan (TAAT / const-union) paths — applied BEFORE their
+        top-k, so no over-fetch; join strategy is Spark's size-based
+        choice (a 10^7-row dead set will not be broadcast)."""
+        dead = self.dead_docs_df()
+        if dead is None:
+            return frame
+        return frame.join(dead, ["segment_ord", "doc_id"], "left_anti")
+
     def top_docs_frame(self, query: L.Query, k: int | None,
                        mode: str = "daat") -> DataFrame:
         """All query paths funnel through here; address tombstones are
-        applied universally by over-fetching k + |dead| candidates
-        (every path's top-(k+|dead|) necessarily contains the true live
-        top-k) and anti-joining the dead set."""
-        dead = self.doc_tombstones()
-        if not dead:
-            return self._top_docs_frame_impl(query, k, mode)
-        k_eff = None if k is None else k + len(dead)
-        out = self._top_docs_frame_impl(query, k_eff, mode)
-        dead_df = self.spark.createDataFrame(
-            dead, "segment_ord int, doc_id int")
-        out = out.join(F.broadcast(dead_df),
-                       ["segment_ord", "doc_id"], "left_anti")
-        if k is not None:
-            out = out.orderBy(
-                F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
-            ).limit(k)
-        return out
+        applied inside each path — per-segment kernels receive their
+        segment's dead ids as an alive bitset (heap stays k), full-scan
+        paths anti-join the distributed dead frame before their top-k."""
+        return self._top_docs_frame_impl(query, k, mode)
 
     def _top_docs_frame_impl(self, query: L.Query, k: int | None,
                              mode: str = "daat") -> DataFrame:
         if isinstance(query, L.AllQuery):
             return (
-                self.docmap()
-                .select("segment_ord", "doc_id", F.lit(1.0).cast("float").alias("score"))
+                self._exclude_dead(self.docmap().select(
+                    "segment_ord", "doc_id",
+                    F.lit(1.0).cast("float").alias("score")))
                 .orderBy("segment_ord", "doc_id")
                 .limit(k or self.total_docs)
             )
@@ -984,7 +1049,7 @@ class Searcher:
         tie_breaker = spec.tie_breaker if is_dismax else 0.0
         dismax_boost = spec.boost if is_dismax else 1.0
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
@@ -995,7 +1060,8 @@ class Searcher:
                     K.Clause("should", t, weights[(t, b)], tp.get(t))
                     for t, b in clause_spec
                 ]
-                docs, scores = K.segment_topk_dismax(cl, tie_breaker, k)
+                docs, scores = K.segment_topk_dismax(cl, tie_breaker, k,
+                                                     dead=dead)
                 if dismax_boost != 1.0:
                     scores = (scores * _F32(dismax_boost)).astype(_F32)
             else:
@@ -1003,7 +1069,8 @@ class Searcher:
                     K.Clause(o, t, weights[(t, b)], tp.get(t))
                     for o, t, b in clause_spec
                 ]
-                docs, scores = K.segment_topk(cl, k, min_should, const_score)
+                docs, scores = K.segment_topk(cl, k, min_should, const_score,
+                                              dead=dead)
             return pd.DataFrame(
                 {
                     "segment_ord": np.full(len(docs), seg, dtype=np.int32),
@@ -1013,8 +1080,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(terms)
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1067,7 +1135,7 @@ class Searcher:
                 [], "segment_ord int, doc_id int, score float"
             )
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
@@ -1087,7 +1155,7 @@ class Searcher:
                         if len(cand) else None
                     )
                     cl.append(K.Clause(occur, " ".join(slots), w, ap))
-            docs, scores = K.segment_topk(cl, k, msm, None)
+            docs, scores = K.segment_topk(cl, k, msm, None, dead=dead)
             return pd.DataFrame(
                 {
                     "segment_ord": np.full(len(docs), seg, dtype=np.int32),
@@ -1097,8 +1165,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(all_terms)
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1132,7 +1201,7 @@ class Searcher:
                 [], "segment_ord int, doc_id int, score float"
             )
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {
                 r["term"]: K.TermPostings.from_row(r)
@@ -1149,7 +1218,8 @@ class Searcher:
                     )
                     ap = K.ArrayPostings(cand, counts, fns) if len(cand) else None
                     cl.append(K.Clause("should", " ".join(slots), w, ap))
-            docs, scores = K.segment_topk_dismax(cl, tie_breaker, k)
+            docs, scores = K.segment_topk_dismax(cl, tie_breaker, k,
+                                                 dead=dead)
             if top_boost != 1.0:
                 scores = (scores * _F32(top_boost)).astype(_F32)
             return pd.DataFrame(
@@ -1161,8 +1231,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(all_terms)
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1179,7 +1250,8 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
-        out = frame.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        out = self._exclude_dead(frame).orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out
@@ -1211,8 +1283,9 @@ class Searcher:
             )
         flat = self.flat_postings(sorted(set(terms)))
         out = (
-            flat.groupBy("segment_ord", "doc_id")
-            .agg((F.count(F.lit(1)) * F.lit(float(boost))).alias("score"))
+            self._exclude_dead(
+                flat.groupBy("segment_ord", "doc_id")
+                .agg((F.count(F.lit(1)) * F.lit(float(boost))).alias("score")))
             .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         )
         if k is not None:
@@ -1241,12 +1314,12 @@ class Searcher:
         slots = list(phrase.phrase_terms)
         slop = phrase.slop
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {r["term"]: K.TermPostings.from_row(r)
                   for r in pdf.to_dict("records")}
             docs, scores = K.segment_topk_phrase(
-                [tp.get(t) for t in slots], weight, k, slop=slop
+                [tp.get(t) for t in slots], weight, k, slop=slop, dead=dead
             )
             return pd.DataFrame(
                 {
@@ -1257,8 +1330,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(sorted(set(slots)))
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1299,7 +1373,7 @@ class Searcher:
         ).boost_by(boost)
         all_terms = sorted({t for alt in slot_terms for t in alt})
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {r["term"]: K.TermPostings.from_row(r)
                   for r in pdf.to_dict("records")}
@@ -1308,7 +1382,8 @@ class Searcher:
                 for alt in slot_terms
             ]
             docs, scores = K.segment_topk_phrase(
-                [alt if alt != [None] else None for alt in slots], weight, k
+                [alt if alt != [None] else None for alt in slots], weight, k,
+                dead=dead
             )
             return pd.DataFrame(
                 {
@@ -1319,8 +1394,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(all_terms)
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1352,7 +1428,7 @@ class Searcher:
                 [1], self.total_docs, self.total_tokens, self.params
             ).boost_by(boost)
 
-        def run_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
             seg = int(pdf["segment_ord"].iloc[0])
             tp = {r["term"]: K.TermPostings.from_row(r)
                   for r in pdf.to_dict("records")}
@@ -1360,6 +1436,7 @@ class Searcher:
                 [tp.get(t) for t in fixed_terms] + [None],
                 weight, k,
                 last_alternatives=[tp[t] for t in expansions if t in tp],
+                dead=dead,
             )
             return pd.DataFrame(
                 {
@@ -1370,8 +1447,9 @@ class Searcher:
             )
 
         pruned = self.pruned_postings(sorted(set(fixed_terms) | set(expansions)))
-        per_seg = pruned.groupBy("segment_ord").applyInPandas(
-            run_segment, schema="segment_ord int, doc_id int, score float"
+        per_seg = self._per_segment(
+            pruned, run_segment,
+            schema="segment_ord int, doc_id int, score float"
         )
         return per_seg.orderBy(
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
@@ -1433,8 +1511,9 @@ class Searcher:
                     )
                 ).alias("score"),
             )
-            .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         )
+        out = self._exclude_dead(out).orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out
@@ -1651,7 +1730,8 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score double"
             )
-        out = frame.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        out = self._exclude_dead(frame).orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out
@@ -1717,7 +1797,8 @@ class Searcher:
         out = agg.filter(cond).select("segment_ord", "doc_id", "score")
         if spec.const_score is not None:
             out = out.withColumn("score", F.lit(float(spec.const_score)))
-        out = out.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        out = self._exclude_dead(out).orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out
@@ -1766,13 +1847,13 @@ class Searcher:
             F.max("clause_score").alias("mx"),
             F.sum("clause_score").alias("sm"),
         )
-        out = agg.select(
+        out = self._exclude_dead(agg.select(
             "segment_ord", "doc_id",
             (
                 (F.col("mx") + F.lit(spec.tie_breaker) * (F.col("sm") - F.col("mx")))
                 * F.lit(float(spec.boost))
             ).alias("score"),
-        ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        )).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         if k is not None:
             out = out.limit(k)
         return out

@@ -73,6 +73,49 @@ def test_delete_all_documents(spark, small_index):
     assert s.top_docs_frame(L.AllQuery(), k=None, mode="taat64").count() == 0
 
 
+def test_mass_delete_is_scale_safe(spark, tmp_path):
+    """Deleting ~20% of a 100k-doc corpus must stay distributed end to
+    end: delete_query writes matches without collecting them, the DAAT
+    plan keeps its global limit at k (no k+|dead| over-fetch), the dead
+    ids reach the kernel as a cogrouped side input (no broadcast scaling
+    with |dead|), and the driver never materializes the dead list."""
+    from pyspark.sql import functions as F
+
+    n_docs, n_dead = 100_000, 20_000
+    src = spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("k"),
+        F.concat(
+            F.lit("common word"),
+            F.when(F.col("id") % 5 == 0, F.lit(" kill")).otherwise(F.lit("")),
+            F.lit(" tok"), (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    idx = str(tmp_path / "mass_del_idx")
+    cfg = IndexConfig(text_col="text", key_cols=("k",), segment_col="k",
+                      n_segments=8, n_term_buckets=4, positions=False)
+    build_index(spark, src, idx, cfg)
+
+    assert delete_query(spark, idx, L.TermQuery("kill")) == n_dead
+
+    s = Searcher(spark, idx)
+    frame = s.top_docs_frame(L.TermQuery("common"), k=10, mode="daat")
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    # global top-k stays k, not k + |dead|
+    assert "limit=10" in plan
+    # dead ids are a cogrouped per-segment side input, not a broadcast
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+
+    rows = frame.collect()
+    assert len(rows) == 10
+    live = s.search(L.TermQuery("common"), k=10).collect()
+    assert all(int(r["k"][1:]) % 5 != 0 for r in live)
+    assert s.count(L.TermQuery("kill")) == 0
+    assert s.count(L.TermQuery("common")) == n_docs - n_dead
+    # the query path never pulled the dead list onto the driver
+    assert s._doc_tombstones is None
+
+
 def test_reserved_column_names_rejected(spark, tmp_path):
     from tantivy_spark.operators.build import build_docmap
 
