@@ -114,7 +114,9 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Build (once per sf_dir per process) and open the fulltext index."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v6")
+    # v7: segment_assignment defaults to "auto" -> this index now builds
+    # through the fused input-partition pass (query-identical to hash)
+    index_dir = os.path.join(_IDX_ROOT, f"docs-{tag}-v7")
     if index_dir not in _SEARCHERS:
         cfg = IndexConfig(
             text_col="text",

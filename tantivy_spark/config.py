@@ -90,7 +90,15 @@ class IndexConfig:
     #: single/multi field, no positions; positions fall back to pandas).
     tokenize_engine: str = "arrow"
     #: how documents are assigned to segments:
-    #: "hash" (default): segment = pmod(xxhash64(segment_col), n_segments).
+    #: "auto" (default): resolve to "input" whenever the config allows the
+    #:   fused shuffle-free pass (postings_mode="segment",
+    #:   tokenizer="default", tokenize_engine="arrow" — the defaults),
+    #:   else "hash".  The resolved mode is what the manifest records.
+    #:   Rationale: "input" is the measured at-scale dataflow (BENCH.md:
+    #:   ~0.87-0.99 scaling efficiency, ~170 MB/s at 32 cores vs "hash"'s
+    #:   0.43 / ~16 MB/s through its raw-text exchange+sort) — the default
+    #:   build a user gets must be the one that meets the scaling bar.
+    #: "hash": segment = pmod(xxhash64(segment_col), n_segments).
     #:   Content-deterministic — the same doc lands in the same segment no
     #:   matter how the input is partitioned — at the cost of ONE raw-text
     #:   exchange + within-partition sort (the only shuffle of the build).
@@ -110,7 +118,18 @@ class IndexConfig:
     #:   tokenize_engine="arrow".  Query results are identical to "hash"
     #:   builds (scores use global manifest stats; only the physical
     #:   layout differs).
-    segment_assignment: str = "hash"
+    segment_assignment: str = "auto"
+
+    def resolved_segment_assignment(self) -> str:
+        """Resolve "auto" to the mode this config will actually build
+        with; "hash"/"input" pass through."""
+        if self.segment_assignment != "auto":
+            return self.segment_assignment
+        fused_ok = (self.postings_mode == "segment"
+                    and self.tokenizer == "default"
+                    and self.jvm_tokenize
+                    and self.tokenize_engine == "arrow")
+        return "input" if fused_ok else "hash"
     k1: float = 1.2
     b: float = 0.75
     #: per-field BM25 overrides, ((field, k1, b), ...) — the reference's

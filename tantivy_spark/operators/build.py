@@ -1637,9 +1637,16 @@ def build_index(
         # the reference ties positions to WithFreqsAndPositions
         # (index_record_option.rs:15-27) — Basic cannot carry them
         raise ValueError("record='basic' cannot record positions")
-    if cfg.segment_assignment not in ("hash", "input"):
+    if cfg.segment_assignment not in ("auto", "hash", "input"):
         raise ValueError(
             f"unknown segment_assignment {cfg.segment_assignment!r}")
+    if cfg.segment_assignment == "auto":
+        # default users onto the fused shuffle-free dataflow whenever the
+        # config permits; the manifest records the RESOLVED mode
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, segment_assignment=cfg.resolved_segment_assignment())
     fused_input = cfg.segment_assignment == "input"
     if fused_input and not (cfg.postings_mode == "segment"
                             and cfg.tokenizer == "default"

@@ -68,7 +68,7 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
     fused_ok = (cfg.postings_mode == "segment"
                 and cfg.tokenizer == "default"
                 and cfg.tokenize_engine == "arrow"
-                and cfg.segment_assignment in ("hash", "input"))
+                and cfg.segment_assignment in ("auto", "hash", "input"))
     if fused_ok:
         # fused append commit: the batch's partitions become new
         # segments in ONE shuffle-free pass (tantivy's multi-segment

@@ -264,7 +264,10 @@ class TestDocmapEquality:
             te = spark.read.parquet(d + "/terms")
             return dm, po, te
 
-        dm_f, po_f, te_f = build("fused")  # defaults: segment+arrow = fused
+        # hash assignment pinned on both sides: this test compares the two
+        # STAGE-1 dataflows under the content-hashed segment layout (the
+        # API default now resolves to input-partition segments)
+        dm_f, po_f, te_f = build("fused", segment_assignment="hash")
         dm_l, po_l, te_l = build("legacy", postings_mode="local",
                                  jvm_tokenize=False)
 

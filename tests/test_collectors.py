@@ -108,10 +108,14 @@ def test_top_docs_tweak_score(idx):
     TweakedScoreTopCollector (top_score_collector.rs)."""
     from pyspark.sql import functions as F
 
-    base = C.top_docs(idx, L.TermQuery("apple"), limit=10,
+    # limit=12 covers every match: all 12 docs tie on the base score, so
+    # a smaller limit would cut the tie by address order in `base` but by
+    # tweaked score in `tweaked` — the two frames could legitimately
+    # contain different docs
+    base = C.top_docs(idx, L.TermQuery("apple"), limit=12,
                       fast_fields=["rating"]).collect()
     tweaked = C.top_docs(
-        idx, L.TermQuery("apple"), limit=10,
+        idx, L.TermQuery("apple"), limit=12,
         tweak_score=lambda f: F.col("score") * (F.col("rating") + 1),
         fast_fields=["rating"],
     ).collect()

@@ -14,7 +14,12 @@ from tantivy_spark.plans import logical as L
 from tantivy_spark.sources.transcripts import transcripts_df
 
 
-CFG = IndexConfig(n_segments=4, n_term_buckets=4)
+# explicit "hash": the cross-partitioning identity this file pins only
+# holds for content-hashed segment assignment (the default now resolves
+# to the fused "input" mode, whose layout follows the input partitioning
+# by design — covered by tests/test_fused_input.py)
+CFG = IndexConfig(n_segments=4, n_term_buckets=4,
+                  segment_assignment="hash")
 
 
 def _postings_fingerprint(spark, idx):

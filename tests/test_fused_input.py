@@ -68,6 +68,26 @@ def test_multifield_and_per_field_norms_parity(spark, tmp_root):
     assert _results(sh, q) == _results(si, q)
 
 
+def test_default_config_resolves_to_fused_input(spark, tmp_root):
+    """The API-default build takes the fused shuffle-free dataflow: a
+    default IndexConfig (segment_assignment="auto") resolves to "input"
+    (recorded in the manifest), one segment per input partition; configs
+    the fused pass cannot serve resolve to "hash"."""
+    assert IndexConfig().resolved_segment_assignment() == "input"
+    assert (IndexConfig(tokenizer="whitespace")
+            .resolved_segment_assignment() == "hash")
+    assert (IndexConfig(postings_mode="salted")
+            .resolved_segment_assignment() == "hash")
+    assert (IndexConfig(jvm_tokenize=False)
+            .resolved_segment_assignment() == "hash")
+
+    src = transcripts_df(spark, 40, partitions=3)
+    idx = f"{tmp_root}/fused_auto_{time.time_ns()}"
+    m = build_index(spark, src, idx, IndexConfig(n_term_buckets=4))
+    assert m["config"]["segment_assignment"] == "input"
+    assert 0 < len(m["segments"]) <= 3      # segments follow input splits
+
+
 def test_layout_deterministic_given_partitioning(spark, tmp_root):
     """Two fused builds over the same partitioned frame -> identical
     docmap/postings/terms content (task output keyed only by partition id

@@ -37,7 +37,10 @@ def _corpus(spark, n=40):
 @pytest.fixture()
 def built(spark, tmp_root):
     idx = f"{tmp_root}/merge_idx_{time.time_ns()}"
-    build_index(spark, _corpus(spark), idx,
+    # repartition(4): the default (auto -> "input") build makes one
+    # segment per input partition — these tests assert exact segment
+    # counts, so pin the partitioning
+    build_index(spark, _corpus(spark).repartition(4), idx,
                 IndexConfig(n_segments=4, n_term_buckets=4))
     return idx
 

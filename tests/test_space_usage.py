@@ -17,7 +17,9 @@ def test_space_usage_components(spark, tmp_path):
     cfg = IndexConfig(text_col="text", key_cols=("k",),
                       segment_col="k", n_segments=4,
                       n_term_buckets=4, positions=True)
-    build_index(spark, src, idx, cfg)
+    # repartition(4): the default build makes one segment per input
+    # partition; these tests assert exact segment counts
+    build_index(spark, src.repartition(4), idx, cfg)
     usage = Searcher(spark, idx).space_usage()
 
     assert len(usage["segments"]) == 4
@@ -44,7 +46,9 @@ def test_space_usage_no_positions_and_deletes(spark, tmp_path):
     cfg = IndexConfig(text_col="text", key_cols=("k",),
                       segment_col="k", n_segments=2,
                       n_term_buckets=2, positions=False)
-    build_index(spark, src, idx, cfg)
+    # repartition(4): the default build makes one segment per input
+    # partition; these tests assert exact segment counts
+    build_index(spark, src.repartition(4), idx, cfg)
     usage = Searcher(spark, idx).space_usage()
     # positions=False leaves only the null column-chunk headers (the
     # schema keeps pos_enc/pos_off for uniformity) — no encoded data
