@@ -336,6 +336,137 @@ def test_fuzzy_batch_matches_scalar_dp():
                     assert (got == want).all(), (q, d, trans, prefix)
 
 
+# --------------------------------------------------------------------------
+# Levenshtein-automaton acceptance parity (fuzzy_query.rs:80-106)
+#
+# The reference's FuzzyTermQuery walks a Schulz-Mihov Levenshtein DFA
+# (levenshtein_automata 0.2.1) over dictionary terms; `prefix` mode uses
+# the prefix DFA ("matches a string if some prefix of it is within the
+# distance") and the accepting state's distance feeds the 1/(1+d) const
+# score (automaton_weight.rs:120-133).  Our engine computes the same
+# relation with a DP over candidate prefixes.  The crate's source is not
+# available in this container (no network; /root/.cargo has no registry
+# cache), so the strongest in-sandbox oracle is an INDEPENDENT
+# construction: a direct NFA simulation of the published Schulz-Mihov
+# automaton (standard i^e positions + transposition t-positions, prefix
+# acceptance = min completion cost over every consumed-prefix point),
+# written from the construction itself rather than from our DP.  Any
+# DP-vs-automaton divergence on adversarial cases (transpositions at the
+# prefix boundary, distance-2 truncations) would show up here.
+# --------------------------------------------------------------------------
+
+def _nfa_fuzzy_distance(q, t, d, transposition_cost_one, prefix):
+    """Schulz-Mihov NFA simulation, independent of the DP formulation.
+
+    State sets hold standard positions (i, e) — i query chars aligned,
+    e errors spent — and t-positions ('T', i, e) — mid-transposition of
+    q[i], q[i+1], having just consumed a char equal to q[i+1].
+    Completion cost of (i, e) is e + (m - i) (delete the rest of the
+    query); t-positions never complete (their standard alternatives
+    subsume that).  Non-prefix distance = min completion after consuming
+    ALL of t; prefix distance = min completion over EVERY point 0..len(t)
+    (the prefix automaton's sticky-match acceptance).  Returns None if
+    > d."""
+    m = len(q)
+    states = {(0, 0)}
+    best = min((e + (m - i) for (i, e) in states), default=99)
+
+    for c in t:
+        nxt = set()
+        for st in states:
+            if len(st) == 3:                       # t-position
+                _, i, e = st
+                if q[i] == c:
+                    nxt.add((i + 2, e))
+                continue
+            i, e = st
+            if i < m and q[i] == c:                # match
+                nxt.add((i + 1, e))
+            if e < d:
+                nxt.add((i, e + 1))                # insertion (extra c)
+                if i < m:
+                    nxt.add((i + 1, e + 1))        # substitution
+                # delete j query chars then match c
+                for j in range(1, d - e + 1):
+                    if i + j < m and q[i + j] == c:
+                        nxt.add((i + j + 1, e + j))
+                if (transposition_cost_one and i + 1 < m
+                        and q[i + 1] == c):
+                    nxt.add(("T", i, e + 1))       # enter transposition
+        states = nxt
+        if not states:
+            break
+        if prefix:
+            best = min(best, min(
+                (e + (m - i) for st in states if len(st) == 2
+                 for (i, e) in (st,)), default=99))
+
+    if not prefix:
+        best = min((e + (m - i) for st in states if len(st) == 2
+                    for (i, e) in (st,)), default=99)
+    return best if best <= d else None
+
+
+_ADVERSARIAL_FUZZY = [
+    # (query, term) pairs aimed at the prefix-boundary corners
+    ("ab", "ba"), ("ab", "b"), ("ab", "baz"), ("ab", "bab"),
+    ("abc", "ba"), ("abc", "bac"), ("abc", "bacon"), ("abc", "acbx"),
+    ("abcd", "badc"), ("abcd", "badcxx"), ("abcd", "bacd"),
+    ("abcd", "ab"), ("abcd", "a"), ("abcd", ""), ("", "ab"), ("", ""),
+    ("aa", "a"), ("aaa", "aa"), ("aab", "abaX"), ("aba", "baaZ"),
+    ("xy", "yx"), ("xyz", "yxz"), ("xyz", "xzy"), ("xyz", "zyx"),
+    ("abab", "baba"), ("abab", "babaQ"), ("ababa", "babab"),
+]
+
+
+def test_fuzzy_dp_matches_automaton_nfa():
+    """The engine's DP (scalar + batched) agrees with the independent
+    Schulz-Mihov NFA on adversarial vectors and a seeded fuzz sweep, for
+    every (distance, transposition, prefix) combination the reference
+    allows (d <= 2, fuzzy_query.rs:115-127)."""
+    import numpy as np
+
+    from tantivy_spark.operators.search import (
+        _fuzzy_distance,
+        _fuzzy_distances_batch,
+    )
+
+    rng = __import__("random").Random(20260819)
+    alphabet = "abxy"
+    pairs = list(_ADVERSARIAL_FUZZY)
+    for _ in range(400):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        pairs.append((q, t))
+    # distance-2 truncations of transposed strings
+    for q in ("abcd", "abcde", "aabb"):
+        tr = q[1] + q[0] + q[2:]
+        for cut in range(len(tr) + 1):
+            pairs.append((q, tr[:cut]))
+            pairs.append((q, tr[:cut] + "zz"))
+
+    for d in (0, 1, 2):
+        for trans in (True, False):
+            for prefix in (True, False):
+                terms = np.array([t for _, t in pairs], dtype=object)
+                for (q, t) in pairs:
+                    want = _nfa_fuzzy_distance(q, t, d, trans, prefix)
+                    got = _fuzzy_distance(q, t, d, trans, prefix)
+                    assert got == want, (q, t, d, trans, prefix, got, want)
+                # batched kernel over per-query candidate batches
+                by_q = {}
+                for (q, t) in pairs:
+                    by_q.setdefault(q, []).append(t)
+                for q, ts in by_q.items():
+                    got_b = _fuzzy_distances_batch(
+                        q, np.array(ts, dtype=object), d, trans, prefix)
+                    want_b = np.array(
+                        [-1 if (w := _nfa_fuzzy_distance(
+                            q, t, d, trans, prefix)) is None else w
+                         for t in ts], dtype=np.int32)
+                    assert (got_b == want_b).all(), (q, d, trans, prefix)
+
+
 def test_regex_literal_prefix():
     from tantivy_spark.operators.search import _regex_literal_prefix as lp
 
