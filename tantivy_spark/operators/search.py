@@ -318,7 +318,75 @@ def _compile_mixed_dismax(q: L.Query):
     return arms, q.tie_breaker, boost
 
 
-class Searcher:
+class Bm25StatsMixin:
+    """Global-statistics → Bm25Weight math shared by the distributed
+    Searcher and the in-process ServingSearcher (serve.py).  Hosts need:
+    `total_docs`, `total_tokens`, `field_tokens`, `cfg`, `params`, and a
+    `doc_freqs(terms) -> dict` method.  All f32 operation order matches
+    the reference exactly (bm25.rs:33-51,136-142)."""
+
+    def avg_fieldnorm(self) -> float:
+        return float(_F32(_F32(self.total_tokens) / _F32(self.total_docs)))
+
+    def total_tokens_for(self, term: str) -> int:
+        """Exact token total of the field a scoped term (`field:token`)
+        belongs to, else the main field's — per-field avgdl exactly like
+        the reference's per-field statistics (bm25.rs:33-51)."""
+        if self.field_tokens and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self.field_tokens:
+                return self.field_tokens[f]
+        return self.total_tokens
+
+    def avgdl64_for(self, term: str) -> float:
+        return self.total_tokens_for(term) / self.total_docs
+
+    def _kb_for(self, term: str) -> tuple[float, float]:
+        """(k1, b) for the field a scoped term (`field:token`) belongs to
+        — per-field BM25 params like the reference's per-field options
+        (index_meta.rs:240-260); unscoped terms use the main field's."""
+        if not self.cfg.field_bm25:
+            return self.cfg.k1, self.cfg.b
+        f = term.split(":", 1)[0] if ":" in term else ""
+        if f and f not in self.cfg.extra_fields:
+            f = ""  # json-path scopes etc. score with the main field
+        return self.cfg.bm25_params_for_field(f)
+
+    def params_for(self, term: str | None) -> Bm25Params:
+        if term is None:
+            return self.params
+        k1, b = self._kb_for(term)
+        if (k1, b) == (self.cfg.k1, self.cfg.b):
+            return self.params
+        return Bm25Params(k1, b)
+
+    def weight_for(self, term_df: int, boost: float = 1.0,
+                   term: str | None = None) -> Bm25Weight | None:
+        if term_df <= 0:
+            return None
+        tt = self.total_tokens if term is None else self.total_tokens_for(term)
+        avgdl = _F32(_F32(tt) / _F32(self.total_docs))
+        w = Bm25Weight.for_one_term(
+            term_df, self.total_docs, avgdl, self.params_for(term)
+        )
+        return w.boost_by(boost)
+
+    def _phrase_weight(self, phrase: "L.PhraseQuery",
+                       boost: float) -> Bm25Weight | None:
+        """Multi-term weight: idfs summed over the phrase terms in order
+        (bm25.rs:136-142); None if any term is absent from the corpus."""
+        dfs = self.doc_freqs(sorted(set(phrase.phrase_terms)))
+        if any(dfs[t] <= 0 for t in phrase.phrase_terms):
+            return None
+        w = Bm25Weight.for_terms(
+            [dfs[t] for t in phrase.phrase_terms],
+            self.total_docs, self.total_tokens_for(phrase.phrase_terms[0]),
+            self.params_for(phrase.phrase_terms[0]),
+        )
+        return w.boost_by(boost)
+
+
+class Searcher(Bm25StatsMixin):
     """Point-in-time searcher over an index directory (manifest snapshot)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -755,51 +823,7 @@ class Searcher:
         ]
         return L.BooleanQuery.new(clauses)
 
-    def avg_fieldnorm(self) -> float:
-        return float(_F32(_F32(self.total_tokens) / _F32(self.total_docs)))
-
-    def total_tokens_for(self, term: str) -> int:
-        """Exact token total of the field a scoped term (`field:token`)
-        belongs to, else the main field's — per-field avgdl exactly like
-        the reference's per-field statistics (bm25.rs:33-51)."""
-        if self.field_tokens and ":" in term:
-            f = term.split(":", 1)[0]
-            if f in self.field_tokens:
-                return self.field_tokens[f]
-        return self.total_tokens
-
-    def avgdl64_for(self, term: str) -> float:
-        return self.total_tokens_for(term) / self.total_docs
-
-    def _kb_for(self, term: str) -> tuple[float, float]:
-        """(k1, b) for the field a scoped term (`field:token`) belongs to
-        — per-field BM25 params like the reference's per-field options
-        (index_meta.rs:240-260); unscoped terms use the main field's."""
-        if not self.cfg.field_bm25:
-            return self.cfg.k1, self.cfg.b
-        f = term.split(":", 1)[0] if ":" in term else ""
-        if f and f not in self.cfg.extra_fields:
-            f = ""  # json-path scopes etc. score with the main field
-        return self.cfg.bm25_params_for_field(f)
-
-    def params_for(self, term: str | None) -> Bm25Params:
-        if term is None:
-            return self.params
-        k1, b = self._kb_for(term)
-        if (k1, b) == (self.cfg.k1, self.cfg.b):
-            return self.params
-        return Bm25Params(k1, b)
-
-    def weight_for(self, term_df: int, boost: float = 1.0,
-                   term: str | None = None) -> Bm25Weight | None:
-        if term_df <= 0:
-            return None
-        tt = self.total_tokens if term is None else self.total_tokens_for(term)
-        avgdl = _F32(_F32(tt) / _F32(self.total_docs))
-        w = Bm25Weight.for_one_term(
-            term_df, self.total_docs, avgdl, self.params_for(term)
-        )
-        return w.boost_by(boost)
+    # (BM25 stats → weight math inherited from Bm25StatsMixin)
 
     # -- collectors -----------------------------------------------------------
     def count(self, query: L.Query) -> int:
@@ -1291,19 +1315,6 @@ class Searcher:
         if k is not None:
             out = out.limit(k)
         return out
-
-    def _phrase_weight(self, phrase: L.PhraseQuery, boost: float) -> Bm25Weight | None:
-        """Multi-term weight: idfs summed over the phrase terms in order
-        (bm25.rs:136-142); None if any term is absent from the corpus."""
-        dfs = self.doc_freqs(sorted(set(phrase.phrase_terms)))
-        if any(dfs[t] <= 0 for t in phrase.phrase_terms):
-            return None
-        w = Bm25Weight.for_terms(
-            [dfs[t] for t in phrase.phrase_terms],
-            self.total_docs, self.total_tokens_for(phrase.phrase_terms[0]),
-            self.params_for(phrase.phrase_terms[0]),
-        )
-        return w.boost_by(boost)
 
     def _daat_phrase(self, phrase: L.PhraseQuery, boost: float, k: int) -> DataFrame:
         weight = self._phrase_weight(phrase, boost)

@@ -1,0 +1,169 @@
+"""ServingSearcher (operators/serve.py) — in-process reader parity.
+
+The serving path must return BIT-IDENTICAL (segment_ord, doc_id, f32
+score) top-k to the distributed Searcher's DAAT path over the same index
+directory: same kernels, same Bm25StatsMixin weight math, same tie-break
+(score desc, (segment_ord, doc_id) asc).  This pins the reference's
+reader/writer split (src/reader/mod.rs: a Searcher over a pinned manifest
+serves queries in-process while writers publish new snapshots).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from tantivy_spark.config import IndexConfig
+from tantivy_spark.operators.build import build_index
+from tantivy_spark.operators.merge import (
+    delete_by_address, delete_query, delete_term,
+)
+from tantivy_spark.operators.search import Searcher
+from tantivy_spark.operators.serve import ServingSearcher
+from tantivy_spark.plans import logical as L
+from tantivy_spark.sources.transcripts import transcripts_pdf
+
+O = L.Occur
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    pdf = transcripts_pdf(220)
+    idx = f"{tmp_root}/serve_{time.time_ns()}"
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(n_segments=5, n_term_buckets=4, positions=True))
+    return idx
+
+
+def _dist(spark, idx, q, k=K):
+    rows = (Searcher(spark, idx)
+            .top_docs_frame(q, k=k, mode="daat")
+            .select("segment_ord", "doc_id", "score").collect())
+    return [(r["segment_ord"], r["doc_id"], np.float32(r["score"]))
+            for r in rows]
+
+
+def _serv(idx, q, k=K):
+    out = ServingSearcher(idx).search(q, k)
+    return [(int(s), int(d), np.float32(sc)) for s, d, sc in
+            zip(out["segment_ord"], out["doc_id"], out["score"])]
+
+
+QUERIES = [
+    L.TermQuery("w0"),
+    L.TermQuery("w17"),
+    L.TermQuery("zzz-absent-term"),
+    L.BooleanQuery.union(["w3", "w5", "w11"]),
+    L.BooleanQuery.intersection(["w0", "w2"]),
+    L.BooleanQuery.new([(O.MUST, L.TermQuery("w0")),
+                        (O.SHOULD, L.TermQuery("w9")),
+                        (O.MUST_NOT, L.TermQuery("w4"))]),
+    L.BooleanQuery.new([(O.SHOULD, L.TermQuery("w1")),
+                        (O.SHOULD, L.TermQuery("w6")),
+                        (O.SHOULD, L.TermQuery("w8"))],
+                       minimum_should_match=2),
+    L.BoostQuery(L.TermQuery("w2"), 2.5),
+    L.ConstScoreQuery(L.BooleanQuery.union(["w7", "w13"]), 0.25),
+    L.BooleanQuery.new([(O.SHOULD, L.BoostQuery(L.TermQuery("w5"), 3.0)),
+                        (O.SHOULD, L.TermQuery("w21"))]),
+    L.TermSetQuery(("w30", "w31", "w32")),
+    L.DisjunctionMaxQuery((L.TermQuery("w1"), L.TermQuery("w2")), 0.3),
+    L.BoostQuery(
+        L.DisjunctionMaxQuery((L.TermQuery("w0"),
+                               L.BoostQuery(L.TermQuery("w3"), 1.7)), 0.0),
+        1.3),
+    L.PhraseQuery(("w0", "w1")),
+    L.PhraseQuery(("w1", "w0"), slop=2),
+    L.BoostQuery(L.PhraseQuery(("w0", "w0")), 2.0),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_serving_matches_distributed_daat(spark, built, qi):
+    q = QUERIES[qi]
+    assert _serv(built, q) == _dist(spark, built, q)
+
+
+def test_some_queries_nonempty(spark, built):
+    """Guard: the parity sweep must not pass vacuously."""
+    nonempty = sum(1 for q in QUERIES if _serv(built, q))
+    assert nonempty >= 12
+
+
+def test_serving_count_fast_path(spark, built):
+    s = ServingSearcher(built)
+    d = Searcher(spark, built)
+    for t in ("w0", "w123", "zzz-absent-term"):
+        assert s.count(L.TermQuery(t)) == d.count(L.TermQuery(t))
+
+
+def test_serving_fetch_keys(spark, built):
+    out = ServingSearcher(built).search(
+        L.BooleanQuery.union(["w2", "w6"]), K, fetch_keys=True)
+    assert list(out.columns)[:3] == ["segment_ord", "doc_id", "score"]
+    assert {"conv_id", "turn_idx"} <= set(out.columns)
+    assert len(out) == K
+    # keys agree with the distributed docmap join
+    d = Searcher(spark, built)
+    addr = {(r["segment_ord"], r["doc_id"]): (r["conv_id"], r["turn_idx"])
+            for r in d.docmap().select(
+                "segment_ord", "doc_id", "conv_id", "turn_idx").collect()}
+    for row in out.itertuples():
+        assert addr[(row.segment_ord, row.doc_id)] == \
+            (row.conv_id, row.turn_idx)
+
+
+def test_serving_warm_then_offline_reads_nothing(built, monkeypatch):
+    """After warm(), queries over the warmed terms touch no files — the
+    page-cache posture of the reference's mmap'd reader."""
+    s = ServingSearcher(built).warm(["w0", "w1", "w2"])
+    s._dead_by_segment(), s._term_tombstones()  # pin tombstone state too
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):
+        raise AssertionError("filesystem touched after warm()")
+    monkeypatch.setattr(pq, "read_table", boom)
+    for q in (L.TermQuery("w0"),
+              L.BooleanQuery.union(["w1", "w2"]),
+              L.PhraseQuery(("w0", "w1"))):
+        assert len(s.search(q, K)) > 0
+
+
+@pytest.fixture()
+def deleted(spark, tmp_root):
+    pdf = transcripts_pdf(120)
+    idx = f"{tmp_root}/serve_del_{time.time_ns()}"
+    build_index(spark, spark.createDataFrame(pdf), idx,
+                IndexConfig(n_segments=4, n_term_buckets=4, positions=True))
+    return idx
+
+
+def test_serving_honors_address_tombstones(spark, deleted):
+    before = _serv(deleted, L.TermQuery("w0"))
+    assert before
+    n = delete_query(spark, deleted, L.TermQuery("w4"))
+    assert n > 0
+    delete_by_address(spark, deleted, [tuple(before[0][:2])])
+    for q in (L.TermQuery("w0"),
+              L.BooleanQuery.union(["w0", "w2"]),
+              L.DisjunctionMaxQuery((L.TermQuery("w0"),
+                                     L.TermQuery("w2")), 0.4),
+              L.PhraseQuery(("w0", "w1"))):
+        got = _serv(deleted, q)
+        assert got == _dist(spark, deleted, q)
+        assert tuple(before[0][:2]) not in {g[:2] for g in got}
+    with pytest.raises(NotImplementedError):
+        ServingSearcher(deleted).count(L.TermQuery("w0"))
+
+
+def test_serving_honors_term_tombstones(spark, deleted):
+    delete_term(spark, deleted, "w7")
+    q = L.BooleanQuery.union(["w0", "w7"])
+    got = _serv(deleted, q)
+    assert got == _dist(spark, deleted, q)
+    # every surviving doc is w7-free (the injected must_not)
+    s = Searcher(spark, deleted)
+    w7 = {(r["segment_ord"], r["doc_id"]) for r in
+          s.flat_postings(["w7"]).select("segment_ord", "doc_id").collect()}
+    assert w7 and not ({g[:2] for g in got} & w7)
