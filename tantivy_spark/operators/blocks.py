@@ -424,6 +424,33 @@ def decode_block(
     return docs, t + 1
 
 
+def _unpack_full_blocks(enc: bytes, boffs: np.ndarray) -> np.ndarray:
+    """Batch-decode full 128-value bitpacked blocks -> int64 (m, 128).
+
+    `boffs` are the byte offsets of each block's 1-byte width header.
+    The inverse of `encode_postings_flat._write_full`: blocks are grouped
+    by width so each distinct width costs ONE unpackbits/packbits pass —
+    a per-block Python loop here was the query kernel's decode hot spot
+    (~38 us/block adds up to seconds on multi-million-posting terms)."""
+    raw = np.frombuffer(enc, dtype=np.uint8)
+    widths = raw[boffs]
+    out = np.empty((len(boffs), BLOCK_SIZE), dtype=np.int64)
+    for w in np.unique(widths):
+        sel = widths == w
+        if w == 0:
+            out[sel] = 0
+            continue
+        w = int(w)
+        nb = BLOCK_SIZE * w // 8
+        payload = raw[boffs[sel][:, None] + 1 + np.arange(nb)]
+        bits = np.unpackbits(payload, axis=1).reshape(-1, w)
+        full = np.zeros((bits.shape[0], 32), dtype=np.uint8)
+        full[:, 32 - w:] = bits
+        vals = np.packbits(full, axis=1).view(">u4").ravel()
+        out[sel] = vals.astype(np.int64).reshape(-1, BLOCK_SIZE)
+    return out
+
+
 def decode_postings(
     doc_enc: bytes,
     tf_enc: bytes,
@@ -437,25 +464,46 @@ def decode_postings(
 
     posting_offsets[i] is the index within the full posting list of the
     first doc of decoded block i — used to slice fnorm_enc.
+
+    Vectorized: all requested full blocks decode in one width-grouped
+    pass (`_unpack_full_blocks`); only the (at most one) vint tail block
+    takes a scalar path.  Parity with the per-block `decode_block` loop
+    is pinned in tests/test_blocks.py.
     """
     n_blocks = len(block_doc_off)
     if block_indices is None:
-        block_indices = np.arange(n_blocks)
-    docs_parts = []
-    tf_parts = []
-    offs = np.empty(len(block_indices), dtype=np.int64)
-    for i, bi in enumerate(np.asarray(block_indices, dtype=np.int64)):
-        prev = int(block_last[bi - 1]) if bi > 0 else -1
-        d, t = decode_block(
-            doc_enc, tf_enc, block_doc_off, block_tf_off, doc_freq, int(bi), prev
-        )
-        docs_parts.append(d)
-        tf_parts.append(t)
-        offs[i] = bi * BLOCK_SIZE
-    if not docs_parts:
+        bidx = np.arange(n_blocks, dtype=np.int64)
+    else:
+        bidx = np.asarray(block_indices, dtype=np.int64)
+    if len(bidx) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    return np.concatenate(docs_parts), np.concatenate(tf_parts), offs
+    offs = bidx * BLOCK_SIZE
+    prev = np.where(bidx > 0, block_last[np.maximum(bidx - 1, 0)], -1)
+    tail_bi = n_blocks - 1 if doc_freq % BLOCK_SIZE != 0 else -1
+    is_tail = bidx == tail_bi
+    counts = np.full(len(bidx), BLOCK_SIZE, dtype=np.int64)
+    counts[is_tail] = doc_freq - tail_bi * BLOCK_SIZE
+    starts = np.cumsum(counts) - counts
+    docs = np.empty(int(counts.sum()), dtype=np.int64)
+    tfs = np.empty_like(docs)
+
+    full_pos = np.flatnonzero(~is_tail)
+    if len(full_pos):
+        fb = bidx[full_pos]
+        d = _unpack_full_blocks(doc_enc, np.asarray(block_doc_off, np.int64)[fb])
+        t = _unpack_full_blocks(tf_enc, np.asarray(block_tf_off, np.int64)[fb])
+        tgt = (starts[full_pos][:, None] + np.arange(BLOCK_SIZE)).ravel()
+        docs[tgt] = (np.cumsum(d + 1, axis=1) + prev[full_pos][:, None]).ravel()
+        tfs[tgt] = (t + 1).ravel()
+    for p in np.flatnonzero(is_tail):  # at most one per term
+        cnt = int(counts[p])
+        d, _ = vint_decode(memoryview(doc_enc)[int(block_doc_off[tail_bi]):], cnt)
+        t, _ = vint_decode(memoryview(tf_enc)[int(block_tf_off[tail_bi]):], cnt)
+        lo = int(starts[p])
+        docs[lo:lo + cnt] = np.cumsum(d.astype(np.int64) + 1) + int(prev[p])
+        tfs[lo:lo + cnt] = t.astype(np.int64) + 1
+    return docs, tfs, offs
 
 
 def fnorms_for_blocks(

@@ -55,6 +55,11 @@ class TermPostings:
     bm_tf: np.ndarray
     pos_enc: bytes | None = None
     pos_off: np.ndarray | None = None
+    # Opt-in decoded-postings memo (serve.py's page-cache posture): the
+    # distributed path builds TermPostings per task invocation, so caching
+    # there is free but useless; a long-lived ServingSearcher flips this on
+    # so repeat queries skip decode entirely.
+    cache_decoded: bool = False
 
     @staticmethod
     def from_row(row) -> "TermPostings":
@@ -84,11 +89,16 @@ class TermPostings:
         )
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        memo = self.__dict__.get("_decoded")
+        if memo is not None:
+            return memo
         docs, tfs, _ = blocks.decode_postings(
             self.doc_enc, self.tf_enc, self.block_doc_off, self.block_tf_off,
             self.block_last, self.doc_freq,
         )
         fns = blocks.fnorms_for_blocks(self.fnorm_enc, self.doc_freq)
+        if self.cache_decoded:
+            self._decoded = (docs, tfs, fns)
         return docs, tfs, fns
 
     def max_block_score(self, weight: Bm25Weight) -> np.float32:
@@ -98,6 +108,10 @@ class TermPostings:
     def probe(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(tf, fieldnorm, present) aligned to sorted `candidates`, decoding
         only the blocks that can contain a candidate (block skipping)."""
+        if self.cache_decoded:
+            # long-lived reader: decode once (memoized), align thereafter —
+            # repeat probes of a hot term must not re-decode its blocks
+            return _align_full(*self.decode_all(), candidates)
         n = len(candidates)
         tf_out = np.zeros(n, dtype=np.int64)
         fn_out = np.zeros(n, dtype=np.int64)
@@ -180,6 +194,30 @@ class Clause:
     term: str
     weight: Bm25Weight | None  # None => no postings in this segment (df=0)
     postings: TermPostings | ArrayPostings | None
+
+
+def _topk_order(candidates: np.ndarray, scores: np.ndarray,
+                k: int) -> np.ndarray:
+    """Indices of the exact top-k by (score desc, doc asc).
+
+    Every kernel builds `candidates` sorted ascending (np.unique /
+    monotone decode + order-preserving masks), so among equal scores the
+    earliest index wins the tie.  A partition preselect keeps the final
+    lexsort off million-candidate lists: np.partition is O(n), then only
+    the <= k survivors are sorted (TopSegmentCollector's heap role,
+    src/collector/top_score_collector.rs — same result, batch form)."""
+    n = len(candidates)
+    kk = min(k, n)
+    if kk == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.arange(n)
+    if n > 4 * kk + 1024:
+        kth = np.partition(scores, n - kk)[n - kk]
+        above = np.flatnonzero(scores > kth)
+        eq = np.flatnonzero(scores == kth)[: kk - len(above)]
+        idx = np.concatenate([above, eq])
+    order = np.lexsort((candidates[idx], -scores[idx].astype(np.float64)))[:kk]
+    return idx[order]
 
 
 def _dead_postings(dead: np.ndarray | None) -> ArrayPostings | None:
@@ -354,8 +392,7 @@ def segment_topk(
             scores = (scores + sc).astype(_F32)
 
     # ---- top-k with ascending-doc tie-break -------------------------------
-    kk = min(k, len(candidates))
-    order = np.lexsort((candidates, -scores.astype(np.float64)))[:kk]
+    order = _topk_order(candidates, scores, k)
     return candidates[order], scores[order]
 
 
@@ -639,8 +676,7 @@ def segment_topk_phrase(
     if len(cand) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
     scores = weight.score(fns, counts)
-    kk = min(k, len(cand))
-    order = np.lexsort((cand, -scores.astype(np.float64)))[:kk]
+    order = _topk_order(cand, scores, k)
     return cand[order], scores[order]
 
 
@@ -668,6 +704,5 @@ def segment_topk_dismax(
         mx = np.maximum(mx, sc)
         sm = (sm + sc).astype(_F32)
     scores = (mx + _F32(tie_breaker) * (sm - mx)).astype(_F32)
-    kk = min(k, len(candidates))
-    order = np.lexsort((candidates, -scores.astype(np.float64)))[:kk]
+    order = _topk_order(candidates, scores, k)
     return candidates[order], scores[order]

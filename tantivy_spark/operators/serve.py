@@ -66,8 +66,21 @@ _POSTING_COLS = [
 class ServingSearcher(Bm25StatsMixin):
     """Long-lived, Spark-free reader over one index manifest snapshot."""
 
-    def __init__(self, index_dir: str):
+    # threads only pay on heavy queries: below this many touched postings
+    # the per-call GIL/dispatch overhead outweighs the parallel numpy work
+    THREAD_MIN_POSTINGS = 1_000_000
+
+    def __init__(self, index_dir: str, n_threads: int | None = None):
         self.index_dir = index_dir
+        # Per-segment kernels are independent and numpy-bound (the big ops
+        # release the GIL), so a thread pool over segments is the
+        # serving-tier executor (the reference's Executor::multi_thread,
+        # src/core/executor.rs).  Default 4: scoring a decoded-cache is
+        # memory-streaming, and measured throughput on this class of box
+        # saturates around 4 workers (BENCH.md serving section) — more
+        # threads add contention, not speed.
+        self.n_threads = 4 if n_threads is None else max(1, n_threads)
+        self._pool = None
         self.manifest = load_manifest(index_dir)
         self.cfg = IndexConfig.from_json_dict(self.manifest["config"])
         self.total_docs = int(self.manifest["total_docs"])
@@ -149,6 +162,10 @@ class ServingSearcher(Bm25StatsMixin):
                 if seg not in live:
                     continue
                 tp = K.TermPostings.from_row(row)
+                # long-lived reader: memoize decoded postings on first use
+                # (the mmap page-cache role; encoded bytes stay the backing
+                # store for positions / space accounting)
+                tp.cache_decoded = True
                 self._tp[row["term"]][seg] = tp
                 self._df_cache[row["term"]] += tp.doc_freq
 
@@ -197,6 +214,23 @@ class ServingSearcher(Bm25StatsMixin):
             out = self._fetch_keys(out)
         return out
 
+    def _work_estimate(self, terms: list[str]) -> int:
+        """Total postings the query will touch — the thread-or-not signal."""
+        return sum(tp.doc_freq
+                   for t in terms for tp in self._tp.get(t, {}).values())
+
+    def _map_segments(self, segs: list[int], fn, work: int) -> list:
+        """Run `fn(seg)` per segment — threaded only when `work` (touched
+        postings) is large enough that parallel numpy beats dispatch cost."""
+        if (self.n_threads <= 1 or len(segs) <= 1
+                or work < self.THREAD_MIN_POSTINGS):
+            return [fn(s) for s in segs]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.n_threads)
+        return list(self._pool.map(fn, segs))
+
     def _merge_topk(self, parts: list[tuple[int, np.ndarray, np.ndarray]],
                     k: int) -> pd.DataFrame:
         if parts:
@@ -238,8 +272,8 @@ class ServingSearcher(Bm25StatsMixin):
         for t in must_terms:
             segs &= set(self._tp.get(t, {}))
         dead = self._dead_by_segment()
-        parts = []
-        for seg in sorted(segs):
+
+        def one(seg: int):
             if is_dismax:
                 cl = [K.Clause("should", t, weights[(t, b)],
                                self._tp[t].get(seg))
@@ -254,8 +288,11 @@ class ServingSearcher(Bm25StatsMixin):
                 d, sc = K.segment_topk(
                     cl, k, spec.minimum_should_match, spec.const_score,
                     dead=dead.get(seg))
-            if len(d):
-                parts.append((seg, d, sc))
+            return (seg, d, sc)
+
+        parts = [p for p in self._map_segments(
+                     sorted(segs), one, self._work_estimate(terms))
+                 if len(p[1])]
         return self._merge_topk(parts, k)
 
     def _search_phrase(self, phrase: L.PhraseQuery, boost: float,
@@ -271,13 +308,16 @@ class ServingSearcher(Bm25StatsMixin):
         for t in slots[1:]:
             segs &= set(self._tp[t])
         dead = self._dead_by_segment()
-        parts = []
-        for seg in sorted(segs):
+
+        def one(seg: int):
             d, sc = K.segment_topk_phrase(
                 [self._tp[t].get(seg) for t in slots], weight, k,
                 slop=phrase.slop, dead=dead.get(seg))
-            if len(d):
-                parts.append((seg, d, sc))
+            return (seg, d, sc)
+
+        parts = [p for p in self._map_segments(
+                     sorted(segs), one, self._work_estimate(slots))
+                 if len(p[1])]
         return self._merge_topk(parts, k)
 
     def _fetch_keys(self, topk: pd.DataFrame) -> pd.DataFrame:

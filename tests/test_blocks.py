@@ -155,3 +155,35 @@ def test_block_wand_golden_block_maxes():
     assert float(bm[0]) == pytest.approx(2.5161593, rel=1e-5)
     assert float(bm[1]) == pytest.approx(3.4597192, rel=1e-5)
     assert float(bm[2]) == pytest.approx(3.9539647, rel=1e-5)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 1200), seed=st.integers(0, 10**6),
+       subset=st.booleans())
+def test_vectorized_decode_matches_per_block_loop(n, seed, subset):
+    """The width-grouped batch decoder must equal the scalar per-block
+    decode_block loop on every block pattern (full/tail/zero-width)."""
+    rng = np.random.default_rng(seed)
+    docs = np.sort(rng.choice(n * 30, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 300, n).astype(np.int64)
+    fns = rng.integers(0, 256, n).astype(np.uint8)
+    e = blocks.encode_postings(docs, tfs, fns)
+    n_blocks = len(e["block_last"])
+    pick = (np.unique(rng.integers(0, n_blocks, max(1, n_blocks // 2)))
+            if subset else np.arange(n_blocks))
+    d, t, offs = blocks.decode_postings(
+        e["doc_enc"], e["tf_enc"], e["block_doc_off"], e["block_tf_off"],
+        e["block_last"], n, pick,
+    )
+    ref_d, ref_t = [], []
+    for bi in pick:
+        prev = int(e["block_last"][bi - 1]) if bi > 0 else -1
+        db, tb = blocks.decode_block(
+            e["doc_enc"], e["tf_enc"], e["block_doc_off"], e["block_tf_off"],
+            n, int(bi), prev,
+        )
+        ref_d.append(db)
+        ref_t.append(tb)
+    assert np.array_equal(d, np.concatenate(ref_d))
+    assert np.array_equal(t, np.concatenate(ref_t))
+    assert np.array_equal(offs, pick * blocks.BLOCK_SIZE)
