@@ -29,9 +29,10 @@ build_index_direct already does on the write side.
 
 Scope (prototype, judge-triggered — VERDICT r3 "Next round" #5): Term /
 Boolean (must, should, must_not, minimum_should_match, const-score) /
-DisjunctionMax / Boost / Phrase (incl. slop) queries, term + address
-tombstones, key fetch.  Expansion queries (fuzzy/regex/MLT) and
-aggregations stay on the distributed path.
+TermSet / DisjunctionMax / Boost / Phrase (incl. slop) / PhrasePrefix /
+Fuzzy / Regex (CPython `re` engine — see expand_regex caveat) queries,
+term + address tombstones, key fetch.  MoreLikeThis, typed range/exists
+(docmap scans) and aggregations stay on the distributed path.
 """
 
 from __future__ import annotations
@@ -46,11 +47,15 @@ from tantivy_spark.config import IndexConfig
 from tantivy_spark.operators import kernel as K
 from tantivy_spark.operators.build import load_manifest, term_bucket_py
 from tantivy_spark.operators.merge import TOMBSTONES_DIR, TOMBSTONES_DOCS_DIR
+from tantivy_spark.functions.bm25 import Bm25Weight
 from tantivy_spark.operators.search import (
     Bm25Params,
     Bm25StatsMixin,
     CompiledBoolean,
     CompiledDismax,
+    _check_rust_regex_compat,
+    _fuzzy_distances_batch,
+    _regex_literal_prefix,
     compile_query,
 )
 from tantivy_spark.plans import logical as L
@@ -98,6 +103,7 @@ class ServingSearcher(Bm25StatsMixin):
         self._tp: dict[str, dict[int, K.TermPostings]] = {}
         self._term_tombs: list[str] | None = None
         self._dead: dict[int, np.ndarray] | None = None
+        self._vocab_cache: tuple[np.ndarray, np.ndarray] | None = None
 
     # -- tombstones (alive-bitset sources, read once per snapshot) ----------
     def _term_tombstones(self) -> list[str]:
@@ -178,6 +184,81 @@ class ServingSearcher(Bm25StatsMixin):
         self.load_terms(terms, with_positions=self.cfg.positions)
         return self
 
+    # -- term-dictionary expansion (the in-RAM FST posture) ------------------
+    def _vocab(self) -> tuple[np.ndarray, np.ndarray]:
+        """Distinct (term, tlen) of the live segments, term-sorted, read
+        once from the materialized terms table — the reference holds its
+        FST in memory per open segment (src/termdict)."""
+        if self._vocab_cache is None:
+            t = pq.read_table(
+                os.path.join(self.index_dir, "terms"),
+                columns=["term", "tlen", "segment_ord"],
+                filters=[("segment_ord", "in", self._live)],
+            )
+            tab = t.select(["term", "tlen"]).group_by(
+                ["term", "tlen"]).aggregate([])
+            terms = np.asarray(tab.column("term").to_pylist(), dtype=object)
+            tlens = np.asarray(tab.column("tlen"), dtype=np.int64)
+            order = np.argsort(terms, kind="stable")
+            self._vocab_cache = (terms[order], tlens[order])
+        return self._vocab_cache
+
+    def expand_fuzzy_scored(self, term: str, distance: int = 1,
+                            transposition_cost_one: bool = True,
+                            prefix: bool = False) -> list[tuple[str, int]]:
+        """(term, distance) within Levenshtein/OSA distance — the same
+        length-pruned batched matrix DP the distributed Searcher runs
+        (fuzzy_query.rs:80-106 automaton ∩ dict semantics)."""
+        terms, tlens = self._vocab()
+        d = distance
+        keep = (tlens >= len(term) - d) if prefix else (
+            (tlens >= len(term) - d) & (tlens <= len(term) + d))
+        cands = terms[keep]
+        dists = _fuzzy_distances_batch(
+            term, cands, d, transposition_cost_one, prefix)
+        ok = dists >= 0
+        return sorted(zip(cands[ok].tolist(), dists[ok].tolist()))
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Prefix range scan over the sorted vocab, lowest terms first
+        (phrase_prefix_query.rs:140-156)."""
+        terms, _ = self._vocab()
+        out: list[str] = []
+        for i in range(int(np.searchsorted(terms, prefix, side="left")),
+                       len(terms)):
+            if not terms[i].startswith(prefix):
+                break  # sorted vocab: prefix matches are contiguous
+            out.append(terms[i])
+            if len(out) >= max_expansions:
+                break
+        return out
+
+    def expand_regex(self, pattern: str,
+                     max_expansions: int | None = 1024) -> list[str]:
+        """Anchored regex over the term dict.  ENGINE CAVEAT: this path
+        matches with CPython `re` (Unicode classes by default — the same
+        contract the distributed path gets from Java's `(?U)`); the
+        rust-regex-compat gate rejects the constructs the reference
+        rejects, and cross-engine parity on the repo's vector suite is
+        pinned in test_serve, but exotic patterns may diverge between
+        engines — the distributed Searcher is the reference behavior."""
+        import re
+
+        _check_rust_regex_compat(pattern)
+        terms, _ = self._vocab()
+        lit = _regex_literal_prefix(pattern)
+        if lit:
+            lo = hi = int(np.searchsorted(terms, lit, side="left"))
+            while hi < len(terms) and terms[hi].startswith(lit):
+                hi += 1  # sorted vocab: the lit-prefixed region is contiguous
+            terms = terms[lo:hi]
+        # no (?:...) wrapper: fullmatch anchors the whole pattern
+        # structurally (alternations included), and CPython requires
+        # global inline flags like (?i) at the very start of the pattern
+        rx = re.compile(pattern)
+        out = [t for t in terms.tolist() if rx.fullmatch(t)]
+        return out[:max_expansions] if max_expansions is not None else out
+
     # -- collectors -----------------------------------------------------------
     def count(self, query: L.Query) -> int:
         """Count for a single term — doc_freq fast path, valid only with
@@ -198,7 +279,18 @@ class ServingSearcher(Bm25StatsMixin):
         while isinstance(q, L.BoostQuery):
             boost *= q.boost
             q = q.query
-        if isinstance(q, L.PhraseQuery):
+        if isinstance(q, L.FuzzyTermQuery):
+            # per-term const score 1/(1+dist) (automaton_weight.rs:120-133)
+            scored = self.expand_fuzzy_scored(
+                q.term, q.distance, q.transposition_cost_one, q.prefix)
+            out = self._search_const_union(
+                [(t, 1.0 / (1.0 + dist)) for t, dist in scored], boost, k)
+        elif isinstance(q, L.RegexQuery):
+            out = self._search_const_union(
+                [(t, 1.0) for t in self.expand_regex(q.pattern)], boost, k)
+        elif isinstance(q, L.PhrasePrefixQuery):
+            out = self._search_phrase_prefix(q, boost, k)
+        elif isinstance(q, L.PhraseQuery):
             out = self._search_phrase(q, boost, k)
         else:
             spec = compile_query(query)  # full query: keeps nested boosts
@@ -292,6 +384,94 @@ class ServingSearcher(Bm25StatsMixin):
 
         parts = [p for p in self._map_segments(
                      sorted(segs), one, self._work_estimate(terms))
+                 if len(p[1])]
+        return self._merge_topk(parts, k)
+
+    def _search_const_union(self, term_weights: list[tuple[str, float]],
+                            boost: float, k: int) -> pd.DataFrame:
+        """Union of per-term ConstScorers with SumCombiner — the automaton
+        scorer build (automaton_weight.rs:90-104); float64 like the
+        distributed `_weighted_const_union`, address tombstones excluded."""
+        if not term_weights:
+            return self._merge_topk([], k)
+        w = dict(term_weights)
+        terms = sorted(w)
+        self.load_terms(terms)
+        segs: set[int] = set()
+        for t in terms:
+            segs |= set(self._tp.get(t, {}))
+        dead = self._dead_by_segment()
+
+        def one(seg: int):
+            parts_d, parts_w = [], []
+            for t in terms:
+                tp = self._tp[t].get(seg)
+                if tp is None:
+                    continue
+                d, _, _ = tp.decode_all()
+                parts_d.append(d)
+                parts_w.append(np.full(len(d), w[t], dtype=np.float64))
+            if not parts_d:
+                return (seg, np.empty(0, np.int64), np.empty(0, np.float64))
+            ud, inv = np.unique(np.concatenate(parts_d), return_inverse=True)
+            sc = np.zeros(len(ud), dtype=np.float64)
+            np.add.at(sc, inv, np.concatenate(parts_w))
+            dd = dead.get(seg)
+            if dd is not None and len(dd):
+                pos = np.searchsorted(dd, ud)
+                hit = (pos < len(dd))
+                hit[hit] &= dd[pos[hit]] == ud[hit]
+                ud, sc = ud[~hit], sc[~hit]
+            sc = sc * boost
+            order = K._topk_order(ud, sc, k)
+            return (seg, ud[order], sc[order])
+
+        parts = [p for p in self._map_segments(
+                     sorted(segs), one, self._work_estimate(terms))
+                 if len(p[1])]
+        return self._merge_topk(parts, k)
+
+    def _search_phrase_prefix(self, q: L.PhrasePrefixQuery, boost: float,
+                              k: int) -> pd.DataFrame:
+        """Mirror of Searcher._daat_phrase_prefix: weight sums the FIXED
+        terms' idfs only (phrase_prefix_query.rs:116); the last slot is a
+        union of the prefix expansions."""
+        if not self.cfg.positions:
+            raise ValueError("index has no positions (record option)")
+        fixed = list(q.phrase_terms[:-1])
+        expansions = self.expand_prefix(q.phrase_terms[-1], q.max_expansions)
+        if not expansions:
+            return self._merge_topk([], k)
+        self.load_terms(sorted(set(fixed) | set(expansions)),
+                        with_positions=True)
+        if fixed:
+            dfs = self.doc_freqs(sorted(set(fixed)))
+            if any(dfs[t] <= 0 for t in fixed):
+                return self._merge_topk([], k)
+            weight = Bm25Weight.for_terms(
+                [dfs[t] for t in fixed], self.total_docs,
+                self.total_tokens_for(fixed[0]), self.params_for(fixed[0]),
+            ).boost_by(boost)
+        else:
+            weight = Bm25Weight.for_terms(
+                [1], self.total_docs, self.total_tokens, self.params,
+            ).boost_by(boost)
+        segs: set[int] = set(self._live)
+        for t in fixed:
+            segs &= set(self._tp.get(t, {}))
+        dead = self._dead_by_segment()
+
+        def one(seg: int):
+            alts = [self._tp[t][seg] for t in expansions
+                    if seg in self._tp.get(t, {})]
+            d, sc = K.segment_topk_phrase(
+                [self._tp[t].get(seg) for t in fixed] + [None], weight, k,
+                last_alternatives=alts, dead=dead.get(seg))
+            return (seg, d, sc)
+
+        parts = [p for p in self._map_segments(
+                     sorted(segs), one,
+                     self._work_estimate(fixed + expansions))
                  if len(p[1])]
         return self._merge_topk(parts, k)
 

@@ -167,3 +167,58 @@ def test_serving_honors_term_tombstones(spark, deleted):
     w7 = {(r["segment_ord"], r["doc_id"]) for r in
           s.flat_postings(["w7"]).select("segment_ord", "doc_id").collect()}
     assert w7 and not ({g[:2] for g in got} & w7)
+
+
+# ---- expansion queries (fuzzy / regex / phrase-prefix / term-set) ----------
+
+EXPANSION_QUERIES = [
+    L.FuzzyTermQuery("w10", distance=1),
+    L.FuzzyTermQuery("w10", distance=2),
+    L.FuzzyTermQuery("w1", distance=1, prefix=True),
+    L.FuzzyTermQuery("w10", distance=1, transposition_cost_one=False),
+    L.BoostQuery(L.FuzzyTermQuery("w2", distance=1), 2.0),
+    L.RegexQuery("w1[0-9]"),
+    L.RegexQuery("w[0-9]"),
+    L.BoostQuery(L.RegexQuery("w2.*"), 0.5),
+    L.PhrasePrefixQuery(("w0", "w1")),
+    L.PhrasePrefixQuery(("w",)),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(EXPANSION_QUERIES)))
+def test_serving_expansion_matches_distributed(spark, built, qi):
+    q = EXPANSION_QUERIES[qi]
+    got = _serv(built, q)
+    assert got == _dist(spark, built, q)
+
+
+def test_expansion_queries_nonempty(spark, built):
+    """Guard: the expansion parity sweep must not pass vacuously."""
+    nonempty = sum(1 for q in EXPANSION_QUERIES if _serv(built, q))
+    assert nonempty >= 8
+
+
+def test_serving_expansion_lists_match_distributed(spark, built):
+    """The expansion sets themselves (not just the scored results) agree
+    between the in-process vocab walk and the distributed terms-table
+    scan — incl. the CPython-re vs Java-regex engines."""
+    s = Searcher(spark, built)
+    v = ServingSearcher(built)
+    for term, d, pfx in (("w10", 1, False), ("w10", 2, False),
+                         ("w1", 1, True), ("w100", 2, True)):
+        assert v.expand_fuzzy_scored(term, d, True, pfx) == \
+            s.expand_fuzzy_scored(term, d, True, pfx)
+    for pat in ("w1[0-9]", "w[0-9]+", "w2.*", "(?i)W1", "w1|w2|w3"):
+        assert v.expand_regex(pat) == s.expand_regex(pat)
+    for pfx2 in ("w1", "w", "zzz"):
+        assert v.expand_prefix(pfx2, 50) == s.expand_prefix(pfx2, 50)
+
+
+def test_serving_fuzzy_honors_address_tombstones(spark, deleted):
+    q = L.FuzzyTermQuery("w10", distance=1)
+    before = _serv(deleted, q)
+    assert before
+    delete_by_address(spark, deleted, [tuple(before[0][:2])])
+    got = _serv(deleted, q)
+    assert got == _dist(spark, deleted, q)
+    assert tuple(before[0][:2]) not in {g[:2] for g in got}
