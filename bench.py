@@ -273,7 +273,34 @@ def _query_workload(spark, sf_dir: str,
     run("q_dismax", lambda: s.search(
         L.DisjunctionMaxQuery((L.TermQuery("spark"), L.TermQuery("value")), 0.3),
         10, "daat").collect())
-    run("q_count", lambda: s.count(L.TermQuery("dup")))
+    def fresh_count():
+        s._df_cache.clear()  # measure the real doc-freq lookup, not a
+        fresh = s.count(L.TermQuery("dup"))  # warm dict hit (~0.000 s)
+        return fresh
+
+    run("q_count", fresh_count)
+
+    # the in-process serving reader over the same index (operators/serve.py
+    # — the reference's reader/writer split); warm = the steady state a
+    # replica serves at, cold = first query incl. pruned posting reads
+    from tantivy_spark.operators.serve import ServingSearcher
+
+    srv = ServingSearcher(s.index_dir)  # fresh per pass -> cold is cold
+    t0 = time.time()
+    srv.search(L.TermQuery("table"), 10)
+    cold_ms = round((time.time() - t0) * 1e3, 3)
+    times["q_serving_term_cold_ms"] = (
+        min(cold_ms, prev["q_serving_term_cold_ms"]) if prev else cold_ms)
+    for nm, q in (("q_serving_term_warm_ms", L.TermQuery("table")),
+                  ("q_serving_or3_warm_ms",
+                   L.BooleanQuery.union(["table", "value", "spark"])),
+                  ("q_serving_fuzzy_warm_ms",
+                   L.FuzzyTermQuery("tabel", distance=1))):
+        srv.search(q, 10)  # warm this query's terms
+        t0 = time.time()
+        srv.search(q, 10)
+        sec = round((time.time() - t0) * 1e3, 3)
+        times[nm] = min(sec, prev[nm]) if prev else sec
 
     qs = E.queries()
     for name in (

@@ -75,8 +75,19 @@ class ServingSearcher(Bm25StatsMixin):
     # the per-call GIL/dispatch overhead outweighs the parallel numpy work
     THREAD_MIN_POSTINGS = 1_000_000
 
-    def __init__(self, index_dir: str, n_threads: int | None = None):
+    # decoded-cache budget in POSTINGS (docs+tfs ≈ 16 B each): terms are
+    # granted the memo at first load until the budget is spent; beyond it
+    # they stay encoded-only (~1.5 B/posting) and re-decode per query via
+    # the vectorized batch decoder — RAM stays bounded on any vocabulary
+    DECODED_CACHE_POSTINGS = 50_000_000  # ≈ 800 MB
+
+    def __init__(self, index_dir: str, n_threads: int | None = None,
+                 decoded_cache_postings: int | None = None):
         self.index_dir = index_dir
+        self.decoded_cache_postings = (
+            self.DECODED_CACHE_POSTINGS if decoded_cache_postings is None
+            else max(0, decoded_cache_postings))
+        self._decoded_granted = 0
         # Per-segment kernels are independent and numpy-bound (the big ops
         # release the GIL), so a thread pool over segments is the
         # serving-tier executor (the reference's Executor::multi_thread,
@@ -170,8 +181,12 @@ class ServingSearcher(Bm25StatsMixin):
                 tp = K.TermPostings.from_row(row)
                 # long-lived reader: memoize decoded postings on first use
                 # (the mmap page-cache role; encoded bytes stay the backing
-                # store for positions / space accounting)
-                tp.cache_decoded = True
+                # store for positions / space accounting) — granted until
+                # the decoded-cache budget is spent
+                if (self._decoded_granted + tp.doc_freq
+                        <= self.decoded_cache_postings):
+                    tp.cache_decoded = True
+                    self._decoded_granted += tp.doc_freq
                 self._tp[row["term"]][seg] = tp
                 self._df_cache[row["term"]] += tp.doc_freq
 

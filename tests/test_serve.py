@@ -222,3 +222,20 @@ def test_serving_fuzzy_honors_address_tombstones(spark, deleted):
     got = _serv(deleted, q)
     assert got == _dist(spark, deleted, q)
     assert tuple(before[0][:2]) not in {g[:2] for g in got}
+
+
+def test_decoded_cache_budget(spark, built):
+    """decoded_cache_postings=0 -> no memos ever, queries still exact;
+    default budget -> hot terms carry the memo after a query."""
+    q = L.BooleanQuery.union(["w0", "w1"])
+    lean = ServingSearcher(built, decoded_cache_postings=0)
+    got = [(int(s), int(d), np.float32(sc)) for s, d, sc in
+           zip(*[lean.search(q, K)[c]
+                 for c in ("segment_ord", "doc_id", "score")])]
+    assert got == _dist(spark, built, q)
+    assert all("_decoded" not in tp.__dict__
+               for by_seg in lean._tp.values() for tp in by_seg.values())
+    rich = ServingSearcher(built)
+    rich.search(q, K)
+    assert any("_decoded" in tp.__dict__
+               for by_seg in rich._tp.values() for tp in by_seg.values())
