@@ -92,8 +92,11 @@ class IndexConfig:
     #: how documents are assigned to segments:
     #: "auto" (default): resolve to "input" whenever the config allows the
     #:   fused shuffle-free pass (postings_mode="segment",
-    #:   tokenizer="default", tokenize_engine="arrow" — the defaults),
-    #:   else "hash".  The resolved mode is what the manifest records.
+    #:   tokenizer="default", jvm_tokenize=True, tokenize_engine="arrow"
+    #:   — the defaults), else "hash".  jvm_tokenize=False forces the
+    #:   vectorized-pandas analyzer, which the fused arrow-kernel pass
+    #:   cannot honor, so auto falls back to "hash" there.  The resolved
+    #:   mode is what the manifest records.
     #:   Rationale: "input" is the measured at-scale dataflow (BENCH.md:
     #:   ~0.87-0.99 scaling efficiency, ~170 MB/s at 32 cores vs "hash"'s
     #:   0.43 / ~16 MB/s through its raw-text exchange+sort) — the default

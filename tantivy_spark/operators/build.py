@@ -1650,11 +1650,14 @@ def build_index(
     fused_input = cfg.segment_assignment == "input"
     if fused_input and not (cfg.postings_mode == "segment"
                             and cfg.tokenizer == "default"
+                            and cfg.jvm_tokenize
                             and cfg.tokenize_engine == "arrow"):
         raise ValueError(
             "segment_assignment='input' requires postings_mode='segment', "
-            "tokenizer='default' and tokenize_engine='arrow' (the fused "
-            "single-pass path); use segment_assignment='hash' otherwise")
+            "tokenizer='default', jvm_tokenize=True and "
+            "tokenize_engine='arrow' (the fused single-pass path runs the "
+            "arrow kernel and cannot honor the forced-pandas analyzer); "
+            "use segment_assignment='hash' otherwise")
     os.makedirs(index_dir, exist_ok=True)
     docmap_path = os.path.join(index_dir, "docmap")
     postings_path = os.path.join(index_dir, "postings")

@@ -120,6 +120,25 @@ def tombstoned_terms(spark: SparkSession, index_dir: str) -> list[str]:
 
 
 TOMBSTONES_DOCS_DIR = "tombstones_docs"
+#: marker created inside the ".rewrite" staging dir AFTER its parquet
+#: write completes; its presence is what makes the rewrite swap
+#: recoverable (see tombstones_docs_path)
+_REWRITE_DONE = "_REWRITE_COMPLETE"
+
+
+def tombstones_docs_path(index_dir: str) -> str:
+    """Path of the address-tombstone table, completing an interrupted
+    rewrite swap first: a crash in `_rewrite_doc_tombstones` between
+    removing the source dir and renaming the staged rewrite into place
+    would otherwise silently lose every pending tombstone for unmerged
+    segments (deleted docs reappearing in queries).  Every reader and
+    appender resolves the path through here."""
+    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    tmp = path + ".rewrite"
+    if (not os.path.isdir(path)
+            and os.path.isfile(os.path.join(tmp, _REWRITE_DONE))):
+        os.rename(tmp, path)
+    return path
 
 
 def delete_by_address(spark: SparkSession, index_dir: str,
@@ -129,7 +148,7 @@ def delete_by_address(spark: SparkSession, index_dir: str,
     give opstamp-like semantics: docs appended later are unaffected."""
     if not addresses:
         return
-    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    path = tombstones_docs_path(index_dir)
     ts = time.time()
     df = spark.createDataFrame(
         [(int(s), int(d), ts) for s, d in addresses],
@@ -159,15 +178,14 @@ def delete_query(spark: SparkSession, index_dir: str, query) -> int:
     )
     n = matches.count()
     if n:
-        path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
-        matches.write.mode("append").parquet(path)
+        matches.write.mode("append").parquet(tombstones_docs_path(index_dir))
     matches.unpersist()
     return n
 
 
 def doc_tombstones(spark: SparkSession, index_dir: str
                    ) -> list[tuple[int, int]]:
-    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    path = tombstones_docs_path(index_dir)
     if not os.path.exists(path):
         return []
     return sorted(
@@ -184,7 +202,7 @@ def _rewrite_doc_tombstones(spark: SparkSession, index_dir: str,
     through the driver."""
     from pyspark.sql import functions as F
 
-    path = os.path.join(index_dir, TOMBSTONES_DOCS_DIR)
+    path = tombstones_docs_path(index_dir)
     if not os.path.exists(path):
         return
     kept = spark.read.parquet(path).filter(
@@ -195,8 +213,18 @@ def _rewrite_doc_tombstones(spark: SparkSession, index_dir: str,
     tmp = path + ".rewrite"
     shutil.rmtree(tmp, ignore_errors=True)
     kept.write.parquet(tmp)     # materialize before dropping the source
+    # marker LAST: a crash between the rmtree and the rename below is
+    # recovered by tombstones_docs_path (marker present => tmp complete)
+    with open(os.path.join(tmp, _REWRITE_DONE), "w"):
+        pass
     shutil.rmtree(path)
     os.rename(tmp, path)
+    # best-effort: drop the marker from the live dir (Spark/pyarrow
+    # ignore "_"-prefixed files either way)
+    try:
+        os.unlink(os.path.join(path, _REWRITE_DONE))
+    except OSError:
+        pass
 
 
 def delete_all_documents(spark: SparkSession, index_dir: str) -> None:
@@ -213,7 +241,8 @@ def delete_all_documents(spark: SparkSession, index_dir: str) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
-    for d in (TOMBSTONES_DIR, TOMBSTONES_DOCS_DIR):
+    for d in (TOMBSTONES_DIR, TOMBSTONES_DOCS_DIR,
+              TOMBSTONES_DOCS_DIR + ".rewrite"):
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
 

@@ -870,9 +870,9 @@ class Searcher(Bm25StatsMixin):
         """Cheap no-deletes guard (weight.rs count fast-path condition):
         a filesystem check on the tombstone table, no Spark job."""
         if self._has_doc_tombs is None:
-            from tantivy_spark.operators.merge import TOMBSTONES_DOCS_DIR
+            from tantivy_spark.operators.merge import tombstones_docs_path
 
-            p = os.path.join(self.index_dir, TOMBSTONES_DOCS_DIR)
+            p = tombstones_docs_path(self.index_dir)
             self._has_doc_tombs = os.path.isdir(p) and any(
                 f.endswith(".parquet") for f in os.listdir(p))
         return self._has_doc_tombs
@@ -885,11 +885,10 @@ class Searcher(Bm25StatsMixin):
         if not self.has_doc_tombstones():
             return None
         if self._dead_df is None:
-            from tantivy_spark.operators.merge import TOMBSTONES_DOCS_DIR
+            from tantivy_spark.operators.merge import tombstones_docs_path
 
             self._dead_df = (
-                self.spark.read.parquet(
-                    os.path.join(self.index_dir, TOMBSTONES_DOCS_DIR))
+                self.spark.read.parquet(tombstones_docs_path(self.index_dir))
                 .select("segment_ord", "doc_id")
                 .filter(F.col("segment_ord").isin(
                     sorted(self._live_segments)))

@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 from tantivy_spark.config import IndexConfig
 from tantivy_spark.operators import kernel as K
 from tantivy_spark.operators.build import load_manifest, term_bucket_py
-from tantivy_spark.operators.merge import TOMBSTONES_DIR, TOMBSTONES_DOCS_DIR
+from tantivy_spark.operators.merge import TOMBSTONES_DIR
 from tantivy_spark.functions.bm25 import Bm25Weight
 from tantivy_spark.operators.search import (
     Bm25Params,
@@ -129,8 +129,10 @@ class ServingSearcher(Bm25StatsMixin):
 
     def _dead_by_segment(self) -> dict[int, np.ndarray]:
         if self._dead is None:
+            from tantivy_spark.operators.merge import tombstones_docs_path
+
             self._dead = {}
-            p = os.path.join(self.index_dir, TOMBSTONES_DOCS_DIR)
+            p = tombstones_docs_path(self.index_dir)
             if os.path.isdir(p):
                 t = pq.read_table(p, columns=["segment_ord", "doc_id"])
                 segs = np.asarray(t.column("segment_ord"), dtype=np.int64)
@@ -148,6 +150,7 @@ class ServingSearcher(Bm25StatsMixin):
         One dataset read per touched tbucket directory: file-level pruning
         by the term `in` filter against parquet row-group stats (the
         postings files are term-sorted, so min/max prune tightly)."""
+        with_positions = with_positions and self.cfg.positions
         miss = sorted(
             t for t in set(terms)
             if t not in self._tp
@@ -161,8 +164,14 @@ class ServingSearcher(Bm25StatsMixin):
             by_bucket.setdefault(
                 term_bucket_py(t, self.cfg.n_term_buckets), []).append(t)
         cols = _POSTING_COLS + (
-            ["pos_enc", "pos_off"] if self.cfg.positions else [])
+            ["pos_enc", "pos_off"]
+            if (with_positions and self.cfg.positions) else [])
         for t in miss:
+            # re-loading a term (positions upgrade) drops its old
+            # TermPostings — release their decoded-cache grants first
+            for old in self._tp.get(t, {}).values():
+                if old.cache_decoded:
+                    self._decoded_granted -= old.doc_freq
             self._tp[t] = {}
             self._df_cache[t] = 0
         live = set(self._live)
@@ -431,12 +440,9 @@ class ServingSearcher(Bm25StatsMixin):
             ud, inv = np.unique(np.concatenate(parts_d), return_inverse=True)
             sc = np.zeros(len(ud), dtype=np.float64)
             np.add.at(sc, inv, np.concatenate(parts_w))
-            dd = dead.get(seg)
-            if dd is not None and len(dd):
-                pos = np.searchsorted(dd, ud)
-                hit = (pos < len(dd))
-                hit[hit] &= dd[pos[hit]] == ud[hit]
-                ud, sc = ud[~hit], sc[~hit]
+            alive = K._alive_mask(ud, dead.get(seg))
+            if alive is not None:
+                ud, sc = ud[alive], sc[alive]
             sc = sc * boost
             order = K._topk_order(ud, sc, k)
             return (seg, ud[order], sc[order])

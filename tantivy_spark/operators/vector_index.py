@@ -112,8 +112,10 @@ def ivf_segment_component(
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             # seeded-hash sample order: deterministic regardless of the
             # rows' arrival order or parallelism
-            h = _splitmix64(keys.astype(np.uint64)
-                            + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+            # fold the seed in Python ints (numpy warns on scalar uint64
+            # wraparound even though the mod-2^64 product is intended)
+            seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+            h = _splitmix64(keys.astype(np.uint64) + seed_mix)
             order = np.argsort(h, kind="stable")
             cents = lloyd_kmeans(mat[order[:sample]], n_clusters, iters)
             d2 = ((cents ** 2).sum(axis=1)[None, :]

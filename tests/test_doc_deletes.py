@@ -125,3 +125,50 @@ def test_reserved_column_names_rejected(spark, tmp_path):
                       segment_col="doc_id", n_segments=1, n_term_buckets=1)
     with pytest.raises(ValueError, match="reserved"):
         build_docmap(spark, src, cfg)
+
+
+def test_tombstone_rewrite_crash_recovery(spark, small_index):
+    """A crash in _rewrite_doc_tombstones between removing the source
+    dir and renaming the staged rewrite into place must not lose the
+    pending tombstones: readers recover the completed staging dir
+    (marker present) via tombstones_docs_path."""
+    import os
+    import shutil
+
+    from tantivy_spark.operators import merge as M
+    from tantivy_spark.operators.serve import ServingSearcher
+
+    s = Searcher(spark, small_index)
+    top = s.top_docs_frame(L.TermQuery("common"), k=2).collect()
+    addrs = [(r["segment_ord"], r["doc_id"]) for r in top]
+    delete_by_address(spark, small_index, addrs)
+    path = os.path.join(small_index, M.TOMBSTONES_DOCS_DIR)
+    tmp = path + ".rewrite"
+    # simulate the crash window: staged rewrite complete (marker
+    # written), source removed, rename never executed
+    shutil.copytree(path, tmp)
+    open(os.path.join(tmp, M._REWRITE_DONE), "w").close()
+    shutil.rmtree(path)
+    # a fresh distributed reader recovers the swap and honors them
+    s2 = Searcher(spark, small_index)
+    got = {(r["segment_ord"], r["doc_id"]) for r in
+           s2.top_docs_frame(L.TermQuery("common"), k=12).collect()}
+    assert got and not (got & set(addrs))
+    assert os.path.isdir(path) and not os.path.exists(tmp)
+    # the serving reader resolves through the same helper
+    shutil.copytree(path, tmp)
+    open(os.path.join(tmp, M._REWRITE_DONE), "w").close()
+    shutil.rmtree(path)
+    srv = ServingSearcher(small_index)
+    out = srv.search(L.TermQuery("common"), 12)
+    got_srv = set(zip((int(x) for x in out["segment_ord"]),
+                      (int(x) for x in out["doc_id"])))
+    assert got_srv and not (got_srv & set(addrs))
+    # an INCOMPLETE staging dir (no marker) is never recovered
+    shutil.copytree(path, tmp)
+    marker = os.path.join(tmp, M._REWRITE_DONE)
+    if os.path.exists(marker):
+        os.unlink(marker)
+    shutil.rmtree(path)
+    assert M.tombstones_docs_path(small_index) == path
+    assert not os.path.isdir(path) and os.path.isdir(tmp)

@@ -239,3 +239,30 @@ def test_decoded_cache_budget(spark, built):
     rich.search(q, K)
     assert any("_decoded" in tp.__dict__
                for by_seg in rich._tp.values() for tp in by_seg.values())
+
+
+def test_lazy_positions_and_grant_release(spark, built):
+    """Pure term/boolean queries must not read position streams (the
+    largest posting component — lazy per-component reads are the point
+    of the serving reader); upgrading a term to positions for a phrase
+    query releases the old decoded-cache grant before re-granting."""
+    s = ServingSearcher(built)
+    s.search(L.TermQuery("w0"), K)
+    assert s._tp["w0"], "w0 should have postings"
+    assert all(tp.pos_enc is None
+               for by_seg in s._tp.values() for tp in by_seg.values())
+    # phrase query upgrades w0/w1 to positions
+    s.search(L.PhraseQuery(("w0", "w1")), K)
+    assert all(tp.pos_enc is not None for tp in s._tp["w0"].values())
+    # the budget accounting matches the granted flags exactly (the old
+    # grants were released when the term was re-loaded)
+    total = sum(tp.doc_freq
+                for by_seg in s._tp.values() for tp in by_seg.values()
+                if tp.cache_decoded)
+    assert s._decoded_granted == total
+    # phrase result still matches the distributed engine after upgrade
+    q = L.PhraseQuery(("w0", "w1"))
+    got = [(int(a), int(b), np.float32(c)) for a, b, c in
+           zip(*[s.search(q, K)[c]
+                 for c in ("segment_ord", "doc_id", "score")])]
+    assert got == _dist(spark, built, q)
