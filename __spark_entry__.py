@@ -351,6 +351,8 @@ def _serving_topk(spark: SparkSession, sf_dir: str, query: L.Query,
     if s.index_dir not in _SERVING:
         _SERVING[s.index_dir] = ServingSearcher(s.index_dir)
     out = _SERVING[s.index_dir].search(query, k=k + 16, fetch_keys=True)
+    if not len(out):
+        return spark.createDataFrame([], "doc_id long").select("doc_id")
     pdf = out[["ext_id", "score"]].rename(columns={"ext_id": "doc_id"})
     pdf["score"] = pdf["score"].astype("float64")
     sdf = spark.createDataFrame(pdf, schema="doc_id long, score double")
@@ -564,6 +566,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, L.TermQuery("table"), 10)
     Q["ft_serving_or_top10"] = lambda s, d: _serving_topk(
         s, d, L.BooleanQuery.union(["table", "value", "spark"]), 10)
+    # round 4: the serving reader's full query surface (serve.py) — the
+    # phrase kernel, the mixed term+phrase kernel, fast-field range
+    # scans, and the general count collector (match-all + nested tree)
+    Q["ft_serving_phrase_top10"] = lambda s, d: _serving_topk(
+        s, d, L.PhraseQuery(("the", "table")), 10)
+    Q["ft_serving_mixed_top10"] = lambda s, d: _serving_topk(
+        s, d, L.BooleanQuery.new([
+            (L.Occur.MUST, L.PhraseQuery(("fast", "table"))),
+            (L.Occur.SHOULD, L.TermQuery("spark")),
+        ]), 10)
+    Q["ft_serving_range_nchars"] = lambda s, d: _serving_topk(
+        s, d, L.RangeQuery("n_chars", 250, 320, upper_inclusive=False),
+        50000)
+
+    def _serving_counts(s, d):
+        from tantivy_spark.operators.serve import ServingSearcher
+
+        sr = _searcher(s, d)
+        srv = _SERVING.setdefault(sr.index_dir,
+                                  ServingSearcher(sr.index_dir))
+        nested = QueryParser().parse("table AND value OR spark^2 -dup")
+        return s.createDataFrame(
+            [(srv.count(L.AllQuery()), srv.count(nested))],
+            "n_docs long, n_nested long")
+
+    Q["ft_serving_counts"] = _serving_counts
 
     # query-string parser -> nested boolean tree -> recursive TAAT
     Q["ft_parsed_nested"] = lambda s, d: _topk(
@@ -1105,6 +1133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale = [
         # new this round (never driver-sampled)
         "ft_serving_term_top10", "ft_serving_or_top10",
+        "ft_serving_phrase_top10", "ft_serving_mixed_top10",
+        "ft_serving_range_nchars", "ft_serving_counts",
         # last sampled r1
         "agg_composite_page2", "agg_filter_bucket",
         "dedup_exact_stats", "dedup_ngram_jaccard",
@@ -1463,6 +1493,30 @@ SELECT doc_id{{SCORE}} FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
         "{SCORE}", ", round(score, 5) AS score")
     O["ft_bool_with_phrase_daat"] = _mixed_phrase_sql.replace("{SCORE}", "")
     O["ft_phrase_daat_top10"] = _phrase_sql(["the", "table"], 10, ids_only=True)
+    # serving-reader twins: same queries, same oracles, zero Spark in the
+    # engine's query path (serve.py)
+    O["ft_serving_phrase_top10"] = _phrase_sql(["the", "table"], 10,
+                                               ids_only=True)
+    O["ft_serving_mixed_top10"] = _mixed_phrase_sql.replace("{SCORE}", "")
+    O["ft_serving_range_nchars"] = (
+        "SELECT doc_id FROM documents WHERE n_chars >= 250 AND n_chars < 320"
+    )
+    # count collector over match-all + the parsed nested tree:
+    # (table AND value) OR (spark AND NOT dup)
+    O["ft_serving_counts"] = (
+        _BM25_PRELUDE
+        + """
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM tf WHERE term = 'table'
+          INTERSECT
+          SELECT doc_id FROM tf WHERE term = 'value'
+          UNION
+          (SELECT doc_id FROM tf WHERE term = 'spark'
+           EXCEPT
+           SELECT doc_id FROM tf WHERE term = 'dup')
+       ))::BIGINT AS n_nested"""
+    )
     O["ft_term_set"] = (
         _BM25_PRELUDE
         + "SELECT DISTINCT doc_id FROM tf WHERE term IN ('dup') "

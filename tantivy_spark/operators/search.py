@@ -371,6 +371,49 @@ class Bm25StatsMixin:
         )
         return w.boost_by(boost)
 
+    def more_like_this_query(self, q: "L.MoreLikeThisQuery") -> L.Query:
+        """Salient-term extraction (src/query/more_like_this/
+        more_like_this.rs:298-365): score = tf_in_doc * idf (f32), top
+        max_query_terms, clauses boosted by score * boost_factor / best."""
+        from collections import Counter
+
+        from tantivy_spark.functions.analysis import get_analyzer
+        from tantivy_spark.functions.bm25 import idf as idf_f32
+
+        toks, _ = get_analyzer(self.cfg.tokenizer)(q.doc_text)
+        tf = Counter(toks)
+        stop = set(q.stop_words)
+        cand = [
+            t for t, c in tf.items()
+            if c >= q.min_term_frequency
+            and len(t) >= q.min_word_length
+            and (q.max_word_length is None or len(t) <= q.max_word_length)
+            and t not in stop      # more_like_this.rs:293-296
+        ]
+        if not cand:
+            return L.EmptyQuery()
+        dfs = self.doc_freqs(sorted(cand))
+        scored = []
+        for t in cand:
+            df_t = dfs[t]
+            if df_t < q.min_doc_frequency or df_t == 0:
+                continue
+            if q.max_doc_frequency is not None and df_t > q.max_doc_frequency:
+                continue
+            s = _F32(_F32(tf[t]) * idf_f32(df_t, self.total_docs))
+            scored.append((float(s), t))
+        if not scored:
+            return L.EmptyQuery()
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        scored = scored[: q.max_query_terms]
+        best = scored[0][0] or 1.0
+        clauses = [
+            (L.Occur.SHOULD,
+             L.BoostQuery(L.TermQuery(t), s * q.boost_factor / best))
+            for s, t in scored
+        ]
+        return L.BooleanQuery.new(clauses)
+
     def _phrase_weight(self, phrase: "L.PhraseQuery",
                        boost: float) -> Bm25Weight | None:
         """Multi-term weight: idfs summed over the phrase terms in order
@@ -780,49 +823,6 @@ class Searcher(Bm25StatsMixin):
         return [t for t, _ in self.expand_fuzzy_scored(
             term, distance, transposition_cost_one, prefix)]
 
-    def more_like_this_query(self, q: "L.MoreLikeThisQuery") -> L.Query:
-        """Salient-term extraction (src/query/more_like_this/
-        more_like_this.rs:298-365): score = tf_in_doc * idf (f32), top
-        max_query_terms, clauses boosted by score * boost_factor / best."""
-        from collections import Counter
-
-        from tantivy_spark.functions.analysis import get_analyzer
-        from tantivy_spark.functions.bm25 import idf as idf_f32
-
-        toks, _ = get_analyzer(self.cfg.tokenizer)(q.doc_text)
-        tf = Counter(toks)
-        stop = set(q.stop_words)
-        cand = [
-            t for t, c in tf.items()
-            if c >= q.min_term_frequency
-            and len(t) >= q.min_word_length
-            and (q.max_word_length is None or len(t) <= q.max_word_length)
-            and t not in stop      # more_like_this.rs:293-296
-        ]
-        if not cand:
-            return L.EmptyQuery()
-        dfs = self.doc_freqs(sorted(cand))
-        scored = []
-        for t in cand:
-            df_t = dfs[t]
-            if df_t < q.min_doc_frequency or df_t == 0:
-                continue
-            if q.max_doc_frequency is not None and df_t > q.max_doc_frequency:
-                continue
-            s = _F32(_F32(tf[t]) * idf_f32(df_t, self.total_docs))
-            scored.append((float(s), t))
-        if not scored:
-            return L.EmptyQuery()
-        scored.sort(key=lambda x: (-x[0], x[1]))
-        scored = scored[: q.max_query_terms]
-        best = scored[0][0] or 1.0
-        clauses = [
-            (L.Occur.SHOULD,
-             L.BoostQuery(L.TermQuery(t), s * q.boost_factor / best))
-            for s, t in scored
-        ]
-        return L.BooleanQuery.new(clauses)
-
     # (BM25 stats → weight math inherited from Bm25StatsMixin)
 
     # -- collectors -----------------------------------------------------------
@@ -948,13 +948,20 @@ class Searcher(Bm25StatsMixin):
     def _top_docs_frame_impl(self, query: L.Query, k: int | None,
                              mode: str = "daat") -> DataFrame:
         if isinstance(query, L.AllQuery):
-            return (
-                self._exclude_dead(self.docmap().select(
-                    "segment_ord", "doc_id",
-                    F.lit(1.0).cast("float").alias("score")))
-                .orderBy("segment_ord", "doc_id")
-                .limit(k or self.total_docs)
-            )
+            out = self._exclude_dead(self.docmap().select(
+                "segment_ord", "doc_id",
+                F.lit(1.0).cast("float").alias("score")))
+            dead_terms = self.tombstones()
+            if dead_terms:
+                # docs containing a tombstoned term are dead for EVERY
+                # query (index_writer.rs:732) — match-all included
+                dead_docs = (
+                    self.flat_postings(sorted(set(dead_terms)))
+                    .select("segment_ord", "doc_id").distinct())
+                out = out.join(dead_docs, ["segment_ord", "doc_id"],
+                               "left_anti")
+            return (out.orderBy("segment_ord", "doc_id")
+                    .limit(k or self.total_docs))
         if isinstance(query, L.EmptyQuery):
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score float"
@@ -991,14 +998,13 @@ class Searcher(Bm25StatsMixin):
                 raise ValueError("phrase query needs a finite k")
             return self._daat_regex_phrase(phrase, phrase_boost, k)
         if isinstance(phrase, L.PhraseQuery):
+            if phrase.slop == 0 and mode != "daat":
+                # the float64 scan handles k=None (count/scan collectors)
+                return self._taat64_phrase(phrase, phrase_boost, k)
             if k is None:
                 raise ValueError("phrase query needs a finite k")
-            if phrase.slop != 0:
-                # slop matching is a kernel-only path (greedy window count)
-                return self._daat_phrase(phrase, phrase_boost, k)
-            if mode == "daat":
-                return self._daat_phrase(phrase, phrase_boost, k)
-            return self._taat64_phrase(phrase, phrase_boost, k)
+            # slop matching is a kernel-only path (greedy window count)
+            return self._daat_phrase(phrase, phrase_boost, k)
 
         if mode == "daat" and k is not None:
             mixed = _compile_mixed_boolean(query)

@@ -172,3 +172,21 @@ def test_tombstone_rewrite_crash_recovery(spark, small_index):
     shutil.rmtree(path)
     assert M.tombstones_docs_path(small_index) == path
     assert not os.path.isdir(path) and os.path.isdir(tmp)
+
+
+def test_all_query_excludes_term_tombstones(spark, small_index):
+    """Docs containing a deleted term are dead for EVERY query
+    (index_writer.rs:732) — the match-all fast path included."""
+    from tantivy_spark.operators.merge import delete_term
+
+    s = Searcher(spark, small_index)
+    beta = {(r["segment_ord"], r["doc_id"]) for r in
+            s.flat_postings(["beta"]).select(
+                "segment_ord", "doc_id").collect()}
+    assert beta
+    delete_term(spark, small_index, "beta")
+    s2 = Searcher(spark, small_index)
+    got = {(r["segment_ord"], r["doc_id"]) for r in
+           s2.top_docs_frame(L.AllQuery(), k=None, mode="taat64").collect()}
+    assert got and not (got & beta)
+    assert s2.count(L.AllQuery()) == 12 - len(beta)

@@ -153,8 +153,10 @@ def test_serving_honors_address_tombstones(spark, deleted):
         got = _serv(deleted, q)
         assert got == _dist(spark, deleted, q)
         assert tuple(before[0][:2]) not in {g[:2] for g in got}
-    with pytest.raises(NotImplementedError):
-        ServingSearcher(deleted).count(L.TermQuery("w0"))
+    # the general count path (no longer the fast path) agrees too
+    s = Searcher(spark, deleted)
+    assert (ServingSearcher(deleted).count(L.TermQuery("w0"))
+            == s.count(L.TermQuery("w0")))
 
 
 def test_serving_honors_term_tombstones(spark, deleted):
@@ -266,3 +268,132 @@ def test_lazy_positions_and_grant_release(spark, built):
            zip(*[s.search(q, K)[c]
                  for c in ("segment_ord", "doc_id", "score")])]
     assert got == _dist(spark, built, q)
+
+
+# ---- full query-surface parity (nested trees, fast fields, match-all) ------
+
+MLT_DOC = "w0 w1 w2 w0 w1 w3 w5 w0"
+
+# kernel-exact paths: bit-identical f32 vs the distributed DAAT engine
+SURFACE_KERNEL_QUERIES = [
+    L.BooleanQuery.new([(O.MUST, L.PhraseQuery(("w0", "w1"))),
+                        (O.SHOULD, L.TermQuery("w5"))]),
+    L.BooleanQuery.new([(O.MUST, L.TermQuery("w0")),
+                        (O.MUST_NOT, L.PhraseQuery(("w1", "w2"))),
+                        (O.SHOULD, L.PhraseQuery(("w0", "w1"), slop=1))]),
+    L.DisjunctionMaxQuery((L.PhraseQuery(("w0", "w1")),
+                           L.TermQuery("w5")), 0.3),
+    L.BoostQuery(L.DisjunctionMaxQuery(
+        (L.BoostQuery(L.PhraseQuery(("w0", "w1")), 2.0),
+         L.TermQuery("w2")), 0.5), 1.5),
+    L.RegexPhraseQuery(("w0", "w[12]")),
+    L.MoreLikeThisQuery(MLT_DOC, min_doc_frequency=1, min_term_frequency=1),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(SURFACE_KERNEL_QUERIES)))
+def test_serving_surface_kernel_matches_distributed(spark, built, qi):
+    q = SURFACE_KERNEL_QUERIES[qi]
+    assert _serv(built, q) == _dist(spark, built, q)
+
+
+def test_surface_kernel_queries_nonempty(spark, built):
+    for q in SURFACE_KERNEL_QUERIES:
+        assert _serv(built, q), q
+
+
+# float64 paths (nested trees / fast-field scans): the distributed DAAT
+# engine falls back to the TAAT64 tree evaluation there; serving runs the
+# same formulas in numpy.  Summation order inside Catalyst aggregations is
+# not pinned, so compare doc sets + per-address score closeness at a k
+# that covers every match (rank boundaries can swap on 1-ulp f64 noise).
+NESTED_QUERIES = [
+    L.BoostQuery(L.AllQuery(), 2.0),
+    L.BooleanQuery.new([
+        (O.MUST, L.BooleanQuery.union(["w0", "w1"])),
+        (O.SHOULD, L.BoostQuery(L.TermQuery("w3"), 2.0)),
+        (O.MUST_NOT, L.TermQuery("w9")),
+    ]),
+    L.DisjunctionMaxQuery((L.TermQuery("w0"),
+                           L.BooleanQuery.union(["w3", "w5"])), 0.4),
+    L.BooleanQuery.new([
+        (O.MUST, L.TermSetQuery(("w0", "w1"))),
+        (O.MUST_NOT, L.TermQuery("w7")),
+    ]),
+    L.BooleanQuery.new([
+        (O.MUST, L.RangeQuery("turn_idx", 2, 5)),
+        (O.MUST, L.TermQuery("w0")),
+    ]),
+    L.RangeQuery("turn_idx", 1, 3),
+    L.RangeQuery("turn_idx", None, None),
+    L.ExistsQuery("tool"),
+    L.BooleanQuery.new([
+        (O.MUST, L.ExistsQuery("tool")),
+        (O.MUST, L.BooleanQuery.union(["w0", "w2"])),
+    ]),
+]
+
+
+def _assert_close(spark, idx, q, k=5000):
+    want = {(s, d): sc for s, d, sc in _dist(spark, idx, q, k)}
+    got = {(s, d): sc for s, d, sc in _serv(idx, q, k)}
+    assert set(got) == set(want), q
+    for a in got:
+        assert np.isclose(got[a], want[a], rtol=1e-5, atol=1e-6), (q, a)
+
+
+@pytest.mark.parametrize("qi", range(len(NESTED_QUERIES)))
+def test_serving_nested_matches_distributed(spark, built, qi):
+    _assert_close(spark, built, NESTED_QUERIES[qi])
+
+
+def test_nested_queries_nonempty(spark, built):
+    for q in NESTED_QUERIES:
+        assert _serv(built, q, 5000), q
+
+
+def test_serving_all_query(spark, built):
+    # const scores -> fully deterministic ordering on both engines
+    assert _serv(built, L.AllQuery(), 7) == _dist(spark, built,
+                                                  L.AllQuery(), 7)
+    big = _serv(built, L.AllQuery(), 10 ** 6)
+    assert len(big) == ServingSearcher(built).total_docs
+
+
+def test_serving_count_matches_distributed(spark, built):
+    s = Searcher(spark, built)
+    srv = ServingSearcher(built)
+    queries = [
+        L.AllQuery(),
+        L.BooleanQuery.union(["w0", "w3"]),
+        L.BooleanQuery.intersection(["w0", "w1"]),
+        L.RangeQuery("turn_idx", 2, 5),
+        L.ExistsQuery("tool"),
+        L.FuzzyTermQuery("w10", distance=1),
+        L.RegexQuery("w1[0-9]"),
+        L.PhraseQuery(("w0", "w1")),
+        L.MoreLikeThisQuery(MLT_DOC, min_doc_frequency=1,
+                            min_term_frequency=1),
+    ] + NESTED_QUERIES
+    for q in queries:
+        assert srv.count(q) == s.count(q), q
+    # slop phrases count via phrase_match_arrays (the distributed count
+    # path needs a finite k there — compare against a full DAAT fetch)
+    slop = L.PhraseQuery(("w1", "w0"), slop=2)
+    assert srv.count(slop) == len(_dist(spark, built, slop, 10 ** 6))
+
+
+def test_serving_surface_honors_tombstones(spark, deleted):
+    n = delete_query(spark, deleted, L.TermQuery("w4"))
+    assert n > 0
+    delete_term(spark, deleted, "w7")
+    s = Searcher(spark, deleted)
+    srv = ServingSearcher(deleted)
+    assert (_serv(deleted, L.AllQuery(), 7)
+            == _dist(spark, deleted, L.AllQuery(), 7))
+    for q in (L.AllQuery(),
+              NESTED_QUERIES[1],
+              L.RangeQuery("turn_idx", 1, 3),
+              L.ExistsQuery("tool")):
+        _assert_close(spark, deleted, q)
+        assert srv.count(q) == s.count(q), q
