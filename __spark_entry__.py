@@ -584,8 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tantivy_spark.operators.serve import ServingSearcher
 
         sr = _searcher(s, d)
-        srv = _SERVING.setdefault(sr.index_dir,
-                                  ServingSearcher(sr.index_dir))
+        if sr.index_dir not in _SERVING:
+            _SERVING[sr.index_dir] = ServingSearcher(sr.index_dir)
+        srv = _SERVING[sr.index_dir]
         nested = QueryParser().parse("table AND value OR spark^2 -dup")
         return s.createDataFrame(
             [(srv.count(L.AllQuery()), srv.count(nested))],

@@ -878,22 +878,41 @@ class Searcher(Bm25StatsMixin):
         return self._has_doc_tombs
 
     def dead_docs_df(self) -> DataFrame | None:
-        """Pending address tombstones as a DISTRIBUTED (segment_ord,
-        doc_id) frame, live-segment filtered — the per-segment
-        alive-bitset source (src/fastfield/alive_bitset.rs).  None when
-        no tombstones are pending."""
-        if not self.has_doc_tombstones():
+        """Pending deletes as a DISTRIBUTED (segment_ord, doc_id) frame,
+        live-segment filtered — the per-segment alive-bitset source
+        (src/fastfield/alive_bitset.rs): address tombstones UNION the
+        docs containing a tombstoned term.  The reference materializes
+        delete-term ops into per-segment alive bitsets at commit and
+        EVERY scorer consults them (index_writer.rs:732) — so phrase,
+        dismax, expansion and match-all paths exclude them too, not just
+        the boolean paths that inject must_not clauses.  None when
+        nothing is pending."""
+        dead_terms = self.tombstones()
+        if not self.has_doc_tombstones() and not dead_terms:
             return None
         if self._dead_df is None:
-            from tantivy_spark.operators.merge import tombstones_docs_path
+            frames = []
+            if self.has_doc_tombstones():
+                from tantivy_spark.operators.merge import (
+                    tombstones_docs_path,
+                )
 
-            self._dead_df = (
-                self.spark.read.parquet(tombstones_docs_path(self.index_dir))
-                .select("segment_ord", "doc_id")
-                .filter(F.col("segment_ord").isin(
-                    sorted(self._live_segments)))
-                .distinct()
-            )
+                frames.append(
+                    self.spark.read.parquet(
+                        tombstones_docs_path(self.index_dir))
+                    .select("segment_ord", "doc_id")
+                    .filter(F.col("segment_ord").isin(
+                        sorted(self._live_segments)))
+                )
+            if dead_terms:
+                frames.append(
+                    self.flat_postings(sorted(set(dead_terms)))
+                    .select("segment_ord", "doc_id")
+                )
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f)
+            self._dead_df = df.distinct()
         return self._dead_df
 
     def _per_segment(self, feed: DataFrame, run_segment, schema: str
@@ -948,20 +967,15 @@ class Searcher(Bm25StatsMixin):
     def _top_docs_frame_impl(self, query: L.Query, k: int | None,
                              mode: str = "daat") -> DataFrame:
         if isinstance(query, L.AllQuery):
-            out = self._exclude_dead(self.docmap().select(
-                "segment_ord", "doc_id",
-                F.lit(1.0).cast("float").alias("score")))
-            dead_terms = self.tombstones()
-            if dead_terms:
-                # docs containing a tombstoned term are dead for EVERY
-                # query (index_writer.rs:732) — match-all included
-                dead_docs = (
-                    self.flat_postings(sorted(set(dead_terms)))
-                    .select("segment_ord", "doc_id").distinct())
-                out = out.join(dead_docs, ["segment_ord", "doc_id"],
-                               "left_anti")
-            return (out.orderBy("segment_ord", "doc_id")
-                    .limit(k or self.total_docs))
+            # _exclude_dead covers BOTH address tombstones and docs
+            # containing a tombstoned term (dead_docs_df unions them)
+            return (
+                self._exclude_dead(self.docmap().select(
+                    "segment_ord", "doc_id",
+                    F.lit(1.0).cast("float").alias("score")))
+                .orderBy("segment_ord", "doc_id")
+                .limit(k or self.total_docs)
+            )
         if isinstance(query, L.EmptyQuery):
             return self.spark.createDataFrame(
                 [], "segment_ord int, doc_id int, score float"
@@ -1017,20 +1031,11 @@ class Searcher(Bm25StatsMixin):
             spec = compile_query(query)
         except NotImplementedError:
             # nested subqueries: recursive float64 tree evaluation (the
-            # general Weight composition); DAAT nesting falls back here too
-            out = self._taat64_nested(query, k)
-            dead = self.tombstones()
-            if dead:
-                dead_docs = (
-                    self.flat_postings(sorted(set(dead)))
-                    .select("segment_ord", "doc_id").distinct()
-                )
-                out = out.join(dead_docs, ["segment_ord", "doc_id"], "left_anti")
-                if k is not None:
-                    out = out.orderBy(
-                        F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
-                    ).limit(k)
-            return out
+            # general Weight composition); DAAT nesting falls back here
+            # too.  Term + address tombstones are both excluded INSIDE
+            # _taat64_nested (via _exclude_dead, before its top-k limit
+            # — an after-limit anti-join would under-fill k).
+            return self._taat64_nested(query, k)
         # pending tombstones = extra must_not clauses (alive bitset)
         dead = self.tombstones()
         if dead and isinstance(spec, CompiledBoolean):

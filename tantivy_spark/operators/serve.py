@@ -124,12 +124,12 @@ class ServingSearcher(Bm25StatsMixin):
         self._term_tombs: list[str] | None = None
         self._dead: dict[int, np.ndarray] | None = None
         self._vocab_cache: tuple[np.ndarray, np.ndarray] | None = None
-        # term-tombstoned doc sets per segment (the other alive-bitset
-        # source); docmap match-set memo for range/exists fast-field scans
-        self._tomb_docs: dict[int, np.ndarray] | None = None
+        # docmap match-set memo for range/exists fast-field scans;
+        # fuzzy/regex expansion memo (vocab is snapshot-pinned)
         self._seg_docs_cache: dict[int, int] | None = None
         self._dm_match_cache: dict[tuple, dict[int, np.ndarray] | None] = {}
         self._docmap_schema_cache = None
+        self._exp_cache: dict[tuple, list] = {}
 
     # -- tombstones (alive-bitset sources, read once per snapshot) ----------
     def _term_tombstones(self) -> list[str]:
@@ -143,6 +143,12 @@ class ServingSearcher(Bm25StatsMixin):
         return self._term_tombs
 
     def _dead_by_segment(self) -> dict[int, np.ndarray]:
+        """Per-segment dead doc ids: address tombstones UNION docs
+        containing a tombstoned term — the full alive-bitset complement
+        (src/fastfield/alive_bitset.rs; the reference materializes
+        delete-term ops into these bitsets at commit and every scorer
+        consults them, index_writer.rs:732).  Mirrors the distributed
+        Searcher.dead_docs_df."""
         if self._dead is None:
             from tantivy_spark.operators.merge import tombstones_docs_path
 
@@ -156,36 +162,16 @@ class ServingSearcher(Bm25StatsMixin):
                 for s in np.unique(segs):
                     if int(s) in live:
                         self._dead[int(s)] = np.unique(docs[segs == s])
-        return self._dead
-
-    def _tomb_docs_by_segment(self) -> dict[int, np.ndarray]:
-        """Docs containing any tombstoned TERM, per segment — tantivy's
-        'docs containing the deleted term are dead' (index_writer.rs:732)
-        as a doc-id set, for the paths that can't inject must_not clauses
-        (match-all, nested tree evaluation)."""
-        if self._tomb_docs is None:
-            self._tomb_docs = {}
             dead_terms = self._term_tombstones()
             if dead_terms:
                 self.load_terms(dead_terms)
                 for t in dead_terms:
                     for seg, tp in self._tp.get(t, {}).items():
                         d = tp.decode_all()[0]
-                        prev = self._tomb_docs.get(seg)
-                        self._tomb_docs[seg] = (
+                        prev = self._dead.get(seg)
+                        self._dead[seg] = (
                             d if prev is None else np.union1d(prev, d))
-        return self._tomb_docs
-
-    def _all_dead(self, seg: int) -> np.ndarray | None:
-        """Address tombstones ∪ term-tombstoned docs of one segment,
-        sorted — the full alive-bitset complement."""
-        a = self._dead_by_segment().get(seg)
-        b = self._tomb_docs_by_segment().get(seg)
-        if a is None:
-            return b
-        if b is None:
-            return a
-        return np.union1d(a, b)
+        return self._dead
 
     def _seg_docs(self) -> dict[int, int]:
         """Per-segment doc counts from the manifest (doc ids are dense
@@ -285,7 +271,14 @@ class ServingSearcher(Bm25StatsMixin):
                             prefix: bool = False) -> list[tuple[str, int]]:
         """(term, distance) within Levenshtein/OSA distance — the same
         length-pruned batched matrix DP the distributed Searcher runs
-        (fuzzy_query.rs:80-106 automaton ∩ dict semantics)."""
+        (fuzzy_query.rs:80-106 automaton ∩ dict semantics).  Memoized:
+        the vocab is pinned per manifest snapshot, and the per-segment
+        nested evaluator would otherwise re-run the DP once per
+        segment."""
+        key = ("fuzzy", term, distance, transposition_cost_one, prefix)
+        hit = self._exp_cache.get(key)
+        if hit is not None:
+            return hit
         terms, tlens = self._vocab()
         d = distance
         keep = (tlens >= len(term) - d) if prefix else (
@@ -294,7 +287,9 @@ class ServingSearcher(Bm25StatsMixin):
         dists = _fuzzy_distances_batch(
             term, cands, d, transposition_cost_one, prefix)
         ok = dists >= 0
-        return sorted(zip(cands[ok].tolist(), dists[ok].tolist()))
+        out = sorted(zip(cands[ok].tolist(), dists[ok].tolist()))
+        self._exp_cache[key] = out
+        return out
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Prefix range scan over the sorted vocab, lowest terms first
@@ -318,9 +313,14 @@ class ServingSearcher(Bm25StatsMixin):
         rust-regex-compat gate rejects the constructs the reference
         rejects, and cross-engine parity on the repo's vector suite is
         pinned in test_serve, but exotic patterns may diverge between
-        engines — the distributed Searcher is the reference behavior."""
+        engines — the distributed Searcher is the reference behavior.
+        Memoized like expand_fuzzy_scored (snapshot-pinned vocab)."""
         import re
 
+        key = ("regex", pattern, max_expansions)
+        hit = self._exp_cache.get(key)
+        if hit is not None:
+            return hit
         _check_rust_regex_compat(pattern)
         terms, _ = self._vocab()
         lit = _regex_literal_prefix(pattern)
@@ -334,16 +334,18 @@ class ServingSearcher(Bm25StatsMixin):
         # global inline flags like (?i) at the very start of the pattern
         rx = re.compile(pattern)
         out = [t for t in terms.tolist() if rx.fullmatch(t)]
-        return out[:max_expansions] if max_expansions is not None else out
+        if max_expansions is not None:
+            out = out[:max_expansions]
+        self._exp_cache[key] = out
+        return out
 
     # -- collectors -----------------------------------------------------------
     def count(self, query: L.Query) -> int:
         """Count collector: doc_freq fast path for single terms with no
         pending deletes (weight.rs count default + term_weight.rs
-        override), full match-set evaluation otherwise.  Tombstone scope
-        mirrors the distributed Searcher per path: expansion/phrase
-        paths exclude address tombstones only; everything else excludes
-        term-tombstoned docs too."""
+        override), full match-set evaluation otherwise.  Every path
+        excludes the full alive-bitset complement (address tombstones +
+        term-tombstoned docs), like the distributed Searcher."""
         if (isinstance(query, L.TermQuery) and not self._term_tombstones()
                 and not self._dead_by_segment()):
             return self.doc_freqs([query.term])[query.term]
@@ -392,7 +394,7 @@ class ServingSearcher(Bm25StatsMixin):
             docs = r[0]
             if not len(docs):
                 continue
-            alive = K._alive_mask(docs, self._all_dead(seg))
+            alive = K._alive_mask(docs, self._dead_by_segment().get(seg))
             total += len(docs) if alive is None else int(alive.sum())
         return total
 
@@ -405,9 +407,10 @@ class ServingSearcher(Bm25StatsMixin):
         mirrors Searcher._top_docs_frame_impl."""
         if isinstance(query, L.AllQuery):
             out = self._search_all(k)
-            return self._fetch_keys(out) if fetch_keys and len(out) else out
+            return self._with_keys(out) if fetch_keys else out
         if isinstance(query, L.EmptyQuery):
-            return self._merge_topk([], k)
+            out = self._merge_topk([], k)
+            return self._with_keys(out) if fetch_keys else out
         boost = 1.0
         q = query
         while isinstance(q, L.BoostQuery):
@@ -461,8 +464,23 @@ class ServingSearcher(Bm25StatsMixin):
                                for t in dead_terms if t not in have],
                             spec.minimum_should_match, spec.const_score)
                     out = self._search_compiled(spec, k)
-        if fetch_keys and len(out):
-            out = self._fetch_keys(out)
+        if fetch_keys:
+            out = self._with_keys(out)
+        return out
+
+    def _with_keys(self, out: pd.DataFrame) -> pd.DataFrame:
+        """Key-fetch with a STABLE schema: an empty result still carries
+        the key columns (typed from the docmap schema), so consumers can
+        index them unconditionally."""
+        if len(out):
+            return self._fetch_keys(out)
+        schema = self._docmap_arrow_schema()
+        for c in self.cfg.key_cols:
+            try:
+                dt = schema.field(c).type.to_pandas_dtype()
+            except (KeyError, NotImplementedError):
+                dt = object
+            out[c] = pd.Series(dtype=dt)
         return out
 
     def _search_all(self, k: int) -> pd.DataFrame:
@@ -475,7 +493,7 @@ class ServingSearcher(Bm25StatsMixin):
             if need <= 0:
                 break
             docs = np.arange(self._seg_docs().get(seg, 0), dtype=np.int64)
-            alive = K._alive_mask(docs, self._all_dead(seg))
+            alive = K._alive_mask(docs, self._dead_by_segment().get(seg))
             if alive is not None:
                 docs = docs[alive]
             docs = docs[:need]
@@ -917,25 +935,38 @@ class ServingSearcher(Bm25StatsMixin):
     @staticmethod
     def _typed_bound_arrow(typ, value):
         """Coerce a (possibly string) bound to the arrow column type —
-        the pyarrow mirror of Searcher._typed_bound."""
+        the pyarrow mirror of Searcher._typed_bound (same branches,
+        same keep-the-string tolerance on unparseable values)."""
         import pyarrow as pa
 
         if value is None:
             return None
         if isinstance(value, str):
-            if pa.types.is_integer(typ):
-                return int(value)
-            if pa.types.is_floating(typ):
-                return float(value)
-            if pa.types.is_timestamp(typ):
-                import datetime as _dt
+            import datetime as _dt
 
-                parsed = _dt.datetime.fromisoformat(
-                    value.replace("Z", "+00:00"))
-                if parsed.tzinfo is not None:
-                    parsed = parsed.astimezone(
-                        _dt.timezone.utc).replace(tzinfo=None)
-                return parsed
+            try:
+                if pa.types.is_integer(typ):
+                    return int(value)
+                if pa.types.is_floating(typ):
+                    return float(value)
+                if pa.types.is_timestamp(typ):
+                    parsed = _dt.datetime.fromisoformat(
+                        value.replace("Z", "+00:00"))
+                    # match the column's tz-ness: Spark writes session-TZ
+                    # timestamps as timestamp[us, tz=UTC]; the engine's
+                    # fast-field contract is naive-UTC either way
+                    if typ.tz is not None:
+                        if parsed.tzinfo is None:
+                            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                        return parsed.astimezone(_dt.timezone.utc)
+                    if parsed.tzinfo is not None:
+                        parsed = parsed.astimezone(
+                            _dt.timezone.utc).replace(tzinfo=None)
+                    return parsed
+                if pa.types.is_date(typ):
+                    return _dt.date.fromisoformat(value)
+            except ValueError:
+                pass
         return value
 
     def _search_nested(self, query: L.Query, k: int) -> pd.DataFrame:
@@ -953,7 +984,7 @@ class ServingSearcher(Bm25StatsMixin):
             docs, scores = r
             if not len(docs):
                 continue
-            alive = K._alive_mask(docs, self._all_dead(seg))
+            alive = K._alive_mask(docs, self._dead_by_segment().get(seg))
             if alive is not None:
                 docs, scores = docs[alive], scores[alive]
             order = K._topk_order(docs, scores, k)
@@ -1016,7 +1047,10 @@ class ServingSearcher(Bm25StatsMixin):
             slots = list(q.phrase_terms)
             dfs = self.doc_freqs(sorted(set(slots)))
             if any(dfs[t] <= 0 for t in slots):
-                return None
+                # the distributed _eval_tree yields an EMPTY frame here
+                # (not None): a SHOULD phrase still counts toward
+                # minimum_should_match bookkeeping
+                return empty
             self.load_terms(sorted(set(slots)), with_positions=True)
             cand, counts, fns = K.phrase_match_arrays(
                 [self._tp.get(t, {}).get(seg) for t in slots])

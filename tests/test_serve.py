@@ -397,3 +397,73 @@ def test_serving_surface_honors_tombstones(spark, deleted):
               L.ExistsQuery("tool")):
         _assert_close(spark, deleted, q)
         assert srv.count(q) == s.count(q), q
+
+
+def test_deletes_apply_to_every_query_path(spark, deleted):
+    """delete_term materializes to per-segment alive bitsets in the
+    reference, and EVERY scorer consults them (index_writer.rs:732) —
+    phrase, dismax, expansion and match-all included, on BOTH engines."""
+    s0 = Searcher(spark, deleted)
+    w7 = {(r["segment_ord"], r["doc_id"]) for r in
+          s0.flat_postings(["w7"]).select("segment_ord", "doc_id").collect()}
+    assert w7
+    delete_term(spark, deleted, "w7")
+    for q in (L.PhraseQuery(("w0", "w1")),
+              L.DisjunctionMaxQuery((L.TermQuery("w0"),
+                                     L.TermQuery("w2")), 0.4),
+              L.FuzzyTermQuery("w10", distance=1),
+              L.RegexQuery("w1[0-9]"),
+              L.PhrasePrefixQuery(("w0", "w1"))):
+        got = _serv(deleted, q, 50)
+        assert got == _dist(spark, deleted, q, 50)
+        assert not ({g[:2] for g in got} & w7), q
+    # match-all too, and counts agree
+    all_d = _dist(spark, deleted, L.AllQuery(), 10 ** 6)
+    assert all_d == _serv(deleted, L.AllQuery(), 10 ** 6)
+    assert not ({g[:2] for g in all_d} & w7)
+    s = Searcher(spark, deleted)
+    srv = ServingSearcher(deleted)
+    for q in (L.AllQuery(), L.PhraseQuery(("w0", "w1")),
+              L.RegexQuery("w1[0-9]")):
+        assert srv.count(q) == s.count(q), q
+
+
+def test_nested_topk_fills_under_term_tombstones(spark, deleted):
+    """The nested fallback excludes term-tombstoned docs BEFORE its
+    top-k limit: k results come back when k alive matches exist (an
+    after-limit anti-join would under-fill)."""
+    delete_term(spark, deleted, "w7")
+    nested = L.BooleanQuery.new([
+        (O.MUST, L.BooleanQuery.union(["w0", "w1"])),
+        (O.SHOULD, L.BoostQuery(L.TermQuery("w3"), 2.0)),
+    ])
+    alive_total = ServingSearcher(deleted).count(nested)
+    k = min(10, alive_total)
+    assert k > 0
+    want = _dist(spark, deleted, nested, k)
+    assert len(want) == k  # filled to k from alive matches
+    got = _serv(deleted, nested, k)
+    assert {g[:2] for g in got} == {w[:2] for w in want}
+
+
+def test_msm_counts_absent_should_phrase(spark, built):
+    """A SHOULD phrase whose term is corpus-absent still participates in
+    minimum_should_match bookkeeping (the distributed _eval_tree yields
+    an empty frame, not a dropped clause) — serving mirrors that."""
+    q = L.BooleanQuery.new(
+        [(O.MUST, L.BooleanQuery.union(["w0", "w1"])),
+         (O.SHOULD, L.PhraseQuery(("zzz-absent", "yyy-absent")))],
+        minimum_should_match=1)
+    assert _serv(built, q, 100) == _dist(spark, built, q, 100) == []
+    assert ServingSearcher(built).count(q) == Searcher(spark, built).count(q) == 0
+
+
+def test_serving_timestamp_range_bounds(spark, built):
+    """String rfc3339 bounds on a timestamp fast field coerce the same
+    way on both engines (serve._typed_bound_arrow mirrors
+    Searcher._typed_bound)."""
+    q = L.RangeQuery("ts", "2026-01-01T03:00:00Z", "2026-01-01T20:00:00Z",
+                     upper_inclusive=False)
+    _assert_close(spark, built, q)
+    assert (ServingSearcher(built).count(q)
+            == Searcher(spark, built).count(q) > 0)
