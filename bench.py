@@ -579,9 +579,14 @@ def main() -> None:
     # FULL record to a file; the stdout record is a COMPACT single line.
     # Round 3's full-document line overflowed the driver's stdout tail
     # window and the official record parsed as null — the parseable
-    # record must never depend on tail-window size.
+    # record must never depend on tail-window size.  BENCH_full.json is
+    # reserved for the driver's sf0.1 run (the committed scaling
+    # evidence BENCH.md cites); iteration smokes at other sfs write a
+    # per-sf file so they can't clobber it.
+    full_name = ("BENCH_full.json" if str(out["sf"]) == "0.1"
+                 else f"BENCH_full_sf{out['sf']}.json")
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+        os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
     idx = out.get("indexing", {})
@@ -603,7 +608,7 @@ def main() -> None:
         "scaling_efficiency": scaling.get("efficiency_low_to_high"),
         "executor_efficiency": scaling.get(
             "executors", {}).get("efficiency_low_to_high"),
-        "full_record": "BENCH_full.json",
+        "full_record": full_name,
     }
     print(json.dumps(compact))
 

@@ -830,9 +830,12 @@ class Searcher(Bm25StatsMixin):
         """Count collector; doc_freq fast path for single terms — only
         valid with no pending deletes (the same no-deletes condition as
         weight.rs count default + term_weight.rs override)."""
-        if (isinstance(query, L.TermQuery) and not self.tombstones()
-                and not self.has_doc_tombstones()):
-            return self.doc_freqs([query.term])[query.term]
+        if not self.tombstones() and not self.has_doc_tombstones():
+            if isinstance(query, L.TermQuery):
+                return self.doc_freqs([query.term])[query.term]
+            if isinstance(query, L.AllQuery):
+                # match-all count = manifest doc total (all_query.rs)
+                return self.total_docs
         df = self.top_docs_frame(query, k=None, mode="taat64")
         return df.count()
 
@@ -1036,16 +1039,10 @@ class Searcher(Bm25StatsMixin):
             # _taat64_nested (via _exclude_dead, before its top-k limit
             # — an after-limit anti-join would under-fill k).
             return self._taat64_nested(query, k)
-        # pending tombstones = extra must_not clauses (alive bitset)
-        dead = self.tombstones()
-        if dead and isinstance(spec, CompiledBoolean):
-            have_not = {t for o, t, _ in spec.clauses if o == "must_not"}
-            spec = CompiledBoolean(
-                spec.clauses
-                + [("must_not", t, 1.0) for t in dead if t not in have_not],
-                spec.minimum_should_match,
-                spec.const_score,
-            )
+        # pending term tombstones are excluded by the dead-docs side
+        # input (dead_docs_df unions them with address tombstones), so no
+        # must_not injection is needed — injecting would just decode the
+        # dead terms' postings a second time into the kernel feed
         if mode == "daat":
             if k is None:
                 raise ValueError("daat mode needs a finite k (use taat64 for scans)")
@@ -1131,13 +1128,8 @@ class Searcher(Bm25StatsMixin):
         scoring for mixed queries instead of falling back to float64
         TAAT."""
         clauses, msm = mixed
-        # pending tombstones = injected must_not term clauses
-        have_not = {p for o, kind, p, _ in clauses
-                    if o == "must_not" and kind == "term"}
-        for t in self.tombstones():
-            if t not in have_not:
-                clauses = clauses + [("must_not", "term", t, 1.0)]
-
+        # term tombstones are excluded by the dead-docs side input
+        # (dead_docs_df), not by must_not injection
         term_set = {p for _, kind, p, _ in clauses if kind == "term"}
         phrase_terms = {
             t for _, kind, p, _ in clauses if kind == "phrase"

@@ -76,7 +76,6 @@ _POSTING_COLS = [
     "block_last", "block_doc_off", "block_tf_off", "bm_norm_id", "bm_tf",
 ]
 
-
 class ServingSearcher(Bm25StatsMixin):
     """Long-lived, Spark-free reader over one index manifest snapshot."""
 
@@ -125,11 +124,15 @@ class ServingSearcher(Bm25StatsMixin):
         self._dead: dict[int, np.ndarray] | None = None
         self._vocab_cache: tuple[np.ndarray, np.ndarray] | None = None
         # docmap match-set memo for range/exists fast-field scans;
-        # fuzzy/regex expansion memo (vocab is snapshot-pinned)
+        # fuzzy/regex expansion memo (vocab is snapshot-pinned).  Both
+        # FIFO-bounded: a long-lived reader serving diverse ad-hoc
+        # queries must not grow without limit (same rationale as the
+        # decoded-postings budget above)
         self._seg_docs_cache: dict[int, int] | None = None
         self._dm_match_cache: dict[tuple, dict[int, np.ndarray] | None] = {}
         self._docmap_schema_cache = None
         self._exp_cache: dict[tuple, list] = {}
+        self.MEMO_MAX_ENTRIES = 1024
 
     # -- tombstones (alive-bitset sources, read once per snapshot) ----------
     def _term_tombstones(self) -> list[str]:
@@ -141,6 +144,12 @@ class ServingSearcher(Bm25StatsMixin):
             else:
                 self._term_tombs = []
         return self._term_tombs
+
+    def _memo_put(self, cache: dict, key, value) -> None:
+        """FIFO-bounded memo insert (dicts preserve insertion order)."""
+        if len(cache) >= self.MEMO_MAX_ENTRIES:
+            cache.pop(next(iter(cache)))
+        cache[key] = value
 
     def _dead_by_segment(self) -> dict[int, np.ndarray]:
         """Per-segment dead doc ids: address tombstones UNION docs
@@ -288,7 +297,7 @@ class ServingSearcher(Bm25StatsMixin):
             term, cands, d, transposition_cost_one, prefix)
         ok = dists >= 0
         out = sorted(zip(cands[ok].tolist(), dists[ok].tolist()))
-        self._exp_cache[key] = out
+        self._memo_put(self._exp_cache, key, out)
         return out
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
@@ -336,7 +345,7 @@ class ServingSearcher(Bm25StatsMixin):
         out = [t for t in terms.tolist() if rx.fullmatch(t)]
         if max_expansions is not None:
             out = out[:max_expansions]
-        self._exp_cache[key] = out
+        self._memo_put(self._exp_cache, key, out)
         return out
 
     # -- collectors -----------------------------------------------------------
@@ -454,15 +463,8 @@ class ServingSearcher(Bm25StatsMixin):
                     # composition), like the distributed fallback
                     out = self._search_nested(query, k)
                 else:
-                    dead_terms = self._term_tombstones()
-                    if dead_terms and isinstance(spec, CompiledBoolean):
-                        have = {t for o, t, _ in spec.clauses
-                                if o == "must_not"}
-                        spec = CompiledBoolean(
-                            spec.clauses
-                            + [("must_not", t, 1.0)
-                               for t in dead_terms if t not in have],
-                            spec.minimum_should_match, spec.const_score)
+                    # term tombstones are excluded by the per-segment
+                    # dead sets (_dead_by_segment), not must_not clauses
                     out = self._search_compiled(spec, k)
         if fetch_keys:
             out = self._with_keys(out)
@@ -743,11 +745,7 @@ class ServingSearcher(Bm25StatsMixin):
         virtual ArrayPostings clause (PhraseScorer composing inside
         BooleanWeight, boolean_weight.rs)."""
         clauses, msm = mixed
-        have_not = {p for o, kind, p, _ in clauses
-                    if o == "must_not" and kind == "term"}
-        for t in self._term_tombstones():
-            if t not in have_not:
-                clauses = clauses + [("must_not", "term", t, 1.0)]
+        # term tombstones are excluded by the per-segment dead sets
         term_set = {p for _, kind, p, _ in clauses if kind == "term"}
         phrase_terms = {
             t for _, kind, p, _ in clauses if kind == "phrase"
@@ -903,7 +901,7 @@ class ServingSearcher(Bm25StatsMixin):
             return self._dm_match_cache[key]
         schema = self._docmap_arrow_schema()
         if q.field not in schema.names:
-            self._dm_match_cache[key] = None
+            self._memo_put(self._dm_match_cache, key, None)
             return None
         filters: list[tuple] = [("segment_ord", "in", self._live)]
         lo = hi = None
@@ -929,14 +927,17 @@ class ServingSearcher(Bm25StatsMixin):
         out: dict[int, np.ndarray] = {}
         for s in np.unique(segs):
             out[int(s)] = np.sort(docs[segs == s])
-        self._dm_match_cache[key] = out
+        self._memo_put(self._dm_match_cache, key, out)
         return out
 
     @staticmethod
     def _typed_bound_arrow(typ, value):
         """Coerce a (possibly string) bound to the arrow column type —
-        the pyarrow mirror of Searcher._typed_bound (same branches,
-        same keep-the-string tolerance on unparseable values)."""
+        the pyarrow mirror of Searcher._typed_bound.  An unparseable
+        string on a typed column raises a clear ValueError — the
+        distributed engine fails the same way (Spark 4 ANSI cast:
+        CAST_INVALID_INPUT), and the reference's parser rejects
+        malformed bounds for typed fields."""
         import pyarrow as pa
 
         if value is None:
@@ -966,7 +967,9 @@ class ServingSearcher(Bm25StatsMixin):
                 if pa.types.is_date(typ):
                     return _dt.date.fromisoformat(value)
             except ValueError:
-                pass
+                raise ValueError(
+                    f"range bound {value!r} cannot be coerced to the "
+                    f"fast-field column type {typ}")
         return value
 
     def _search_nested(self, query: L.Query, k: int) -> pd.DataFrame:

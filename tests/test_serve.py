@@ -467,3 +467,15 @@ def test_serving_timestamp_range_bounds(spark, built):
     _assert_close(spark, built, q)
     assert (ServingSearcher(built).count(q)
             == Searcher(spark, built).count(q) > 0)
+
+
+def test_uncoercible_range_bound_raises(spark, built):
+    """An unparseable string bound on a typed fast field is an error on
+    BOTH engines (Spark 4 ANSI cast raises CAST_INVALID_INPUT on the
+    distributed path; the serving side raises a clear ValueError instead
+    of handing pyarrow a string-vs-numeric comparison)."""
+    q = L.RangeQuery("turn_idx", "not-a-number", None)
+    with pytest.raises(ValueError, match="cannot be coerced"):
+        _serv(built, q, 100)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        _dist(spark, built, q, 100)
