@@ -256,6 +256,63 @@ class ServingSearcher(Bm25StatsMixin):
         self.load_terms(terms, with_positions=self.cfg.positions)
         return self
 
+    def reload(self) -> bool:
+        """Re-pin this reader to the index's CURRENT manifest — the
+        reference's IndexReader::reload (src/reader/mod.rs; tantivy
+        hands out a new Searcher snapshot, this long-lived reader
+        refreshes in place).  Segment files are immutable once written,
+        but a cached term must re-scan for postings in NEW segments, so
+        the snapshot-keyed caches are dropped when the manifest changed.
+        Deletes don't rewrite the manifest, so the tombstone state is
+        refreshed on every call.  Returns True when a new manifest was
+        picked up."""
+        self._term_tombs = None
+        self._dead = None
+        new = load_manifest(self.index_dir)
+        if new == self.manifest:
+            return False
+        self.manifest = new
+        self.cfg = IndexConfig.from_json_dict(new["config"])
+        self.total_docs = int(new["total_docs"])
+        self.total_tokens = int(new["total_tokens"])
+        self.field_tokens = {
+            f: int(v) for f, v in new.get("field_tokens", {}).items()}
+        self.params = Bm25Params(self.cfg.k1, self.cfg.b)
+        self._live = sorted(
+            int(s["segment_ord"]) for s in new["segments"])
+        self._df_cache.clear()
+        self._tp.clear()
+        self._decoded_granted = 0
+        self._vocab_cache = None
+        self._seg_docs_cache = None
+        self._dm_match_cache.clear()
+        self._exp_cache.clear()
+        return True
+
+    # -- reference Searcher surface shared with the distributed engine ------
+    def expand_fuzzy(self, term: str, distance: int = 1,
+                     transposition_cost_one: bool = True,
+                     prefix: bool = False) -> list[str]:
+        return [t for t, _ in self.expand_fuzzy_scored(
+            term, distance, transposition_cost_one, prefix)]
+
+    def snippet_generator(self, query: L.Query, chain: str | None = None):
+        """Reference `SnippetGenerator::create(searcher, query, field)`
+        (src/snippet/mod.rs:602-652) over THIS reader's doc freqs — no
+        Spark in the snippet path either."""
+        from tantivy_spark.operators.snippet import SnippetGenerator
+
+        return SnippetGenerator.create(self, query, chain=chain)
+
+    def space_usage(self) -> dict:
+        """`Searcher::space_usage` (src/space_usage/mod.rs:61-99) from
+        the pinned manifest."""
+        from tantivy_spark.operators.space_usage import (
+            searcher_space_usage,
+        )
+
+        return searcher_space_usage(self.index_dir, self.manifest)
+
     # -- term-dictionary expansion (the in-RAM FST posture) ------------------
     def _vocab(self) -> tuple[np.ndarray, np.ndarray]:
         """Distinct (term, tlen) of the live segments, term-sorted, read

@@ -479,3 +479,43 @@ def test_uncoercible_range_bound_raises(spark, built):
         _serv(built, q, 100)
     with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         _dist(spark, built, q, 100)
+
+
+def test_serving_reload_picks_up_commits(spark, deleted):
+    """IndexReader::reload (src/reader/mod.rs): a long-lived reader
+    refreshes to the current manifest — new deletes apply without a
+    manifest rewrite, and a merge (manifest rewrite) swaps the segment
+    snapshot; results always match a freshly opened reader."""
+    from tantivy_spark.operators.merge import merge_segments
+
+    srv = ServingSearcher(deleted)
+    before = srv.search(L.TermQuery("w0"), K)
+    assert len(before)
+    # deletes don't rewrite the manifest: reload() returns False but
+    # refreshes tombstone state
+    addr = (int(before["segment_ord"][0]), int(before["doc_id"][0]))
+    delete_by_address(spark, deleted, [addr])
+    assert srv.reload() is False
+    got = srv.search(L.TermQuery("w0"), K)
+    assert addr not in set(zip((int(x) for x in got["segment_ord"]),
+                               (int(x) for x in got["doc_id"])))
+    # a merge rewrites the manifest: reload() returns True and the
+    # refreshed reader matches a fresh one AND the distributed engine
+    merge_segments(spark, deleted)
+    assert srv.reload() is True
+    q = L.BooleanQuery.union(["w0", "w2"])
+    refreshed = [(int(s), int(d), np.float32(sc)) for s, d, sc in
+                 zip(*[srv.search(q, K)[c]
+                       for c in ("segment_ord", "doc_id", "score")])]
+    assert refreshed == _serv(deleted, q) == _dist(spark, deleted, q)
+
+
+def test_serving_snippets_and_space_usage_match_distributed(spark, built):
+    q = L.BooleanQuery.union(["w0", "w1"])
+    text = "w0 and then w1 follow each other in w0 w1 sequence"
+    g_s = ServingSearcher(built).snippet_generator(q)
+    g_d = Searcher(spark, built).snippet_generator(q)
+    assert g_s.terms_text == g_d.terms_text
+    assert g_s.snippet(text).to_html() == g_d.snippet(text).to_html()
+    assert (ServingSearcher(built).space_usage()
+            == Searcher(spark, built).space_usage())
