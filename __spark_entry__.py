@@ -977,6 +977,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          "aggs": {"v_avg": {"avg": {"field": "value"}}}},
     ).withColumn("v_avg", F.round("v_avg", 5))
 
+    # QUERY-SCOPED aggregations — the reference's actual entry point
+    # (searcher.search(query, AggregationCollector), collector.rs:83-118):
+    # fast-field columns of the docs MATCHING a fulltext query feed the
+    # aggregation.  Same request on both engines, same oracle.
+    _SCOPED_TERMS_REQ = {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"avg_nchars": {"avg": {"field": "n_chars"}}},
+    }
+    Q["agg_query_scoped_terms"] = lambda s, d: (
+        _searcher(s, d)
+        .aggregate(_SCOPED_TERMS_REQ, L.TermQuery("table"))
+        .withColumn("avg_nchars", F.round("avg_nchars", 5)))
+
+    def _serving_reader(s, d):
+        from tantivy_spark.operators.serve import ServingSearcher
+
+        sr = _searcher(s, d)  # ensure the index exists
+        if sr.index_dir not in _SERVING:
+            _SERVING[sr.index_dir] = ServingSearcher(sr.index_dir)
+        return _SERVING[sr.index_dir]
+
+    def _agg_serving_terms(s, d):
+        pdf = _serving_reader(s, d).aggregate(
+            _SCOPED_TERMS_REQ, L.TermQuery("table"))
+        return s.createDataFrame(
+            pdf, schema="key string, doc_count long, avg_nchars double",
+        ).withColumn("avg_nchars", F.round("avg_nchars", 5))
+
+    Q["agg_serving_query_terms"] = _agg_serving_terms
+
+    def _agg_serving_hist(s, d):
+        pdf = _serving_reader(s, d).aggregate(
+            {"histogram": {"field": "n_chars", "interval": 40.0}},
+            L.TermQuery("value"))
+        return s.createDataFrame(pdf, schema="key double, doc_count long")
+
+    Q["agg_serving_query_histogram"] = _agg_serving_hist
+
     # ---- training-data pipeline ops --------------------------------------
     Q["dedup_exact_stats"] = lambda s, d: P.exact_dedup_stats(
         _tbl(s, d, "documents"))
@@ -1136,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serving_term_top10", "ft_serving_or_top10",
         "ft_serving_phrase_top10", "ft_serving_mixed_top10",
         "ft_serving_range_nchars", "ft_serving_counts",
+        "agg_query_scoped_terms", "agg_serving_query_terms",
+        "agg_serving_query_histogram",
         # last sampled r1
         "agg_composite_page2", "agg_filter_bucket",
         "dedup_exact_stats", "dedup_ngram_jaccard",
@@ -1759,6 +1799,34 @@ ORDER BY event_type, user_band LIMIT 15"""
     O["agg_filter_bucket"] = """
 SELECT count(*)::BIGINT AS doc_count, round(avg(value), 5) AS v_avg
 FROM events WHERE value > 10"""
+
+    # query-scoped aggregations: tokenize like the engine's default
+    # analyzer, scope to docs containing the query term, aggregate the
+    # fast fields of that match set (collector.rs:83-118 semantics)
+    def _matched_docs_cte(term: str) -> str:
+        return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(text, '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> '' AND length(t.term) < 40),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}')"""
+
+    O["agg_query_scoped_terms"] = O["agg_serving_query_terms"] = (
+        _matched_docs_cte("table") + """
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+       round(avg(d.n_chars), 5) AS avg_nchars
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY d.lang ORDER BY doc_count DESC, key ASC LIMIT 10""")
+    O["agg_serving_query_histogram"] = (
+        _matched_docs_cte("value") + """,
+b AS (
+  SELECT floor(d.n_chars / 40.0)::BIGINT AS k, count(*)::BIGINT AS doc_count
+  FROM documents d JOIN matched USING (doc_id) GROUP BY 1),
+g AS (
+  SELECT unnest(generate_series((SELECT min(k) FROM b),
+                                (SELECT max(k) FROM b))) AS k)
+SELECT (g.k * 40.0)::DOUBLE AS key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM g LEFT JOIN b USING (k) ORDER BY key""")
 
     # ---- pipeline --------------------------------------------------------
     O["dedup_exact_stats"] = """

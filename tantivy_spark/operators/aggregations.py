@@ -527,6 +527,48 @@ def _nested_buckets(df: DataFrame, pkind: str, pbody: dict,
     return g.orderBy("key", "child_key")
 
 
+def request_fields(request: dict) -> list[str]:
+    """Fast-field columns an ES-shaped aggregation request reads — the
+    column set a query-scoped aggregation must fetch from the docmap
+    (the reference resolves the same set from fast-field readers in
+    src/aggregation/agg_req_with_accessor.rs).  `filter` conditions are
+    opaque expressions: declare their columns in body["fields"]."""
+    out: list[str] = []
+
+    def add(f) -> None:
+        if f and f not in out:
+            out.append(f)
+
+    def walk(req: dict) -> None:
+        for kind, body in req.items():
+            if kind == "aggs":
+                for sub in body.values():
+                    walk(sub)
+                continue
+            if not isinstance(body, dict):
+                continue
+            add(body.get("field"))
+            if kind == "composite":
+                for s in body.get("sources", []):
+                    if isinstance(s, str):
+                        add(s)
+                    else:
+                        (_, inner), = s.items()
+                        (_, ibody), = inner.items()
+                        add(ibody.get("field"))
+            elif kind == "top_hits":
+                add(body.get("group_field"))
+                add(body.get("sort_field"))
+                for c in body.get("select") or []:
+                    add(c)
+            elif kind == "filter":
+                for c in body.get("fields") or []:
+                    add(c)
+
+    walk(request)
+    return out
+
+
 def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
     """Execute one named aggregation request (ES JSON shape):
 

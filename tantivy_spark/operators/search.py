@@ -839,6 +839,28 @@ class Searcher(Bm25StatsMixin):
         df = self.top_docs_frame(query, k=None, mode="taat64")
         return df.count()
 
+    def aggregate(self, request: dict, query: L.Query | None = None,
+                  fast_fields: list[str] | None = None) -> DataFrame:
+        """Query-scoped aggregations — the reference's
+        `searcher.search(query, AggregationCollector)`
+        (src/aggregation/collector.rs:83-118): the aggregation runs over
+        the docmap fast-field columns of the query's MATCH SET
+        (scored_frame's docmap join is agg_data.rs's column access; the
+        column list defaults to the fields the request reads).  The
+        Catalyst groupBy's partial/final aggregation is the reference's
+        segment-fruits -> merge_fruits two-phase shape.  query=None
+        aggregates the whole (alive) index.  The in-process twin is
+        `ServingSearcher.aggregate` — same request dialect and output."""
+        from tantivy_spark.operators.aggregations import (
+            request_fields, run_aggregation)
+        from tantivy_spark.operators.collectors import scored_frame
+
+        fields = (list(fast_fields) if fast_fields is not None
+                  else request_fields(request))
+        frame = scored_frame(
+            self, query if query is not None else L.AllQuery(), fields)
+        return run_aggregation(frame.drop("score"), request)
+
     def search(self, query: L.Query, k: int = 10, mode: str = "daat",
                fetch_keys: bool = True) -> DataFrame:
         """Top-k by (score desc, segment_ord asc, doc_id asc)."""

@@ -406,24 +406,35 @@ class ServingSearcher(Bm25StatsMixin):
         return out
 
     # -- collectors -----------------------------------------------------------
-    def count(self, query: L.Query) -> int:
-        """Count collector: doc_freq fast path for single terms with no
-        pending deletes (weight.rs count default + term_weight.rs
-        override), full match-set evaluation otherwise.  Every path
-        excludes the full alive-bitset complement (address tombstones +
-        term-tombstoned docs), like the distributed Searcher."""
-        if (isinstance(query, L.TermQuery) and not self._term_tombstones()
-                and not self._dead_by_segment()):
-            return self.doc_freqs([query.term])[query.term]
-        q = query
+    def _match_docs_by_segment(
+            self, query: L.Query | None) -> dict[int, np.ndarray]:
+        """ALIVE matching doc ids per segment, sorted — the
+        DocSetCollector role (docset_collector.rs) shared by count()
+        and aggregate().  Every path excludes the full alive-bitset
+        complement (address tombstones + term-tombstoned docs), like
+        the distributed Searcher.  None / AllQuery = every live doc."""
+        q = query if query is not None else L.AllQuery()
         while isinstance(q, L.BoostQuery):
-            q = q.query  # counting ignores score wrappers
+            q = q.query  # match sets ignore score wrappers
         if isinstance(q, L.MoreLikeThisQuery):
-            return self.count(self.more_like_this_query(q))
+            return self._match_docs_by_segment(self.more_like_this_query(q))
         if isinstance(q, L.PhrasePrefixQuery):
             raise ValueError("phrase query needs a finite k")
         dead = self._dead_by_segment()
-        total = 0
+        out: dict[int, np.ndarray] = {}
+
+        def put(seg: int, docs: np.ndarray) -> None:
+            alive = K._alive_mask(docs, dead.get(seg))
+            if alive is not None:
+                docs = docs[alive]
+            if len(docs):
+                out[seg] = docs
+
+        if isinstance(q, L.AllQuery):
+            for seg in sorted(self._live):
+                put(seg, np.arange(self._seg_docs().get(seg, 0),
+                                   dtype=np.int64))
+            return out
         if isinstance(q, (L.FuzzyTermQuery, L.RegexQuery)):
             if isinstance(q, L.FuzzyTermQuery):
                 terms = [t for t, _ in self.expand_fuzzy_scored(
@@ -432,13 +443,11 @@ class ServingSearcher(Bm25StatsMixin):
                 terms = self.expand_regex(q.pattern)
             self.load_terms(terms)
             segs = {s for t in terms for s in self._tp.get(t, {})}
-            for seg in segs:
-                docs = np.unique(np.concatenate(
+            for seg in sorted(segs):
+                put(seg, np.unique(np.concatenate(
                     [self._tp[t][seg].decode_all()[0]
-                     for t in terms if seg in self._tp.get(t, {})]))
-                alive = K._alive_mask(docs, dead.get(seg))
-                total += len(docs) if alive is None else int(alive.sum())
-            return total
+                     for t in terms if seg in self._tp.get(t, {})])))
+            return out
         if isinstance(q, L.PhraseQuery):
             if not self.cfg.positions:
                 raise ValueError("index has no positions (record option)")
@@ -447,22 +456,90 @@ class ServingSearcher(Bm25StatsMixin):
             segs = set(self._tp.get(slots[0], {}))
             for t in slots[1:]:
                 segs &= set(self._tp.get(t, {}))
-            for seg in segs:
+            for seg in sorted(segs):
                 cand, _, _ = K.phrase_match_arrays(
                     [self._tp[t].get(seg) for t in slots],
                     slop=q.slop, dead=dead.get(seg))
-                total += len(cand)
-            return total
+                if len(cand):
+                    out[seg] = cand
+            return out
         for seg in sorted(self._live):
-            r = self._eval_seg(query, seg)
+            r = self._eval_seg(q, seg)
             if r is None:
                 break  # corpus-level match-nothing, same for every segment
-            docs = r[0]
-            if not len(docs):
-                continue
-            alive = K._alive_mask(docs, self._dead_by_segment().get(seg))
-            total += len(docs) if alive is None else int(alive.sum())
-        return total
+            if len(r[0]):
+                put(seg, r[0])
+        return out
+
+    def count(self, query: L.Query) -> int:
+        """Count collector: doc_freq fast path for single terms with no
+        pending deletes (weight.rs count default + term_weight.rs
+        override), full match-set evaluation otherwise."""
+        if (isinstance(query, L.TermQuery) and not self._term_tombstones()
+                and not self._dead_by_segment()):
+            return self.doc_freqs([query.term])[query.term]
+        return sum(len(d)
+                   for d in self._match_docs_by_segment(query).values())
+
+    def aggregate(self, request: dict, query: L.Query | None = None,
+                  fields: list[str] | None = None) -> pd.DataFrame:
+        """Query-scoped aggregations in-process — the reference's
+        `searcher.search(query, AggregationCollector)`
+        (src/aggregation/collector.rs:83-118): the aggregation reads
+        fast-field (docmap) columns of the MATCHING docs only, never
+        the inverted index.  Same ES-shaped request dialect, output
+        columns, and ordering as the distributed `Searcher.aggregate`
+        (agg_local.py documents the three explicit divergences —
+        approximate sketches, shard_size, and filter-condition
+        dialect).  query=None aggregates every live doc."""
+        from tantivy_spark.operators.agg_local import run_aggregation_pandas
+        from tantivy_spark.operators.aggregations import request_fields
+
+        cols = list(fields) if fields is not None else request_fields(request)
+        matched = self._match_docs_by_segment(query)
+        return run_aggregation_pandas(
+            self._docmap_columns(matched, cols), request)
+
+    def _docmap_columns(self, matched: dict[int, np.ndarray],
+                        fields: list[str]) -> pd.DataFrame:
+        """Fast-field columns of a match set: ONE pruned docmap read
+        (segment-dir pruning), then a vectorized sorted-membership mask
+        per segment — the columnar fast-field access of agg_data.rs."""
+        import pyarrow as pa
+
+        schema = self._docmap_arrow_schema()
+        for f in fields:
+            if f not in schema.names:
+                raise KeyError(f"unknown fast field {f!r}")
+        segs = sorted(matched)
+        if not segs:
+            out = pd.DataFrame()
+            for f in fields:
+                try:
+                    dt = schema.field(f).type.to_pandas_dtype()
+                except (KeyError, NotImplementedError):
+                    dt = object
+                out[f] = pd.Series(dtype=dt)
+            return out
+        t = pq.read_table(
+            os.path.join(self.index_dir, "docmap"),
+            columns=["segment_ord", "doc_id"] + fields,
+            filters=[("segment_ord", "in", segs)])
+        seg_arr = np.asarray(t.column("segment_ord"), dtype=np.int64)
+        doc_arr = np.asarray(t.column("doc_id"), dtype=np.int64)
+        keep = np.zeros(len(seg_arr), dtype=bool)
+        for seg, docs in matched.items():
+            m = seg_arr == seg
+            x = doc_arr[m]
+            i = np.searchsorted(docs, x)
+            i[i >= len(docs)] = 0  # any in-bounds slot; equality decides
+            keep[m] = docs[i] == x
+        pdf = t.filter(pa.array(keep)).select(fields).to_pandas()
+        for c in pdf.columns:
+            # the engine's fast-field contract is naive UTC
+            if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+                pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        return pdf
 
     def search(self, query: L.Query, k: int = 10,
                fetch_keys: bool = False) -> pd.DataFrame:
