@@ -285,6 +285,7 @@ class ServingSearcher(Bm25StatsMixin):
         self._decoded_granted = 0
         self._vocab_cache = None
         self._seg_docs_cache = None
+        self._docmap_schema_cache = None
         self._dm_match_cache.clear()
         self._exp_cache.clear()
         return True

@@ -147,6 +147,22 @@ def main() -> None:
              "aggs": {"v": {"avg": {"field": "value"}}}})),
     ))
 
+    sections.append((
+        "Query-scoped aggregation (searcher.aggregate)",
+        "The reference's `searcher.search(query, AggregationCollector)` "
+        "shape: the match set comes from a PRUNED postings scan "
+        "(tbucket PartitionFilter + term PushedFilter), the docmap "
+        "fast-field join is a BroadcastHashJoin (the match set is the "
+        "small side for selective queries; AQE flips a huge match set "
+        "to shuffle join), then the same partial/final HashAggregate "
+        "pair with ONE Exchange on the bucket key and "
+        "TakeOrderedAndProject for the size cut.",
+        fmt(s.aggregate(
+            {"terms": {"field": "lang", "size": 10},
+             "aggs": {"avg_nchars": {"avg": {"field": "n_chars"}}}},
+            L.TermQuery("table"))),
+    ))
+
     from tantivy_spark.operators import pipeline as P
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
