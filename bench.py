@@ -301,6 +301,16 @@ def _query_workload(spark, sf_dir: str,
         srv.search(q, 10)
         sec = round((time.time() - t0) * 1e3, 3)
         times[nm] = min(sec, prev[nm]) if prev else sec
+    # query-scoped aggregation in-process (round 4): match set + pruned
+    # docmap column read + pandas aggregation, zero Spark jobs
+    _agg_req = {"terms": {"field": "lang", "size": 10},
+                "aggs": {"avg_nchars": {"avg": {"field": "n_chars"}}}}
+    srv.aggregate(_agg_req, L.TermQuery("table"))  # warm
+    t0 = time.time()
+    srv.aggregate(_agg_req, L.TermQuery("table"))
+    sec = round((time.time() - t0) * 1e3, 3)
+    times["q_serving_agg_warm_ms"] = (
+        min(sec, prev["q_serving_agg_warm_ms"]) if prev else sec)
 
     qs = E.queries()
     for name in (
@@ -313,6 +323,8 @@ def _query_workload(spark, sf_dir: str,
         # round-3 training-pipeline operators
         "text_contamination", "text_repetition", "text_pii",
         "dedup_embedding_cosine",
+        # round-4 query-scoped aggregation (distributed path)
+        "agg_query_scoped_terms",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).collect())
     return times

@@ -249,6 +249,21 @@ def test_submit_job_driver_inprocess(spark, tmp_root, capsys):
     assert len(out["hits"]) == 3
     assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
 
+    # --source goes through the format-pluggable DataSource branch
+    # (spark.read.format(fmt).load(path) — 'iceberg' swaps in by flag)
+    from tantivy_spark.sources.transcripts import transcripts_df
+
+    src = f"{tmp_root}/submit_src.parquet"
+    transcripts_df(spark, 40).write.mode("overwrite").parquet(src)
+    idx2 = f"{tmp_root}/submit_idx_src"
+    rc = submit_job.main([
+        "build", "--source", src, "--source-format", "parquet",
+        "--index-dir", idx2, "--segments", "2",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "build" and out["num_docs"] > 0
+
 
 # --------------------------------------------------------------------------
 # vectorized hashing kernels: batch implementation vs scalar reference

@@ -38,7 +38,15 @@ def main(argv: list[str]) -> int:
 
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--index-dir", required=True)
-    b.add_argument("--source", help="parquet path of the transcripts table")
+    b.add_argument("--source", help="path (or catalog table, with "
+                                    "--source-format iceberg) of the "
+                                    "transcripts table")
+    b.add_argument("--source-format", default="parquet",
+                   help="any Spark DataSource: parquet (default), iceberg, "
+                        "orc, delta, ... — 'iceberg' loads a catalog table "
+                        "name via spark.read.format('iceberg'); needs the "
+                        "iceberg-spark-runtime jar on the cluster (not "
+                        "bundled in this sandbox)")
     b.add_argument("--synthetic-convs", type=int,
                    help="generate N deterministic synthetic conversations")
     b.add_argument("--segments", type=int, default=8)
@@ -74,6 +82,9 @@ def main(argv: list[str]) -> int:
             ap.error("build needs exactly one of --source / --synthetic-convs")
         if args.direct and not args.source:
             ap.error("--direct reads parquet files directly: needs --source")
+        if args.direct and args.source_format != "parquet":
+            ap.error("--direct plans parquet row-group splits; for other "
+                     "formats use the DataFrame build (no --direct)")
         cfg = IndexConfig(
             n_segments=args.segments,
             n_term_buckets=args.term_buckets,
@@ -89,7 +100,11 @@ def main(argv: list[str]) -> int:
                                           split_bytes=args.split_bytes)
         else:
             if args.source:
-                src = spark.read.parquet(args.source)
+                # format-pluggable source: the engine consumes a DataFrame,
+                # so any Spark DataSource works; Iceberg tables resolve by
+                # catalog name (spark.read.format("iceberg").load("db.tbl"))
+                # and get snapshot-pinned scans + partition pruning for free
+                src = spark.read.format(args.source_format).load(args.source)
             else:
                 from tantivy_spark.sources.transcripts import transcripts_df
 
