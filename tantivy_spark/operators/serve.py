@@ -37,8 +37,12 @@ All / Empty / Range / Exists (pruned docmap fast-field scans) queries,
 term + address tombstones, key fetch, and a general count collector.
 Kernel paths are bit-identical f32 to the distributed DAAT engine; nested
 trees and fast-field scans run the same float64 formulas as the
-distributed TAAT fallback (Searcher._eval_tree).  Aggregations stay on
-the distributed path.
+distributed TAAT fallback (Searcher._eval_tree).  Query-scoped
+aggregations run in-process too (`aggregate` — the reference's
+searcher.search(query, AggregationCollector), agg_local.py's pandas
+mirror of the distributed dialect) over budget-bounded cached fast-field
+columns (the mmap'd fast-field role); corpus-scale aggregations belong
+on the distributed path.
 """
 
 from __future__ import annotations
@@ -89,6 +93,12 @@ class ServingSearcher(Bm25StatsMixin):
     # the vectorized batch decoder — RAM stays bounded on any vocabulary
     DECODED_CACHE_POSTINGS = 50_000_000  # ≈ 800 MB
 
+    # fast-field column cache budget in VALUES: the reference mmaps fast
+    # fields per segment, so repeat aggregations never reread the column
+    # store; doc ids are dense per segment, so a cached column is a
+    # direct array gather.  FIFO-evicted past the budget.
+    FASTFIELD_CACHE_VALUES = 50_000_000
+
     def __init__(self, index_dir: str, n_threads: int | None = None,
                  decoded_cache_postings: int | None = None):
         self.index_dir = index_dir
@@ -133,6 +143,9 @@ class ServingSearcher(Bm25StatsMixin):
         self._docmap_schema_cache = None
         self._exp_cache: dict[tuple, list] = {}
         self.MEMO_MAX_ENTRIES = 1024
+        # field -> (values sorted by (segment_ord, doc_id), seg -> offset)
+        self._ff_cache: dict[str, tuple[pd.Series, dict[int, int]]] = {}
+        self._ff_granted = 0
 
     # -- tombstones (alive-bitset sources, read once per snapshot) ----------
     def _term_tombstones(self) -> list[str]:
@@ -288,6 +301,8 @@ class ServingSearcher(Bm25StatsMixin):
         self._docmap_schema_cache = None
         self._dm_match_cache.clear()
         self._exp_cache.clear()
+        self._ff_cache.clear()
+        self._ff_granted = 0
         return True
 
     # -- reference Searcher surface shared with the distributed engine ------
@@ -501,13 +516,43 @@ class ServingSearcher(Bm25StatsMixin):
         return run_aggregation_pandas(
             self._docmap_columns(matched, cols), request)
 
+    def _fastfield(self, field: str) -> tuple[pd.Series, dict[int, int]]:
+        """One fast-field column of every live segment, ONE pruned docmap
+        read, (segment_ord, doc_id)-sorted — the in-RAM role of the
+        reference's mmap'd fast-field files (src/fastfield).  Doc ids
+        are dense 0..n-1 per segment, so `values[offset[seg] + doc_id]`
+        is the column access.  Cached under FASTFIELD_CACHE_VALUES
+        (FIFO), same bounded-reader rationale as the decoded-postings
+        budget; over-budget fields are rebuilt per call."""
+        hit = self._ff_cache.get(field)
+        if hit is not None:
+            return hit
+        t = pq.read_table(
+            os.path.join(self.index_dir, "docmap"),
+            columns=["segment_ord", "doc_id", field],
+            filters=[("segment_ord", "in", self._live)])
+        seg_arr = np.asarray(t.column("segment_ord"), dtype=np.int64)
+        doc_arr = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((doc_arr, seg_arr))
+        vals = t.column(field).to_pandas().iloc[order].reset_index(drop=True)
+        if isinstance(vals.dtype, pd.DatetimeTZDtype):
+            # the engine's fast-field contract is naive UTC
+            vals = vals.dt.tz_convert("UTC").dt.tz_localize(None)
+        seg_sorted = seg_arr[order]
+        bounds = np.flatnonzero(np.diff(seg_sorted)) + 1
+        starts = np.concatenate(([0], bounds))
+        offsets = {int(seg_sorted[s]): int(s) for s in starts}
+        out = (vals, offsets)
+        if self._ff_granted + len(vals) <= self.FASTFIELD_CACHE_VALUES:
+            self._ff_cache[field] = out
+            self._ff_granted += len(vals)
+        return out
+
     def _docmap_columns(self, matched: dict[int, np.ndarray],
                         fields: list[str]) -> pd.DataFrame:
-        """Fast-field columns of a match set: ONE pruned docmap read
-        (segment-dir pruning), then a vectorized sorted-membership mask
-        per segment — the columnar fast-field access of agg_data.rs."""
-        import pyarrow as pa
-
+        """Fast-field columns of a match set: a direct array gather per
+        field from the cached columns — the columnar fast-field access
+        of agg_data.rs."""
         schema = self._docmap_arrow_schema()
         for f in fields:
             if f not in schema.names:
@@ -522,25 +567,16 @@ class ServingSearcher(Bm25StatsMixin):
                     dt = object
                 out[f] = pd.Series(dtype=dt)
             return out
-        t = pq.read_table(
-            os.path.join(self.index_dir, "docmap"),
-            columns=["segment_ord", "doc_id"] + fields,
-            filters=[("segment_ord", "in", segs)])
-        seg_arr = np.asarray(t.column("segment_ord"), dtype=np.int64)
-        doc_arr = np.asarray(t.column("doc_id"), dtype=np.int64)
-        keep = np.zeros(len(seg_arr), dtype=bool)
-        for seg, docs in matched.items():
-            m = seg_arr == seg
-            x = doc_arr[m]
-            i = np.searchsorted(docs, x)
-            i[i >= len(docs)] = 0  # any in-bounds slot; equality decides
-            keep[m] = docs[i] == x
-        pdf = t.filter(pa.array(keep)).select(fields).to_pandas()
-        for c in pdf.columns:
-            # the engine's fast-field contract is naive UTC
-            if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
-                pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(None)
-        return pdf
+        n_rows = sum(len(matched[s]) for s in segs)
+        if not fields:
+            return pd.DataFrame(index=pd.RangeIndex(n_rows))
+        out = {}
+        for f in fields:
+            vals, offsets = self._fastfield(f)
+            idx = np.concatenate(
+                [offsets[s] + matched[s] for s in segs])
+            out[f] = vals.take(idx).reset_index(drop=True)
+        return pd.DataFrame(out)
 
     def search(self, query: L.Query, k: int = 10,
                fetch_keys: bool = False) -> pd.DataFrame:

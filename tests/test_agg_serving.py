@@ -200,6 +200,31 @@ def test_serving_aggregate_empty_match_set(spark, built):
     assert len(out) == 0
 
 
+def test_serving_aggregate_warm_reads_nothing(built, monkeypatch):
+    """After one aggregate, repeat aggregations over the same fields and
+    terms touch no files — the fast-field cache is the mmap'd-column
+    posture of the reference (src/fastfield)."""
+    import pyarrow.parquet as pq
+
+    srv = ServingSearcher(built)
+    q = L.TermQuery("w0")
+    req = {"terms": {"field": "role", "size": 10},
+           "aggs": {"avg_tc": {"avg": {"field": "token_count"}}}}
+    first = srv.aggregate(req, q)
+
+    def boom(*a, **k):
+        raise AssertionError("filesystem touched after warm aggregate")
+    monkeypatch.setattr(pq, "read_table", boom)
+    again = srv.aggregate(req, q)
+    assert len(again) and again.equals(first)
+    # a different query over the SAME fields is also read-free once its
+    # postings are warm
+    monkeypatch.undo()
+    srv.search(L.TermQuery("w1"), 5)
+    monkeypatch.setattr(pq, "read_table", boom)
+    assert len(srv.aggregate(req, L.TermQuery("w1")))
+
+
 def test_match_docs_count_consistency(spark, built):
     """_match_docs_by_segment is count()'s backend — spot-check against
     the distributed count for several query shapes."""
