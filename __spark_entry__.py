@@ -338,6 +338,18 @@ def _topk(spark: SparkSession, sf_dir: str, query: L.Query, k: int,
 _SERVING: dict[str, object] = {}
 
 
+def _serving_reader(spark: SparkSession, sf_dir: str):
+    """Get-or-create the in-process ServingSearcher over the same index
+    directory the distributed entries use (builds the index first if
+    needed)."""
+    from tantivy_spark.operators.serve import ServingSearcher
+
+    s = _searcher(spark, sf_dir)  # ensure the index exists
+    if s.index_dir not in _SERVING:
+        _SERVING[s.index_dir] = ServingSearcher(s.index_dir)
+    return _SERVING[s.index_dir]
+
+
 def _serving_topk(spark: SparkSession, sf_dir: str, query: L.Query,
                   k: int) -> DataFrame:
     """Top-k through the in-process ServingSearcher (operators/serve.py)
@@ -345,12 +357,8 @@ def _serving_topk(spark: SparkSession, sf_dir: str, query: L.Query,
     reader/writer split under the same oracle.  f32 DAAT scores, so the
     compare is ids-only with the usual external-key tie re-rank
     (over-fetch k+16, then score DESC, doc_id ASC)."""
-    from tantivy_spark.operators.serve import ServingSearcher
-
-    s = _searcher(spark, sf_dir)  # ensure the index exists
-    if s.index_dir not in _SERVING:
-        _SERVING[s.index_dir] = ServingSearcher(s.index_dir)
-    out = _SERVING[s.index_dir].search(query, k=k + 16, fetch_keys=True)
+    out = _serving_reader(spark, sf_dir).search(
+        query, k=k + 16, fetch_keys=True)
     if not len(out):
         return spark.createDataFrame([], "doc_id long").select("doc_id")
     pdf = out[["ext_id", "score"]].rename(columns={"ext_id": "doc_id"})
@@ -581,12 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         50000)
 
     def _serving_counts(s, d):
-        from tantivy_spark.operators.serve import ServingSearcher
-
-        sr = _searcher(s, d)
-        if sr.index_dir not in _SERVING:
-            _SERVING[sr.index_dir] = ServingSearcher(sr.index_dir)
-        srv = _SERVING[sr.index_dir]
+        srv = _serving_reader(s, d)
         nested = QueryParser().parse("table AND value OR spark^2 -dup")
         return s.createDataFrame(
             [(srv.count(L.AllQuery()), srv.count(nested))],
@@ -989,14 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _searcher(s, d)
         .aggregate(_SCOPED_TERMS_REQ, L.TermQuery("table"))
         .withColumn("avg_nchars", F.round("avg_nchars", 5)))
-
-    def _serving_reader(s, d):
-        from tantivy_spark.operators.serve import ServingSearcher
-
-        sr = _searcher(s, d)  # ensure the index exists
-        if sr.index_dir not in _SERVING:
-            _SERVING[sr.index_dir] = ServingSearcher(sr.index_dir)
-        return _SERVING[sr.index_dir]
 
     def _agg_serving_terms(s, d):
         pdf = _serving_reader(s, d).aggregate(

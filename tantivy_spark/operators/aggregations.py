@@ -548,6 +548,9 @@ def request_fields(request: dict) -> list[str]:
             if not isinstance(body, dict):
                 continue
             add(body.get("field"))
+            if kind == "terms":
+                # shard_size mode reads the per-shard key column too
+                add(body.get("shard_col"))
             if kind == "composite":
                 for s in body.get("sources", []):
                     if isinstance(s, str):
@@ -628,7 +631,8 @@ def run_aggregation(df: DataFrame, request: dict) -> DataFrame:
                 df, body["field"], None, sub,
                 fixed_interval=body["fixed_interval"],
                 offset=body.get("offset"),
-                min_doc_count=body.get("min_doc_count", 0))
+                min_doc_count=body.get("min_doc_count", 0),
+                max_buckets=body.get("max_buckets", DEFAULT_BUCKET_LIMIT))
         return date_histogram_agg(
             df, body["field"],
             body.get("calendar_interval", body.get("interval", "day")), sub)

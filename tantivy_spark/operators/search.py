@@ -857,9 +857,20 @@ class Searcher(Bm25StatsMixin):
 
         fields = (list(fast_fields) if fast_fields is not None
                   else request_fields(request))
-        frame = scored_frame(
-            self, query if query is not None else L.AllQuery(), fields)
-        return run_aggregation(frame.drop("score"), request)
+        if query is None or isinstance(query, L.AllQuery):
+            # match-all: aggregate the live docmap directly — scoring a
+            # full-corpus match set only to drop the score would add a
+            # TAAT pass + join for nothing (the reference's match-all
+            # agg reads the fast-field columns straight through)
+            frame = self._exclude_dead(self.docmap())
+        else:
+            frame = scored_frame(self, query, fields).drop("score")
+        if fields:
+            # project to exactly the request's columns: pushes pruning
+            # to the docmap scan and keeps the default top_hits column
+            # set identical to ServingSearcher.aggregate's
+            frame = frame.select(*fields)
+        return run_aggregation(frame, request)
 
     def search(self, query: L.Query, k: int = 10, mode: str = "daat",
                fetch_keys: bool = True) -> DataFrame:

@@ -498,7 +498,7 @@ class ServingSearcher(Bm25StatsMixin):
                    for d in self._match_docs_by_segment(query).values())
 
     def aggregate(self, request: dict, query: L.Query | None = None,
-                  fields: list[str] | None = None) -> pd.DataFrame:
+                  fast_fields: list[str] | None = None) -> pd.DataFrame:
         """Query-scoped aggregations in-process — the reference's
         `searcher.search(query, AggregationCollector)`
         (src/aggregation/collector.rs:83-118): the aggregation reads
@@ -511,7 +511,8 @@ class ServingSearcher(Bm25StatsMixin):
         from tantivy_spark.operators.agg_local import run_aggregation_pandas
         from tantivy_spark.operators.aggregations import request_fields
 
-        cols = list(fields) if fields is not None else request_fields(request)
+        cols = (list(fast_fields) if fast_fields is not None
+                else request_fields(request))
         matched = self._match_docs_by_segment(query)
         return run_aggregation_pandas(
             self._docmap_columns(matched, cols), request)
@@ -543,7 +544,16 @@ class ServingSearcher(Bm25StatsMixin):
         starts = np.concatenate(([0], bounds))
         offsets = {int(seg_sorted[s]): int(s) for s in starts}
         out = (vals, offsets)
-        if self._ff_granted + len(vals) <= self.FASTFIELD_CACHE_VALUES:
+        if len(vals) <= self.FASTFIELD_CACHE_VALUES:
+            # FIFO eviction (dict preserves insertion order): a column
+            # that no longer fits evicts the oldest-cached fields —
+            # otherwise whichever large columns arrived first would pin
+            # the budget for the reader's lifetime and every later
+            # field would re-read its docmap column per call
+            while (self._ff_granted + len(vals) > self.FASTFIELD_CACHE_VALUES
+                   and self._ff_cache):
+                old_vals, _ = self._ff_cache.pop(next(iter(self._ff_cache)))
+                self._ff_granted -= len(old_vals)
             self._ff_cache[field] = out
             self._ff_granted += len(vals)
         return out

@@ -67,7 +67,7 @@ def _both(spark, idx, request, query=None, fields=None, sort_all=False,
           nonempty=True):
     d = Searcher(spark, idx).aggregate(
         request, query, fast_fields=fields).toPandas()
-    s = ServingSearcher(idx).aggregate(request, query, fields=fields)
+    s = ServingSearcher(idx).aggregate(request, query, fast_fields=fields)
     _assert_frames_match(d, s, sort_all=sort_all)
     if nonempty:
         assert len(d) > 0
@@ -153,6 +153,58 @@ def test_top_hits_parity(spark, built):
                         "select": ["turn_idx", "conv_id"]}}
     # row order across groups is engine-internal — compare as sorted sets
     _both(spark, built, req, L.TermQuery("w0"), sort_all=True)
+
+
+def test_top_hits_default_select_parity(spark, built):
+    """No explicit select: both engines default to the request's own
+    field set (request_fields order), not their internal frame shapes."""
+    req = {"top_hits": {"group_field": "role", "size": 2,
+                        "sort_field": "token_count"}}
+    out = _both(spark, built, req, L.TermQuery("w0"), sort_all=True)
+    assert list(out.columns) == ["role", "token_count"]
+
+
+def test_distributed_shard_size_reads_shard_col(spark, built):
+    """request_fields must include terms shard_col — the distributed
+    engine is the one that supports the shard_size error protocol."""
+    out = Searcher(spark, built).aggregate(
+        {"terms": {"field": "role", "size": 2, "shard_size": 3,
+                   "shard_col": "conv_id"}}, L.TermQuery("w0")).toPandas()
+    assert len(out) > 0
+    assert "key" in out.columns and "doc_count" in out.columns
+
+
+def test_fixed_interval_max_buckets_parity(spark, built):
+    """Both engines enforce max_buckets on fixed_interval
+    date_histogram (the serving mirror always did; the distributed
+    dispatcher used to drop it)."""
+    from tantivy_spark.operators.aggregations import AggregationLimitError
+
+    req = {"date_histogram": {"field": "ts", "fixed_interval": "1m",
+                              "max_buckets": 5}}
+    with pytest.raises(AggregationLimitError):
+        Searcher(spark, built).aggregate(req).toPandas()
+    with pytest.raises(AggregationLimitError):
+        ServingSearcher(built).aggregate(req)
+
+
+def test_fastfield_cache_evicts_fifo(built):
+    """A column that no longer fits evicts the oldest-cached fields —
+    early large columns must not pin the budget for the reader's life."""
+    srv = ServingSearcher(built)
+    v1, _ = srv._fastfield("token_count")
+    srv.FASTFIELD_CACHE_VALUES = int(len(v1) * 1.5)
+    srv._ff_cache.clear()
+    srv._ff_granted = 0
+    srv._fastfield("token_count")
+    assert "token_count" in srv._ff_cache
+    srv._fastfield("turn_idx")
+    assert "turn_idx" in srv._ff_cache
+    assert "token_count" not in srv._ff_cache
+    assert srv._ff_granted == len(v1)
+    # the evicted field is still served correctly (re-read, re-cached)
+    v2, _ = srv._fastfield("token_count")
+    assert v2.equals(v1)
 
 
 def test_aggregate_respects_query_scope(spark, built):
