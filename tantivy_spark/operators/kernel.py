@@ -105,9 +105,17 @@ class TermPostings:
         """Tightest per-term upper bound from the block-max pairs."""
         return _F32(weight.score(self.bm_norm_id, self.bm_tf).max())
 
+    def block_scores(self, weight: Bm25Weight) -> np.ndarray:
+        """Per-block score upper bounds (f32) from the stored block-max
+        (fieldnorm_id, tf) pairs — BlockWAND's skip metadata."""
+        return weight.score(self.bm_norm_id, self.bm_tf)
+
     def probe(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(tf, fieldnorm, present) aligned to sorted `candidates`, decoding
         only the blocks that can contain a candidate (block skipping)."""
+        memo = self.__dict__.get("_decoded")
+        if memo is not None:
+            return _align_full(*memo, candidates)
         if self.cache_decoded:
             # long-lived reader: decode once (memoized), align thereafter —
             # repeat probes of a hot term must not re-decode its blocks
@@ -188,6 +196,7 @@ class ArrayPostings:
         return _align_full(self.docs, self.tfs, self.fns, candidates)
 
 
+
 @dataclass
 class Clause:
     occur: str  # "must" | "should" | "must_not"
@@ -218,6 +227,92 @@ def _topk_order(candidates: np.ndarray, scores: np.ndarray,
         idx = np.concatenate([above, eq])
     order = np.lexsort((candidates[idx], -scores[idx].astype(np.float64)))[:kk]
     return idx[order]
+
+
+def _seed_theta(p, weight: Bm25Weight, k: int):
+    """EXACT k-th best true score of one posting list -> (θ, full).
+    Decodes blocks in descending block-max order and stops once no
+    remaining block can raise the running k-th — the θ seed of BlockWAND
+    at batch granularity.  Equal to the k-th largest of the fully-decoded
+    score array (proof: every score above the running k-th lives in a
+    block whose max reaches it, and those are all decoded before the
+    stop fires), at a fraction of the decode bytes on skewed lists.
+
+    Flat distributions (uniform doc lengths — block maxes barely vary,
+    so θ lands below every block max and nothing can skip) are detected
+    after a bounded probe and handled with ONE bulk decode, returned as
+    `full` so the caller reuses it for candidates/alignment instead of
+    decoding again.  (0.0, None) when fewer than k postings."""
+    if p.doc_freq < k:
+        return _F32(0.0), None
+    if isinstance(p, ArrayPostings) or p.__dict__.get("_decoded") is not None \
+            or p.cache_decoded or len(p.block_last) < 32:
+        full = p.decode_all()
+        s = weight.score(full[2].astype(np.int64), full[1])
+        return _F32(np.partition(s, len(s) - k)[len(s) - k]), full
+    bms = p.block_scores(weight).astype(np.float64)
+    order = np.argsort(-bms, kind="stable")
+    pool: list[np.ndarray] = []
+    npool = 0
+    theta: np.float32 | None = None
+    chunk = max(2, (k + 127) // 128 * 2)
+    i = 0
+    while i < len(order):
+        if theta is not None and bms[order[i]] <= float(theta):
+            break
+        if i >= 16:
+            # bounded probe exhausted without a stop: flat distribution,
+            # BlockWAND cannot skip here — bulk decode wins
+            full = p.decode_all()
+            s = weight.score(full[2].astype(np.int64), full[1])
+            return _F32(np.partition(s, len(s) - k)[len(s) - k]), full
+        need = np.sort(order[i:i + chunk])
+        _, tfs, _ = blocks.decode_postings(
+            p.doc_enc, p.tf_enc, p.block_doc_off, p.block_tf_off,
+            p.block_last, p.doc_freq, need,
+        )
+        fns = blocks.fnorms_for_blocks(p.fnorm_enc, p.doc_freq, need)
+        s = weight.score(fns.astype(np.int64), tfs)
+        pool.append(s)
+        npool += len(s)
+        if npool >= k:
+            allsc = np.concatenate(pool) if len(pool) > 1 else pool[0]
+            theta = _F32(np.partition(allsc, npool - k)[npool - k])
+            pool = [allsc]
+        i += chunk
+    return (theta if theta is not None else _F32(0.0)), None
+
+
+def _candidate_cut(p, weight: Bm25Weight, limit: float):
+    """BlockWAND candidate cut for one posting list -> (docs, full).
+    `docs` = sorted doc ids that can still reach the θ bound (blocks with
+    bms < limit skipped — src/query/boolean_query/block_wand.rs role at
+    batch granularity; callers pre-subtract the other terms' bounds and
+    an epsilon guard from θ).  `full` = the (docs, tfs, fns) decode when
+    the list was fully decoded anyway (no cut applied), so the caller
+    aligns against it without a second decode; None after a real cut."""
+    if isinstance(p, ArrayPostings):
+        if limit > 0.0 and len(p.docs) and \
+                float(p.max_block_score(weight)) < limit:
+            return np.empty(0, dtype=np.int64), None
+        full = p.decode_all()
+        return full[0], full
+    if limit <= 0.0 or p.__dict__.get("_decoded") is not None \
+            or p.cache_decoded:
+        full = p.decode_all()
+        return full[0], full
+    bms = p.block_scores(weight).astype(np.float64)
+    need = np.flatnonzero(bms >= limit)
+    if len(need) == len(bms):
+        full = p.decode_all()
+        return full[0], full
+    if len(need) == 0:
+        return np.empty(0, dtype=np.int64), None
+    docs, _, _ = blocks.decode_postings(
+        p.doc_enc, p.tf_enc, p.block_doc_off, p.block_tf_off,
+        p.block_last, p.doc_freq, need,
+    )
+    return docs, None
 
 
 def _dead_postings(dead: np.ndarray | None) -> ArrayPostings | None:
@@ -310,20 +405,46 @@ def segment_topk(
         ubs = np.array(
             [c.postings.max_block_score(c.weight) for c in live], dtype=_F32
         )
-        # θ seed: true scores of the highest-impact term give a lower bound
-        # on the final k-th score (their totals can only be larger).  Only
-        # valid when no doc can be *removed* later: must_not exclusion or a
-        # minimum_should_match bar could evict seed docs, making θ an
-        # overestimate and the prune unsafe.
+        # θ seed: the k-th true score of the highest-impact term lower-
+        # bounds the final k-th score (doc totals can only be larger).
+        # Only valid when no doc can be *removed* later: must_not
+        # exclusion or a minimum_should_match bar could evict seed docs,
+        # making θ an overestimate and the prune unsafe.
         theta = _F32(0.0)
-        seed_full: dict[int, tuple] = {}
-        if minimum_should_match <= 1 and not must_nots and len(live) > 1:
+        seed_full = None
+        si = -1
+        # const_score guard: BM25 block bounds say nothing about a
+        # constant score, so every matching doc must stay a candidate
+        if minimum_should_match <= 1 and not must_nots \
+                and const_score is None:
             si = int(np.argmax(ubs))
-            sd, st, sf = live[si].postings.decode_all()
-            seed_full[si] = (sd, st, sf)
-            sscores = live[si].weight.score(sf.astype(np.int64), st)
-            if len(sscores) >= k:
-                theta = _F32(np.partition(sscores, len(sscores) - k)[len(sscores) - k])
+            theta, seed_full = _seed_theta(live[si].postings,
+                                           live[si].weight, k)
+        # single-term fast path: the kept blocks ARE the candidates, so
+        # decode them once (docs+tfs+fns), score, and return — the
+        # general path would decode them a second time in the alignment
+        # probe.  Scores/tie-breaks identical to the general path (same
+        # f32 score call, same _topk_order).
+        if len(live) == 1 and float(theta) > 0.0 and seed_full is None \
+                and not isinstance(live[0].postings, ArrayPostings) \
+                and live[0].postings.__dict__.get("_decoded") is None \
+                and not live[0].postings.cache_decoded:
+            c0 = live[0]
+            p0 = c0.postings
+            bms0 = p0.block_scores(c0.weight).astype(np.float64)
+            need0 = np.flatnonzero(bms0 >= float(theta) - 1e-4)
+            if 0 < len(need0) < len(bms0):
+                docs0, tfs0, _ = blocks.decode_postings(
+                    p0.doc_enc, p0.tf_enc, p0.block_doc_off,
+                    p0.block_tf_off, p0.block_last, p0.doc_freq, need0,
+                )
+                fns0 = blocks.fnorms_for_blocks(
+                    p0.fnorm_enc, p0.doc_freq, need0)
+                sc0 = np.zeros(len(docs0), dtype=_F32)
+                sc0 = (sc0 + c0.weight.score(
+                    fns0.astype(np.int64), tfs0)).astype(_F32)
+                order0 = _topk_order(docs0, sc0, k)
+                return docs0[order0], sc0[order0]
         asc = np.argsort(ubs, kind="stable")
         cum = np.cumsum(ubs[asc].astype(np.float64))
         non_essential = set()
@@ -332,14 +453,27 @@ def segment_topk(
                 non_essential.add(int(ci))
             else:
                 break
+        # BlockWAND candidate cut per essential term: a doc found ONLY in
+        # blocks with bms_t[b] + Σ_{t'≠t} ub_t' < θ scores below θ under
+        # every term that contains it, so it cannot reach the top k (and
+        # cannot tie: skipping is strict-below after the epsilon guard,
+        # which also covers f32 accumulation rounding in the scorer).
+        sum_ubs = float(np.sum(ubs.astype(np.float64)))
         parts = []
-        fulls: dict[int, tuple] = dict(seed_full)
+        fulls: dict[int, tuple] = {}
+        if seed_full is not None:
+            fulls[si] = seed_full  # the max-ub term is always essential
         for i, c in enumerate(live):
             if i in non_essential:
                 continue
-            if i not in fulls:
-                fulls[i] = c.postings.decode_all()
-            parts.append(fulls[i][0])
+            if i in fulls:
+                parts.append(fulls[i][0])
+                continue
+            limit = float(theta) - (sum_ubs - float(ubs[i])) - 1e-4
+            docs_i, full = _candidate_cut(c.postings, c.weight, limit)
+            parts.append(docs_i)
+            if full is not None:
+                fulls[i] = full
         candidates = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         for i, c in enumerate(live):
             if i in fulls:
@@ -689,17 +823,48 @@ def segment_topk_dismax(
     live = [c for c in subclauses if c.postings is not None]
     if not live:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
-    fulls = [c.postings.decode_all() for c in live]
-    candidates = np.unique(np.concatenate([f[0] for f in fulls]))
+    ubs = np.array(
+        [c.postings.max_block_score(c.weight) for c in live], dtype=_F32
+    )
+    # θ seed + BlockWAND cut (safe only with no deletes pending — dead
+    # removal after candidate gen could evict seed docs and overstate θ).
+    # A doc's dismax score via its best arm a* in block b is
+    # <= bms_a*[b] + tie * Σ_{a≠a*} ub_a, so cutting every containing
+    # block under its own arm's rule proves score < θ.
+    theta = _F32(0.0)
+    seed_full = None
+    si = -1
+    if dead is None:
+        si = int(np.argmax(ubs))
+        theta, seed_full = _seed_theta(live[si].postings, live[si].weight, k)
+    sum_ubs = float(np.sum(ubs.astype(np.float64)))
+    tie = float(tie_breaker)
+    parts = []
+    fulls: dict[int, tuple] = {}
+    if seed_full is not None:
+        fulls[si] = seed_full
+    for i, (c, ub) in enumerate(zip(live, ubs)):
+        if i in fulls:
+            parts.append(fulls[i][0])
+            continue
+        limit = float(theta) - tie * (sum_ubs - float(ub)) - 1e-4
+        docs_i, full = _candidate_cut(c.postings, c.weight, limit)
+        parts.append(docs_i)
+        if full is not None:
+            fulls[i] = full
+    candidates = np.unique(np.concatenate(parts))
     alive = _alive_mask(candidates, dead)
     if alive is not None:
         candidates = candidates[alive]  # per-doc scores are independent
-        if len(candidates) == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
+    if len(candidates) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=_F32)
     mx = np.zeros(len(candidates), dtype=_F32)
     sm = np.zeros(len(candidates), dtype=_F32)
-    for c, f in zip(live, fulls):
-        tf, fn, present = _align_full(*f, candidates)
+    for i, c in enumerate(live):
+        if i in fulls:
+            tf, fn, present = _align_full(*fulls[i], candidates)
+        else:
+            tf, fn, present = c.postings.probe(candidates)
         sc = np.where(present, c.weight.score(fn, tf), _F32(0.0)).astype(_F32)
         mx = np.maximum(mx, sc)
         sm = (sm + sc).astype(_F32)

@@ -257,6 +257,158 @@ def compile_query(q: L.Query) -> CompiledBoolean | CompiledDismax:
     raise NotImplementedError(f"query type {type(q).__name__}")
 
 
+#: postings columns a batch kernel task needs (positions appended when a
+#: phrase program is present and the index stores them)
+_BATCH_POSTING_COLS = [
+    "term", "segment_ord", "doc_freq", "doc_enc", "tf_enc", "fnorm_enc",
+    "block_last", "block_doc_off", "block_tf_off", "bm_norm_id", "bm_tf",
+]
+
+
+def _load_segment_postings(index_dir: str, seg: int, terms: list,
+                           n_buckets: int, with_positions: bool,
+                           hot: "set | None" = None) -> dict:
+    """Pruned pyarrow read of ONE segment's postings for `terms` —
+    the build_index_direct dataflow applied to serving: each kernel task
+    reads its segment's bucket files directly (no JVM scan, no exchange
+    of posting bytes).  Fused-build layouts hit the per-segment file
+    (postings/tbucket=B/seg{S}.parquet) exactly; other layouts fall back
+    to a dataset read with row-group pruning on (term, segment_ord).
+    Returns {term: TermPostings}; terms in `hot` (referenced by several
+    programs) get task-lifetime decode memoization so the batch shares
+    their decode — unshared terms stay lazily block-decoded so the
+    kernels' BlockWAND cuts keep working."""
+    import pyarrow.parquet as _pq
+
+    cols = list(_BATCH_POSTING_COLS)
+    if with_positions:
+        cols += ["pos_enc", "pos_off"]
+    by_bucket: dict = {}
+    for t in terms:
+        by_bucket.setdefault(term_bucket_py(t, n_buckets), []).append(t)
+    tp: dict = {}
+    for b, bterms in sorted(by_bucket.items()):
+        bdir = os.path.join(index_dir, "postings", f"tbucket={b}")
+        f = os.path.join(bdir, f"seg{seg}.parquet")
+        if os.path.isfile(f):
+            tab = _pq.read_table(f, columns=cols,
+                                 filters=[("term", "in", bterms)])
+        elif os.path.isdir(bdir):
+            tab = _pq.read_table(bdir, columns=cols,
+                                 filters=[("term", "in", bterms),
+                                          ("segment_ord", "=", seg)])
+        else:
+            continue
+        for row in tab.to_pylist():
+            p = K.TermPostings.from_row(row)
+            if hot is not None and row["term"] in hot:
+                p.cache_decoded = True
+            tp[row["term"]] = p
+    return tp
+
+
+def _segment_dead_docs(index_dir: str, seg: int, term_tombs: list,
+                       n_buckets: int, has_doc_tombs: bool):
+    """One segment's dead doc ids (sorted int64) for a direct kernel
+    task: address tombstones UNION docs of tombstoned terms — the same
+    alive-bitset complement Searcher.dead_docs_df builds distributed
+    (src/fastfield/alive_bitset.rs semantics).  None when nothing is
+    dead in this segment."""
+    import pyarrow.parquet as _pq
+
+    dead = None
+    if has_doc_tombs:
+        from tantivy_spark.operators.merge import tombstones_docs_path
+
+        t = _pq.read_table(tombstones_docs_path(index_dir),
+                           columns=["segment_ord", "doc_id"],
+                           filters=[("segment_ord", "=", seg)])
+        if t.num_rows:
+            dead = np.unique(np.asarray(t.column("doc_id"), dtype=np.int64))
+    if term_tombs:
+        for p in _load_segment_postings(
+                index_dir, seg, sorted(term_tombs), n_buckets, False
+        ).values():
+            d = p.decode_all()[0].astype(np.int64)
+            dead = d if dead is None else np.union1d(dead, d)
+    return dead
+
+
+def _eval_batch_programs(live: list, tp: dict, seg: int, k: int,
+                         dead) -> pd.DataFrame:
+    """Evaluate the compiled batch programs over one segment's postings
+    dict — the shared kernel body of `search_batch`'s two executions
+    (shuffle-feed and direct pyarrow read).  Scores/tie-breaks are the
+    exact per-segment kernels `search` uses."""
+    def clause(occur, kind, payload, w):
+        if kind == "term":
+            return K.Clause(occur, payload, w, tp.get(payload))
+        slots, slop = payload
+        cand, counts, fns = K.phrase_match_arrays(
+            [tp.get(t) for t in slots], slop=slop)
+        ap = K.ArrayPostings(cand, counts, fns) if len(cand) else None
+        return K.Clause(occur, " ".join(slots), w, ap)
+
+    qis, seg_docs, seg_scores = [], [], []
+    for qi, prog in live:
+        if prog[0] == "phrase":
+            _, slots, slop, w = prog
+            docs, scores = K.segment_topk_phrase(
+                [tp.get(t) for t in slots], w, k, slop=slop, dead=dead)
+        elif prog[0] == "bool":
+            _, spec, msm, const_score = prog
+            cl = [clause(o, kind, payload, w)
+                  for o, kind, payload, w in spec]
+            docs, scores = K.segment_topk(cl, k, msm, const_score,
+                                          dead=dead)
+        else:
+            _, spec, tie_breaker, top_boost = prog
+            cl = [clause("should", kind, payload, w)
+                  for kind, payload, w in spec]
+            docs, scores = K.segment_topk_dismax(cl, tie_breaker, k,
+                                                 dead=dead)
+            if top_boost != 1.0:
+                scores = (scores * _F32(top_boost)).astype(_F32)
+        if len(docs):
+            qis.append(np.full(len(docs), qi, dtype=np.int32))
+            seg_docs.append(docs.astype(np.int32))
+            seg_scores.append(scores.astype(np.float32))
+    if not qis:
+        return pd.DataFrame({
+            "query_idx": pd.Series(dtype="int32"),
+            "segment_ord": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int32"),
+            "score": pd.Series(dtype="float32"),
+        })
+    qi_all = np.concatenate(qis)
+    return pd.DataFrame({
+        "query_idx": qi_all,
+        "segment_ord": np.full(len(qi_all), seg, dtype=np.int32),
+        "doc_id": np.concatenate(seg_docs),
+        "score": np.concatenate(seg_scores),
+    })
+
+
+def _collect_query_terms(q: L.Query, out: set) -> None:
+    """Every literal term a kernel-family query tree references — for
+    `search_batch`'s single-stats-job prefetch.  Unknown node types are
+    ignored (their `_batch_program` raises later with a clear message)."""
+    if isinstance(q, (L.BoostQuery, L.ConstScoreQuery)):
+        _collect_query_terms(q.query, out)
+    elif isinstance(q, L.TermQuery):
+        out.add(q.term)
+    elif isinstance(q, L.TermSetQuery):
+        out.update(q.set_terms)
+    elif isinstance(q, L.PhraseQuery):
+        out.update(q.phrase_terms)
+    elif isinstance(q, L.BooleanQuery):
+        for _, sub in q.clauses:
+            _collect_query_terms(sub, out)
+    elif isinstance(q, L.DisjunctionMaxQuery):
+        for sub in q.queries:
+            _collect_query_terms(sub, out)
+
+
 def _compile_mixed_boolean(q: L.Query):
     """Flat boolean mixing TermQuery and PhraseQuery clauses (each
     optionally boost-wrapped) -> (clauses, minimum_should_match) with
@@ -451,6 +603,7 @@ class Searcher(Bm25StatsMixin):
         self._doc_tombstones: list[tuple[int, int]] | None = None
         self._has_doc_tombs: bool | None = None
         self._dead_df: DataFrame | None = None
+        self._postings_df: DataFrame | None = None
         self._live_segments = {
             int(s["segment_ord"]) for s in self.manifest["segments"]
         }
@@ -476,10 +629,15 @@ class Searcher(Bm25StatsMixin):
 
     def postings(self) -> DataFrame:
         # live-segment filter: merged-away segments' files are orphans until
-        # GC; the manifest snapshot decides visibility (searcher pinning)
-        return self.spark.read.parquet(
-            os.path.join(self.index_dir, "postings")
-        ).filter(F.col("segment_ord").isin(sorted(self._live_segments)))
+        # GC; the manifest snapshot decides visibility (searcher pinning).
+        # The base relation is memoized: a Searcher is a pinned manifest
+        # snapshot, so re-listing the postings files (a 1-task driver job)
+        # on every query would be pure per-query overhead.
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")
+            ).filter(F.col("segment_ord").isin(sorted(self._live_segments)))
+        return self._postings_df
 
     def plugin(self, name: str) -> DataFrame:
         """Read a SegmentPlugin component table written at build time
@@ -886,6 +1044,255 @@ class Searcher(Bm25StatsMixin):
             F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")
         )
 
+    def _batch_program(self, query: L.Query):
+        """Compile one query of a `search_batch` into a kernel program
+        tuple, mirroring `_top_docs_frame_impl`'s dispatch for the
+        kernel-executable family (score parity with `search` is pinned
+        by tests/test_search_batch.py):
+
+          ("empty",)                                  — matches nothing
+          ("bool", clauses, msm, const_score)         — clauses =
+              [(occur, "term", term, weight) |
+               (occur, "phrase", (slots, slop), weight)]
+          ("dismax", arms, tie_breaker, top_boost)    — arms =
+              [("term", term, weight) |
+               ("phrase", (slots, slop), weight)]
+          ("phrase", slots, slop, weight)             — pure phrase
+
+        Raises ValueError for query types whose plan is not a pruned
+        postings scan (expansion, range, match-all, nested trees) —
+        those run through `search`, which owns their dedicated paths.
+        """
+        if isinstance(query, L.EmptyQuery):
+            return ("empty",)
+        phrase, phrase_boost = query, 1.0
+        while isinstance(phrase, L.BoostQuery):
+            phrase_boost *= phrase.boost
+            phrase = phrase.query
+        if isinstance(phrase, L.PhraseQuery):
+            w = self._phrase_weight(phrase, phrase_boost)
+            if w is None:
+                return ("empty",)
+            return ("phrase", tuple(phrase.phrase_terms), phrase.slop, w)
+        mixed = _compile_mixed_boolean(query)
+        if mixed is not None:
+            clauses, msm = mixed
+            dfs = self.doc_freqs(sorted(
+                {p for _, kind, p, _ in clauses if kind == "term"}
+                | {t for _, kind, p, _ in clauses if kind == "phrase"
+                   for t in p.phrase_terms}))
+            spec = []
+            for occur, kind, payload, b in clauses:
+                if kind == "term":
+                    spec.append((occur, "term", payload,
+                                 self.weight_for(dfs[payload], b, payload)))
+                else:
+                    w = self._phrase_weight(payload, b)
+                    if w is None:
+                        # absent phrase term: a MUST phrase empties the
+                        # whole query; should/must_not clauses no-op
+                        if occur == "must":
+                            return ("empty",)
+                        continue
+                    spec.append((occur, "phrase",
+                                 (tuple(payload.phrase_terms), payload.slop),
+                                 w))
+            if not any(o != "must_not" for o, *_ in spec):
+                return ("empty",)
+            return ("bool", spec, msm, None)
+        mixed_dm = _compile_mixed_dismax(query)
+        if mixed_dm is not None:
+            arms, tie_breaker, top_boost = mixed_dm
+            dfs = self.doc_freqs(sorted(
+                {p for kind, p, _ in arms if kind == "term"}
+                | {t for kind, p, _ in arms if kind == "phrase"
+                   for t in p.phrase_terms}))
+            spec = []
+            for kind, payload, b in arms:
+                if kind == "term":
+                    spec.append(("term", payload,
+                                 self.weight_for(dfs[payload], b, payload)))
+                else:
+                    w = self._phrase_weight(payload, b)
+                    if w is None:
+                        continue
+                    spec.append(("phrase",
+                                 (tuple(payload.phrase_terms), payload.slop),
+                                 w))
+            if not spec:
+                return ("empty",)
+            return ("dismax", spec, tie_breaker, top_boost)
+        try:
+            compiled = compile_query(query)
+        except NotImplementedError as e:
+            raise ValueError(
+                f"search_batch supports the kernel-compilable family "
+                f"(term/boolean/dismax/phrase, boost/const wrapped); "
+                f"{type(query).__name__} runs through search(): {e}"
+            ) from None
+        if isinstance(compiled, CompiledDismax):
+            dfs = self.doc_freqs(sorted({t for t, _ in compiled.terms}))
+            spec = [("term", t, self.weight_for(dfs[t], b, t))
+                    for t, b in compiled.terms]
+            return ("dismax", spec, compiled.tie_breaker, compiled.boost)
+        dfs = self.doc_freqs(sorted({t for _, t, _ in compiled.clauses}))
+        spec = [(o, "term", t, self.weight_for(dfs[t], b, t))
+                for o, t, b in compiled.clauses]
+        return ("bool", spec, compiled.minimum_should_match,
+                compiled.const_score)
+
+    def _compile_batch(self, queries: "list[L.Query]"):
+        """Compile a query batch -> (live_programs, all_terms:set,
+        hot:set).  One stats job prefetches every term's doc freq
+        (per-program doc_freqs calls then hit the searcher cache); terms
+        referenced by several programs land in `hot` for task-lifetime
+        decode memoization (unshared terms stay lazy so the kernels'
+        BlockWAND cuts keep working)."""
+        pre: set[str] = set()
+        for q in queries:
+            _collect_query_terms(q, pre)
+        if pre:
+            self.doc_freqs(sorted(pre))
+        programs = [(qi, self._batch_program(q))
+                    for qi, q in enumerate(queries)]
+        live = [(qi, p) for qi, p in programs if p[0] != "empty"]
+        all_terms: set[str] = set()
+        term_refs: dict = {}
+        for _, p in live:
+            prog_terms: set = set()
+            if p[0] == "phrase":
+                prog_terms.update(p[1])
+            elif p[0] == "bool":
+                for _, kind, payload, _ in p[1]:
+                    prog_terms.update(
+                        payload[0] if kind == "phrase" else (payload,))
+            else:
+                for kind, payload, _ in p[1]:
+                    prog_terms.update(
+                        payload[0] if kind == "phrase" else (payload,))
+            all_terms.update(prog_terms)
+            for t in prog_terms:
+                term_refs[t] = term_refs.get(t, 0) + 1
+        hot = {t for t, n in term_refs.items() if n >= 2}
+        return live, all_terms, hot
+
+    def batch_server(self, k: int = 10) -> "BatchSearchServer":
+        """A standing distributed serving pass over this searcher's
+        snapshot — see BatchSearchServer."""
+        return BatchSearchServer(self, k)
+
+    def search_batch(self, queries: "list[L.Query]", k: int = 10,
+                     fetch_keys: bool = False,
+                     via: str = "direct") -> DataFrame:
+        """Execute MANY top-k queries in ONE distributed pass — the
+        throughput entry point (a serving fleet's steady state batches
+        queries; per-query Spark jobs pay the driver's fixed scheduling
+        cost once per query, which caps throughput scaling no matter how
+        many executors exist).
+
+        via="direct" (default): one kernel task PER SEGMENT that reads
+        its segment's postings for the batch's terms DIRECTLY with
+        pyarrow (row-group pruned bucket files — the build_index_direct
+        dataflow applied to serving) and evaluates every query against
+        the shared decode.  No exchange of posting bytes at all: the
+        only shuffled rows are the <= n_queries * k * n_segments
+        candidates into the per-query global top-k (window rank).
+        Requires executors to reach the index files (local/shared fs —
+        same contract as build_index_direct).
+
+        via="feed": the JVM-scan formulation — one pruned postings scan
+        (tbucket partition + term filters pushed down) shuffled to
+        per-segment kernel tasks.  Keep for storage the driver can scan
+        but tasks cannot open directly.
+
+        Returns (query_idx, segment_ord, doc_id, score[, key cols]) with
+        per-query ordering identical to `search(query, k)` — f32 scores
+        and the (score desc, segment_ord asc, doc_id asc) tie-break are
+        bit-equal (pinned by tests/test_search_batch.py, both
+        executions).
+        """
+        from pyspark.sql import Window
+
+        live, all_terms, hot = self._compile_batch(queries)
+        schema = "query_idx int, segment_ord int, doc_id int, score float"
+        if not live or not all_terms:
+            out = self.spark.createDataFrame([], schema)
+            return self._batch_fetch_keys(out) if fetch_keys else out
+
+        if via == "direct":
+            per_seg = self._batch_direct(live, sorted(all_terms), hot, k,
+                                         schema)
+        elif via == "feed":
+            def run_segment(pdf: pd.DataFrame, dead=None) -> pd.DataFrame:
+                seg = int(pdf["segment_ord"].iloc[0])
+                tp = {}
+                for r in pdf.to_dict("records"):
+                    p = K.TermPostings.from_row(r)
+                    if r["term"] in hot:  # decode shared across queries
+                        p.cache_decoded = True
+                    tp[r["term"]] = p
+                return _eval_batch_programs(live, tp, seg, k, dead)
+
+            pruned = self.pruned_postings(sorted(all_terms))
+            per_seg = self._per_segment(pruned, run_segment, schema)
+        else:
+            raise ValueError(f"via must be 'direct' or 'feed', got {via!r}")
+        w = Window.partitionBy("query_idx").orderBy(
+            F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        topk = (per_seg.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+        return self._batch_fetch_keys(topk) if fetch_keys else topk
+
+    def _batch_direct(self, live: list, terms: list, hot: set, k: int,
+                      schema: str) -> DataFrame:
+        """Direct execution of a compiled batch: parallelize the live
+        segment ords, one kernel task per segment, each reading its own
+        pruned postings (and its tombstone slice) with pyarrow.  The
+        task closure captures only plain data — never `self` (the
+        SparkSession doesn't pickle)."""
+        index_dir = self.index_dir
+        n_buckets = self.cfg.n_term_buckets
+        with_pos = self.cfg.positions and any(
+            p[0] == "phrase"
+            or (p[0] == "bool" and any(kind == "phrase"
+                                       for _, kind, _, _ in p[1]))
+            or (p[0] == "dismax" and any(kind == "phrase"
+                                         for kind, _, _ in p[1]))
+            for _, p in live)
+        term_tombs = sorted(set(self.tombstones()))
+        has_doc_tombs = self.has_doc_tombstones()
+        segs = sorted(self._live_segments)
+
+        def run_direct(it):
+            for pdf in it:
+                for seg in pdf["segment_ord"].tolist():
+                    seg = int(seg)
+                    tp = _load_segment_postings(index_dir, seg, terms,
+                                                n_buckets, with_pos, hot)
+                    dead = _segment_dead_docs(index_dir, seg, term_tombs,
+                                              n_buckets, has_doc_tombs)
+                    yield _eval_batch_programs(live, tp, seg, k, dead)
+
+        # task count scales with the CLUSTER, not the segment count:
+        # per-task cost (closure deserialization of every compiled
+        # program, worker round-trip) is ~constant, so one-task-per-
+        # segment pays it n_segments times at any core count; 4 waves
+        # per core keeps load balance without that tax
+        n_parts = max(1, min(len(segs),
+                             4 * self.spark.sparkContext.defaultParallelism))
+        seg_df = self.spark.createDataFrame(
+            [(s,) for s in segs], "segment_ord int"
+        ).repartition(n_parts)
+        return seg_df.mapInPandas(run_direct, schema)
+
+    def _batch_fetch_keys(self, topk: DataFrame) -> DataFrame:
+        key_cols = list(self.cfg.key_cols)
+        dm = self.docmap().select("segment_ord", "doc_id", *key_cols)
+        return dm.join(
+            F.broadcast(topk), ["segment_ord", "doc_id"], "inner"
+        ).orderBy("query_idx", F.desc("score"),
+                  F.asc("segment_ord"), F.asc("doc_id"))
+
     # -- execution paths ------------------------------------------------------
     def doc_tombstones(self) -> list[tuple[int, int]]:
         """Pending address-level tombstones (delete_query /
@@ -958,6 +1365,16 @@ class Searcher(Bm25StatsMixin):
         the cogrouped side of the SAME task (no driver list, no
         broadcast scaling with |dead|) and the kernel excludes them as an
         alive bitset — its heap stays k."""
+        # one kernel task per segment: an explicit repartition(n, key) is
+        # exempt from AQE partition coalescing, which otherwise merges the
+        # byte-small but compute-heavy kernel groups into
+        # spark.sql.shuffle.partitions tasks — at high core counts the
+        # merged straggler task sets the stage wall-clock (measured: the
+        # 64-segment batch kernel coalesced to 8 tasks, 1.9 s wall for
+        # 9.7 core-sec).  Catalyst recognizes the hash distribution, so
+        # groupBy adds no second exchange.
+        n_parts = max(len(self._live_segments), 1)
+        feed = feed.repartition(n_parts, "segment_ord")
         dead = self.dead_docs_df()
         if dead is None:
             # run_segment takes (pdf, dead=None): wrap to arity 1, or
@@ -965,19 +1382,29 @@ class Searcher(Bm25StatsMixin):
             return feed.groupBy("segment_ord").applyInPandas(
                 lambda pdf: run_segment(pdf), schema)
 
+        # empty frame matching the declared schema (the batch path adds
+        # a query_idx column, so the shape can't be hardcoded)
+        _PD_DTYPES = {"int": "int32", "long": "int64",
+                      "float": "float32", "double": "float64"}
+        empty_cols = {
+            name: pd.Series(dtype=_PD_DTYPES.get(typ, "object"))
+            for name, typ in (c.strip().split()[:2]
+                              for c in schema.split(","))
+        }
+
         def run_cogrouped(left: pd.DataFrame,
                           right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
                 # segment has tombstones but no postings for these terms
-                return pd.DataFrame({
-                    "segment_ord": pd.Series(dtype="int32"),
-                    "doc_id": pd.Series(dtype="int32"),
-                    "score": pd.Series(dtype="float32"),
-                })
+                return pd.DataFrame(empty_cols)
             dead_ids = (np.sort(right["doc_id"].to_numpy(np.int64))
                         if len(right) else None)
             return run_segment(left, dead_ids)
 
+        # co-partition the dead side identically so the cogroup reuses
+        # the feed's explicit hash distribution instead of re-exchanging
+        # both sides into AQE-coalesced partitions
+        dead = dead.repartition(n_parts, "segment_ord")
         return feed.groupBy("segment_ord").cogroup(
             dead.groupBy("segment_ord")
         ).applyInPandas(run_cogrouped, schema)
@@ -1944,6 +2371,112 @@ class Searcher(Bm25StatsMixin):
         if with_positions:
             schema += ", positions array<int>"
         return pruned.mapInPandas(decode_rows, schema=schema)
+
+
+class BatchSearchServer:
+    """Standing distributed serving pass — the reader/writer split at
+    cluster scale.  ONE parameterized Spark plan serves every query
+    batch: the per-batch compiled programs travel through a parameter
+    file on shared storage that each task reads at execution time, so
+    the DataFrame (analysis, optimization, codegen, task closure) is
+    built exactly once and every `search_many` call costs only a job
+    submit plus the kernel tasks.
+
+    Two properties make the reuse sound:
+      * the kernel runs in the RESULT stage (no exchange downstream of
+        `mapInPandas`), so Spark re-executes it for every collect — a
+        downstream shuffle would be silently served from reused shuffle
+        files and return the PREVIOUS batch's answers;
+      * the global per-query top-k merge happens on the driver over the
+        <= n_queries * k * n_segments candidate rows, with the identical
+        (score desc, segment_ord asc, doc_id asc) ordering the
+        `search_batch` window applies (parity pinned in
+        tests/test_search_batch.py).
+
+    Snapshot semantics mirror Searcher: the segment list and tombstone
+    state are pinned at construction (build a new server after commits,
+    IndexReader::reload's role)."""
+
+    def __init__(self, searcher: "Searcher", k: int = 10):
+        import tempfile
+
+        self.searcher = searcher
+        self.k = int(k)
+        self._dir = tempfile.mkdtemp(prefix="tantivy_spark_batchsrv_")
+        self._param = os.path.join(self._dir, "programs.pkl")
+        index_dir = searcher.index_dir
+        n_buckets = searcher.cfg.n_term_buckets
+        positions_on = searcher.cfg.positions
+        term_tombs = sorted(set(searcher.tombstones()))
+        has_doc_tombs = searcher.has_doc_tombstones()
+        param_path = self._param
+        segs = sorted(searcher._live_segments)
+
+        def run(it):
+            import pickle
+
+            with open(param_path, "rb") as f:
+                live, terms, hot, with_pos, k_ = pickle.load(f)
+            for pdf in it:
+                for seg in pdf["segment_ord"].tolist():
+                    seg = int(seg)
+                    tp = _load_segment_postings(
+                        index_dir, seg, terms,
+                        n_buckets, with_pos and positions_on, hot)
+                    dead = _segment_dead_docs(
+                        index_dir, seg, term_tombs, n_buckets,
+                        has_doc_tombs)
+                    yield _eval_batch_programs(live, tp, seg, k_, dead)
+
+        sc = searcher.spark.sparkContext
+        n_parts = max(1, min(len(segs), 4 * sc.defaultParallelism))
+        schema = "query_idx int, segment_ord int, doc_id int, score float"
+        self._df = searcher.spark.createDataFrame(
+            [(s,) for s in segs], "segment_ord int"
+        ).repartition(n_parts).mapInPandas(run, schema)
+
+    def search_many(self, queries: "list[L.Query]") -> pd.DataFrame:
+        """Top-k for every query of the batch -> pandas frame
+        (query_idx, segment_ord, doc_id, score), per-query ordering
+        identical to `search_batch` / per-query `search`."""
+        import pickle
+
+        live, all_terms, hot = self.searcher._compile_batch(queries)
+        with_pos = any(
+            p[0] == "phrase"
+            or (p[0] == "bool" and any(kind == "phrase"
+                                       for _, kind, _, _ in p[1]))
+            or (p[0] == "dismax" and any(kind == "phrase"
+                                         for kind, _, _ in p[1]))
+            for _, p in live)
+        empty = pd.DataFrame({
+            "query_idx": pd.Series(dtype="int32"),
+            "segment_ord": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int32"),
+            "score": pd.Series(dtype="float32"),
+        })
+        if not live or not all_terms:
+            return empty
+        tmp = self._param + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((live, sorted(all_terms), hot, with_pos, self.k),
+                        f)
+        os.replace(tmp, self._param)
+        cand = self._df.toPandas()
+        if not len(cand):
+            return empty
+        # exact global top-k per query: same ordering keys as the
+        # search_batch window (f32 score desc, segment_ord, doc_id)
+        cand = cand.sort_values(
+            ["query_idx", "score", "segment_ord", "doc_id"],
+            ascending=[True, False, True, True], kind="stable")
+        out = cand.groupby("query_idx", sort=True).head(self.k)
+        return out.reset_index(drop=True)
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir, ignore_errors=True)
 
 
 # IndexConfig helper used above
