@@ -597,6 +597,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["ft_serving_counts"] = _serving_counts
 
+    # round 4: search_batch — a whole query batch in ONE distributed
+    # pass (per-segment direct pyarrow reads, shared decode, BlockWAND
+    # kernels; operators/search.py search_batch) — same oracles as the
+    # per-query DAAT entries, one entry per extracted batch slot
+    def _batch_topk(s, d, idx, k=10):
+        srch = _searcher(s, d)
+        batch = [L.TermQuery("table"),
+                 L.BooleanQuery.union(["table", "value", "spark"]),
+                 L.BooleanQuery.intersection(["fast", "slow"])]
+        out = srch.search_batch(batch, k=k + 16, fetch_keys=True)
+        pool = out.filter(F.col("query_idx") == idx).select(
+            F.col("ext_id").alias("doc_id"),
+            F.col("score").cast("double").alias("score"))
+        return (pool.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k).select("doc_id"))
+
+    Q["ft_batch_term_top10"] = lambda s, d: _batch_topk(s, d, 0)
+    Q["ft_batch_or_top10"] = lambda s, d: _batch_topk(s, d, 1)
+    Q["ft_batch_and_top10"] = lambda s, d: _batch_topk(s, d, 2)
+
     # query-string parser -> nested boolean tree -> recursive TAAT
     Q["ft_parsed_nested"] = lambda s, d: _topk(
         s, d, QueryParser().parse("table AND value OR spark^2 -dup"), 10)
@@ -1166,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r03.json.
     stale = [
         # new this round (never driver-sampled)
+        "ft_batch_term_top10", "ft_batch_or_top10", "ft_batch_and_top10",
         "ft_serving_term_top10", "ft_serving_or_top10",
         "ft_serving_phrase_top10", "ft_serving_mixed_top10",
         "ft_serving_range_nchars", "ft_serving_counts",
@@ -1261,6 +1282,15 @@ FROM per_clause ORDER BY score DESC, doc_id ASC LIMIT 10"""
         [("should", "table", 1.0), ("should", "value", 1.0), ("should", "spark", 1.0)],
         10, ids_only=True)
     O["ft_daat_and_top10"] = _bool_topk_sql(
+        [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
+    # search_batch slots share the per-query oracles (batch execution
+    # must not change any query's answer)
+    O["ft_batch_term_top10"] = _bool_topk_sql(
+        [("should", "table", 1.0)], 10, ids_only=True)
+    O["ft_batch_or_top10"] = _bool_topk_sql(
+        [("should", "table", 1.0), ("should", "value", 1.0),
+         ("should", "spark", 1.0)], 10, ids_only=True)
+    O["ft_batch_and_top10"] = _bool_topk_sql(
         [("must", "fast", 1.0), ("must", "slow", 1.0)], 10, ids_only=True)
     O["ft_serving_term_top10"] = _bool_topk_sql(
         [("should", "table", 1.0)], 10, ids_only=True)

@@ -283,6 +283,15 @@ def _seed_theta(p, weight: Bm25Weight, k: int):
     return (theta if theta is not None else _F32(0.0)), None
 
 
+def _wand_eps(theta: float, others: float) -> float:
+    """Safety margin for BlockWAND skip comparisons: the scorer
+    accumulates in f32, whose rounding error is RELATIVE to the summed
+    magnitudes (~1e-7/add), so the guard scales with them — an absolute
+    epsilon would swamp low-idf terms' tiny scores and silently disable
+    pruning for them.  10x margin over the true f32 error."""
+    return 1e-5 * (abs(theta) + abs(others))
+
+
 def _candidate_cut(p, weight: Bm25Weight, limit: float):
     """BlockWAND candidate cut for one posting list -> (docs, full).
     `docs` = sorted doc ids that can still reach the θ bound (blocks with
@@ -432,7 +441,8 @@ def segment_topk(
             c0 = live[0]
             p0 = c0.postings
             bms0 = p0.block_scores(c0.weight).astype(np.float64)
-            need0 = np.flatnonzero(bms0 >= float(theta) - 1e-4)
+            need0 = np.flatnonzero(
+                bms0 >= float(theta) - _wand_eps(float(theta), 0.0))
             if 0 < len(need0) < len(bms0):
                 docs0, tfs0, _ = blocks.decode_postings(
                     p0.doc_enc, p0.tf_enc, p0.block_doc_off,
@@ -469,7 +479,8 @@ def segment_topk(
             if i in fulls:
                 parts.append(fulls[i][0])
                 continue
-            limit = float(theta) - (sum_ubs - float(ubs[i])) - 1e-4
+            others = sum_ubs - float(ubs[i])
+            limit = float(theta) - others - _wand_eps(float(theta), others)
             docs_i, full = _candidate_cut(c.postings, c.weight, limit)
             parts.append(docs_i)
             if full is not None:
@@ -847,7 +858,8 @@ def segment_topk_dismax(
         if i in fulls:
             parts.append(fulls[i][0])
             continue
-        limit = float(theta) - tie * (sum_ubs - float(ub)) - 1e-4
+        others = tie * (sum_ubs - float(ub))
+        limit = float(theta) - others - _wand_eps(float(theta), others)
         docs_i, full = _candidate_cut(c.postings, c.weight, limit)
         parts.append(docs_i)
         if full is not None:

@@ -201,3 +201,134 @@ def test_kernel_with_array_postings_equals_brute_force(seed, n_docs, k, shape):
     exp_docs, exp_scores = _brute_force(data, occurs, weights, n_docs, k, 0)
     assert np.array_equal(got_docs, exp_docs)
     assert np.allclose(got_scores, exp_scores, rtol=1e-6, atol=1e-7)
+
+
+def _brute_dismax(data, weights, tie, n_docs, k):
+    """Exhaustive dismax: max + tie*(sum-max), f32, tantivy tie-break."""
+    mx = np.zeros(n_docs, dtype=F32)
+    sm = np.zeros(n_docs, dtype=F32)
+    match = np.zeros(n_docs, dtype=bool)
+    for (docs, tfs, fns_), w in zip(data, weights):
+        sc = np.zeros(n_docs, dtype=F32)
+        sc[docs] = w.score(fns_.astype(np.int64), tfs)
+        mx = np.maximum(mx, sc)
+        sm = (sm + sc).astype(F32)
+        match[docs] = True
+    scores = (mx + F32(tie) * (sm - mx)).astype(F32)
+    docs = np.nonzero(match)[0].astype(np.int64)
+    sc = scores[docs]
+    order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
+    return docs[order], sc[order]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n_docs=st.integers(6000, 24000),
+    n_terms=st.integers(1, 3),
+    k=st.integers(1, 12),
+    shape=st.sampled_from(["all_should", "all_must", "mixed", "with_not"]),
+)
+def test_kernel_large_skewed_equals_brute_force(seed, n_docs, n_terms, k,
+                                                shape):
+    """Large posting lists (>= 32 blocks) with skewed fieldnorms/tfs —
+    the regime where BlockWAND's partial θ seed and per-term block cuts
+    actually engage (small corpora take the flat-distribution bailout).
+    The pruned kernel must stay bit-exactly equal to exhaustive TAAT."""
+    rng = np.random.default_rng(seed)
+    fns, terms = _mk_corpus(rng, n_docs, n_terms)
+    params = Bm25Params()
+    occurs = []
+    for i in range(n_terms):
+        if shape == "all_should":
+            occurs.append("should")
+        elif shape == "all_must":
+            occurs.append("must")
+        elif shape == "mixed":
+            occurs.append("must" if i % 2 == 0 else "should")
+        else:
+            occurs.append(
+                "must_not" if (i == n_terms - 1 and n_terms > 1)
+                else "should")
+    avg = F32(F32(int(fns.astype(np.int64).sum()) + n_docs) / F32(n_docs))
+    weights, clauses, data = [], [], []
+    for i, (docs, tfs, f) in enumerate(terms):
+        w = Bm25Weight.for_one_term(len(docs), n_docs, avg, params)
+        weights.append(w)
+        data.append((docs, tfs, f))
+        clauses.append(Clause(occurs[i], f"t{i}", w, _tp(f"t{i}", docs, tfs, f)))
+    got_docs, got_scores = segment_topk(clauses, k, 0)
+    exp_docs, exp_scores = _brute_force(data, occurs, weights, n_docs, k, 0)
+    assert np.array_equal(got_docs, exp_docs)
+    assert np.array_equal(got_scores, exp_scores)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n_docs=st.integers(6000, 24000),
+    n_terms=st.integers(1, 3),
+    k=st.integers(1, 10),
+    tie=st.sampled_from([0.0, 0.3, 1.0]),
+)
+def test_dismax_large_skewed_equals_brute_force(seed, n_docs, n_terms, k,
+                                                tie):
+    from tantivy_spark.operators.kernel import segment_topk_dismax
+
+    rng = np.random.default_rng(seed)
+    fns, terms = _mk_corpus(rng, n_docs, n_terms)
+    avg = F32(F32(int(fns.astype(np.int64).sum()) + n_docs) / F32(n_docs))
+    weights, clauses, data = [], [], []
+    for i, (docs, tfs, f) in enumerate(terms):
+        w = Bm25Weight.for_one_term(len(docs), n_docs, avg, Bm25Params())
+        weights.append(w)
+        data.append((docs, tfs, f))
+        clauses.append(Clause("should", f"t{i}", w, _tp(f"t{i}", docs, tfs, f)))
+    got_docs, got_scores = segment_topk_dismax(clauses, tie, k)
+    exp_docs, exp_scores = _brute_dismax(data, weights, tie, n_docs, k)
+    assert np.array_equal(got_docs, exp_docs)
+    assert np.array_equal(got_scores, exp_scores)
+
+
+def test_blockwand_actually_skips_decode(monkeypatch):
+    """On a skewed single-term list the kernel must decode a small
+    fraction of the blocks (θ from the best blocks prunes the rest) —
+    the property the whole BlockWAND apparatus exists for."""
+    from tantivy_spark.operators import kernel as Kmod
+
+    rng = np.random.default_rng(7)
+    n_docs = 120_000
+    # skewed doc lengths CLUSTERED in doc-id space (insertion order
+    # groups similar sources): one short-doc region scores high, the
+    # rest long/low — so block maxes vary and pruning has something to
+    # skip (scattering the short docs would lift every block's max)
+    fns = rng.integers(120, 200, n_docs).astype(np.uint8)
+    fns[5000:6000] = rng.integers(1, 8, 1000).astype(np.uint8)
+    docs = np.arange(n_docs, dtype=np.int64)
+    tfs = rng.integers(1, 4, n_docs).astype(np.int64)
+    # df << N — a hot-but-not-stopword term, so idf (and score spread)
+    # is realistic
+    w = Bm25Weight.for_one_term(n_docs, 10_000_000, F32(150.0),
+                                Bm25Params())
+    tp = _tp("t", docs, tfs, fns)
+
+    decoded_blocks = []
+    orig = blocks.decode_postings
+
+    def counting(doc_enc, tf_enc, bdo, bto, bl, df, block_indices=None):
+        decoded_blocks.append(
+            len(bdo) if block_indices is None else len(block_indices))
+        return orig(doc_enc, tf_enc, bdo, bto, bl, df, block_indices)
+
+    monkeypatch.setattr(Kmod.blocks, "decode_postings", counting)
+    got_docs, got_scores = segment_topk(
+        [Clause("should", "t", w, tp)], 10)
+    total_decoded = sum(decoded_blocks)
+    n_blocks = len(tp.block_last)
+    assert total_decoded < n_blocks // 4, (total_decoded, n_blocks)
+    # and the result is still exact
+    monkeypatch.setattr(Kmod.blocks, "decode_postings", orig)
+    exp_docs, exp_scores = _brute_force(
+        [(docs, tfs, fns)], ["should"], [w], n_docs, 10, 0)
+    assert np.array_equal(got_docs, exp_docs)
+    assert np.array_equal(got_scores, exp_scores)
