@@ -1276,10 +1276,11 @@ class Searcher(Bm25StatsMixin):
         # task count scales with the CLUSTER, not the segment count:
         # per-task cost (closure deserialization of every compiled
         # program, worker round-trip) is ~constant, so one-task-per-
-        # segment pays it n_segments times at any core count; 4 waves
-        # per core keeps load balance without that tax
-        n_parts = max(1, min(len(segs),
-                             4 * self.spark.sparkContext.defaultParallelism))
+        # segment pays it n_segments times at any core count; see
+        # _NPARTS_MULT for the waves-per-core choice
+        n_parts = max(1, min(
+            len(segs),
+            _NPARTS_MULT * self.spark.sparkContext.defaultParallelism))
         seg_df = self.spark.createDataFrame(
             [(s,) for s in segs], "segment_ord int"
         ).repartition(n_parts)
@@ -2373,6 +2374,15 @@ class Searcher(Bm25StatsMixin):
         return pruned.mapInPandas(decode_rows, schema=schema)
 
 
+#: batch task granularity: tasks per core.  ONE wave of cluster-sized
+#: tasks: per-task cost (program/param deserialization, Arrow stream
+#: framing, worker dispatch) measured 15-40 ms each, so 4 waves of small
+#: tasks cost more than the last-wave imbalance they'd smooth — segment
+#: groups are uniform-sized (built from equal input splits), leaving
+#: little to smooth.  A/B at 2 and 8 cores both preferred 1.
+_NPARTS_MULT = 1
+
+
 class BatchSearchServer:
     """Standing distributed serving pass — the reader/writer split at
     cluster scale.  ONE parameterized Spark plan serves every query
@@ -2429,7 +2439,8 @@ class BatchSearchServer:
                     yield _eval_batch_programs(live, tp, seg, k_, dead)
 
         sc = searcher.spark.sparkContext
-        n_parts = max(1, min(len(segs), 4 * sc.defaultParallelism))
+        n_parts = max(1, min(len(segs),
+                             _NPARTS_MULT * sc.defaultParallelism))
         schema = "query_idx int, segment_ord int, doc_id int, score float"
         self._df = searcher.spark.createDataFrame(
             [(s,) for s in segs], "segment_ord int"
