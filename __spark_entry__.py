@@ -197,6 +197,59 @@ def _direct_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return _SEARCHERS[index_dir]
 
 
+def _iceberg_tbl(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """The documents corpus committed as a filesystem ICEBERG table
+    (sources/iceberg.py — pure-Python metadata/manifest commit, no
+    runtime jar) in two snapshots: snapshot 1 = lang='en' docs,
+    snapshot 2 appends the rest.  Returns (table_path, snapshot_ids)."""
+    from tantivy_spark.sources.iceberg import IcebergTable, write_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tpath = os.path.join(_IDX_ROOT, f"docs-icetbl-{tag}-v1")
+    try:
+        t = IcebergTable(tpath)
+        snaps = [s["snapshot-id"] for s in t.snapshots]
+        if len(snaps) != 2:
+            raise FileNotFoundError  # partial write — redo
+    except FileNotFoundError:
+        src = _documents(spark, sf_dir).repartition(4, "ext_id")
+        s1 = write_table(spark, src.filter(F.col("lang") == "en"),
+                         tpath, mode="overwrite")
+        s2 = write_table(spark, src.filter(F.col("lang") != "en"), tpath)
+        snaps = [s1, s2]
+    return tpath, snaps
+
+
+def _iceberg_searcher(spark: SparkSession, sf_dir: str,
+                      pinned: bool = False) -> Searcher:
+    """`build_index_direct` over the Iceberg table (the north rule's
+    stated input format): current snapshot = the full corpus, so scores
+    are identical to every other build of `documents` (BM25 uses global
+    manifest stats; the segment layout is the only difference) and the
+    oracle is the same full-corpus CTE.  ``pinned=True`` builds at
+    snapshot 1 (time travel): only the lang='en' docs exist there."""
+    from tantivy_spark.operators.build import build_index_direct
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    suffix = "s1" if pinned else "cur"
+    index_dir = os.path.join(_IDX_ROOT, f"docs-ice-{suffix}-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            n_term_buckets=8,
+            positions=True,
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            tpath, snaps = _iceberg_tbl(spark, sf_dir)
+            build_index_direct(spark, tpath, index_dir, cfg, resume=True,
+                               snapshot_id=snaps[0] if pinned else None)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """A copy of the fulltext index with `delete_query(term "merge")`
     applied — address tombstones exercised through the driver contract.
@@ -530,6 +583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dataflow) under the same oracle
     Q["ft_term_direct_build"] = lambda s, d: _topk(
         s, d, L.TermQuery("table"), 10, searcher=_direct_searcher(s, d))
+    # the same direct build over an ICEBERG table (the north rule's
+    # input format; sources/iceberg.py resolves snapshot -> manifests ->
+    # data files with zero JVM) — score-identical, same oracle
+    Q["ft_iceberg_term_top10"] = lambda s, d: _topk(
+        s, d, L.TermQuery("table"), 10, searcher=_iceberg_searcher(s, d))
+
+    def _ice_snap_count(s, d):
+        # snapshot-pinned (time-travel) build: snapshot 1 holds only the
+        # lang='en' docs; count docs containing "dup" there
+        n = _iceberg_searcher(s, d, pinned=True).count(L.TermQuery("dup"))
+        return s.createDataFrame([(n,)], "n_matching long")
+
+    Q["ft_iceberg_snapshot_count"] = _ice_snap_count
     Q["ft_or_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.union(["spark", "key", "dup"]), 10)
     Q["ft_and_top10"] = lambda s, d: _topk(
@@ -1186,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r03.json.
     stale = [
         # new this round (never driver-sampled)
+        "ft_iceberg_term_top10", "ft_iceberg_snapshot_count",
         "ft_batch_term_top10", "ft_batch_or_top10", "ft_batch_and_top10",
         "ft_serving_term_top10", "ft_serving_or_top10",
         "ft_serving_phrase_top10", "ft_serving_mixed_top10",
@@ -1255,6 +1322,16 @@ def oracle_sql() -> dict[str, str]:
     O["ft_term_input_mode"] = _bool_topk_sql([("should", "table", 1.0)], 10)
     O["ft_term_direct_build"] = _bool_topk_sql([("should", "table", 1.0)],
                                                10)
+    # iceberg-table build: current snapshot = the full corpus, same CTE
+    O["ft_iceberg_term_top10"] = _bool_topk_sql(
+        [("should", "table", 1.0)], 10)
+    # snapshot-1-pinned build holds only the lang='en' docs
+    O["ft_iceberg_snapshot_count"] = (
+        _BM25_PRELUDE
+        + "SELECT count(DISTINCT t.doc_id)::BIGINT AS n_matching FROM tf t "
+          "JOIN documents d ON t.doc_id = d.doc_id "
+          "WHERE t.term = 'dup' AND d.lang = 'en'"
+    )
     O["ft_or_top10"] = _bool_topk_sql(
         [("should", "spark", 1.0), ("should", "key", 1.0), ("should", "dup", 1.0)], 10)
     O["ft_and_top10"] = _bool_topk_sql(

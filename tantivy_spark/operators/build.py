@@ -696,20 +696,39 @@ def _fused_segment_core(batches, seg: int, text_col: str,
                                  multi, extra_fields, terms_path, basic)
 
 
-def plan_parquet_splits(src_path: str,
-                        split_bytes: int = 128 << 20) -> list[tuple]:
+def plan_parquet_splits(src_path: str | list,
+                        split_bytes: int = 128 << 20,
+                        snapshot_id: int | None = None) -> list[tuple]:
     """Driver-side split planning for the direct-IO fused build: walk the
     parquet footers (metadata only — no data read) and greedily pack
     row groups into splits of <= ``split_bytes`` (uncompressed), the
     same role as Spark's maxPartitionBytes.  Returns
     [(file, (row_group_idx, ...)), ...] in deterministic (file, order)
     order — the split list IS the segment list, independent of cluster
-    size by construction."""
+    size by construction.
+
+    ``src_path`` may be a parquet file, a directory of parquet files, a
+    pre-resolved list of files, or an **Iceberg table** directory
+    (detected by ``metadata/*.metadata.json``) — Iceberg sources plan
+    over the pinned snapshot's live data files (``snapshot_id=None`` =
+    current), resolved with zero JVM via `sources/iceberg.py`."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(src_path):
+    if isinstance(src_path, (list, tuple)):
+        files = sorted(src_path)
+    elif os.path.isdir(src_path) and _glob.glob(
+            os.path.join(src_path, "metadata", "*.metadata.json")):
+        from ..sources.iceberg import IcebergTable
+
+        files = [f["path"]
+                 for f in IcebergTable(src_path).data_files(snapshot_id)]
+        if not files:
+            raise ValueError(
+                f"iceberg table {src_path!r} has no data files at "
+                f"snapshot {snapshot_id if snapshot_id is not None else 'current'}")
+    elif os.path.isdir(src_path):
         # recursive: nested directory layouts are planned over all files.
         # CAVEAT: a Hive-partitioned dataset whose partition-key values
         # exist ONLY in directory names loses those columns on this path
@@ -744,7 +763,8 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
                             split_bytes: int = 128 << 20,
                             batch_rows: int = 65536,
                             lineage_dir: str | None = None,
-                            resume: bool = False) -> list[dict]:
+                            resume: bool = False,
+                            snapshot_id: int | None = None) -> list[dict]:
     """The fused build with DIRECT parquet reads — the fully JVM-free
     data path (``build_index_direct``).
 
@@ -782,7 +802,7 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     multi = bool(extra_fields)
     nb = cfg.n_term_buckets
 
-    splits = plan_parquet_splits(src_path, split_bytes)
+    splits = plan_parquet_splits(src_path, split_bytes, snapshot_id)
 
     # validate config against the footer schema BEFORE any destructive
     # cleanup below: a typo'd text_col / reserved-name collision must not
@@ -916,12 +936,18 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
                        cfg: IndexConfig | None = None,
                        resume: bool = False,
                        plugins: dict | None = None,
-                       split_bytes: int = 128 << 20) -> dict:
+                       split_bytes: int = 128 << 20,
+                       snapshot_id: int | None = None) -> dict:
     """`build_index` over a parquet path with the direct-IO fused
     dataflow (`build_fused_input_files`): one task per planned row-group
     split does tokenize -> docmap -> postings -> terms with pyarrow
     only — no shuffle, no JVM in the data path.  Same index layout,
-    same manifest-last commit, same resume markers."""
+    same manifest-last commit, same resume markers.
+
+    ``src_path`` may also be an Iceberg table directory (see
+    `plan_parquet_splits`); ``snapshot_id`` pins the snapshot to index
+    (None = current) — the Searcher-session pinning SURVEY.md §2.1 maps
+    to Iceberg snapshot ids."""
     import dataclasses
 
     cfg = cfg or IndexConfig()
@@ -950,7 +976,7 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
             os.path.join(index_dir, TERMS_DIR), cfg,
             split_bytes=split_bytes,
             lineage_dir=os.path.join(index_dir, "lineage"),
-            resume=resume)
+            resume=resume, snapshot_id=snapshot_id)
         for st in ("docmap", "postings", "terms"):
             _mark_done(index_dir, st)
         stage_times["fused_build"] = time.time() - t

@@ -1,0 +1,523 @@
+"""Apache Iceberg table source/sink — pure-Python, no runtime jar.
+
+The north rule's input is "an Iceberg table of multi-turn transcripts";
+the container has no iceberg-spark-runtime jar and no pyiceberg, so
+this module implements the public Iceberg table-format spec
+(https://iceberg.apache.org/spec/) directly on top of the repo's Avro
+codec (`sources/avro.py`, itself oracle-validated against the Avro
+Java library on Spark's classpath):
+
+  * **Reader**: `IcebergTable(path)` resolves the current (or any
+    pinned) snapshot through `metadata/v*.metadata.json` →
+    manifest-list Avro → manifest Avro → parquet data files.  The file
+    list feeds either `spark.read.parquet` (`read_table`) or the
+    driver-planned direct-IO build (`plan_parquet_splits` /
+    `build_index_direct`) — at 100 TB the same walk runs against
+    object storage via pyarrow.fs, and Iceberg's metadata tree is
+    exactly what makes the scan planning O(manifests), not O(listing).
+  * **Writer**: `write_table(spark, df, path)` / `commit_append` write
+    parquet + manifest + manifest-list and commit a new snapshot by
+    atomically advancing `v{N}.metadata.json` + `version-hint.text`
+    (rename-last, same manifest-last discipline as the index build,
+    reference semantics `src/indexer/segment_updater.rs:511` —
+    SURVEY.md maps tantivy's `meta.json` commit to exactly this
+    Iceberg snapshot commit).
+
+Scope, stated honestly: format v1/v2 data reads (v2 delete files are
+detected and REFUSED with a clear error, not silently ignored);
+unpartitioned writes (Iceberg partitioning is a pruning optimization —
+the engine's own term-bucket/segment partitioning does that job for
+the index itself); no catalog service (filesystem tables with
+version-hint, the spec's "File System Tables" appendix).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from . import avro
+
+# ---------------------------------------------------------------------------
+# schema conversion (arrow <-> iceberg JSON)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_to_iceberg_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    raise NotImplementedError(f"no iceberg mapping for arrow type {t}")
+
+
+def _iceberg_schema_from_arrow(schema) -> dict:
+    import pyarrow as pa
+
+    fields = []
+    next_id = 1
+    for f in schema:
+        if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+            elem = _arrow_to_iceberg_type(f.type.value_type)
+            fields.append({"id": next_id, "name": f.name,
+                           "required": False,
+                           "type": {"type": "list",
+                                    "element-id": next_id + 1,
+                                    "element": elem,
+                                    "element-required": False}})
+            next_id += 2
+        else:
+            fields.append({"id": next_id, "name": f.name,
+                           "required": False,
+                           "type": _arrow_to_iceberg_type(f.type)})
+            next_id += 1
+    return {"type": "struct", "schema-id": 0, "fields": fields,
+            "_last_column_id": next_id - 1}
+
+
+def iceberg_to_spark_schema(ice_schema: dict):
+    """Iceberg JSON schema → Spark StructType (empty-table reads)."""
+    from pyspark.sql import types as T
+
+    prim = {"string": T.StringType(), "int": T.IntegerType(),
+            "long": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "boolean": T.BooleanType(),
+            "binary": T.BinaryType(), "date": T.DateType(),
+            "timestamp": T.TimestampNTZType(),
+            "timestamptz": T.TimestampType()}
+    out = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            st = T.ArrayType(prim[t["element"]])
+        else:
+            st = prim[t]
+        out.append(T.StructField(f["name"], st, not f.get("required")))
+    return T.StructType(out)
+
+
+# ---------------------------------------------------------------------------
+# manifest avro schemas (spec "Manifests" / "Snapshots"; field ids in
+# the "field-id" attributes follow the spec's reserved assignments)
+# ---------------------------------------------------------------------------
+
+_DATA_FILE_SCHEMA = {
+    "type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134, "default": 0},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "field-id": 102,
+         "type": {"type": "record", "name": "r102", "fields": []}},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "field-id": 1, "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3, "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4, "default": None},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ]}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517, "default": 0},
+        {"name": "sequence_number", "type": "long", "field-id": 515,
+         "default": 0},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516,
+         "default": 0},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ]}
+
+# manifest-entry status values (spec)
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+class IcebergTable:
+    """Filesystem Iceberg table handle (read side + commit helpers)."""
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(_strip_scheme(path))
+        meta_file = self._current_metadata_file()
+        if meta_file is None:
+            raise FileNotFoundError(
+                f"no iceberg metadata under {self.path!r} "
+                "(expected metadata/v*.metadata.json)")
+        self.metadata_file = meta_file
+        with open(meta_file) as f:
+            self.metadata = json.load(f)
+
+    # -- metadata resolution ------------------------------------------------
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, "metadata")
+
+    def _current_metadata_file(self) -> str | None:
+        md = self._meta_dir()
+        hint = os.path.join(md, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = f.read().strip()
+            for cand in (os.path.join(md, f"v{v}.metadata.json"),
+                         os.path.join(md, f"{v}.metadata.json")):
+                if os.path.exists(cand):
+                    return cand
+        cands = sorted(glob.glob(os.path.join(md, "*.metadata.json")))
+        if not cands:
+            return None
+
+        def ver(p: str):
+            base = os.path.basename(p)
+            num = base.split(".", 1)[0].lstrip("v").split("-", 1)[0]
+            return (int(num) if num.isdigit() else -1, base)
+
+        return max(cands, key=ver)
+
+    def _local(self, p: str) -> str:
+        """Resolve a metadata-recorded absolute URI to a local path,
+        rebasing when the table directory has been moved/copied since
+        the path was recorded (paths in Iceberg metadata are absolute
+        at write time)."""
+        p = _strip_scheme(p)
+        if os.path.exists(p):
+            return p
+        loc = _strip_scheme(self.metadata.get("location", ""))
+        if loc and p.startswith(loc):
+            cand = self.path + p[len(loc):]
+            if os.path.exists(cand):
+                return cand
+        # last resort: rebase on the path component after the recorded
+        # table root's basename
+        for marker in ("/metadata/", "/data/"):
+            i = p.rfind(marker)
+            if i >= 0:
+                cand = self.path + p[i:]
+                if os.path.exists(cand):
+                    return cand
+        raise FileNotFoundError(f"iceberg file {p!r} not found "
+                                f"(table at {self.path!r})")
+
+    # -- snapshot / file listing -------------------------------------------
+
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata.get("current-snapshot-id")
+
+    @property
+    def snapshots(self) -> list[dict]:
+        return self.metadata.get("snapshots", [])
+
+    def schema(self) -> dict:
+        schemas = self.metadata.get("schemas")
+        if schemas:
+            sid = self.metadata.get("current-schema-id", 0)
+            for s in schemas:
+                if s.get("schema-id") == sid:
+                    return s
+            return schemas[-1]
+        return self.metadata["schema"]  # format v1
+
+    def _snapshot(self, snapshot_id: int | None) -> dict | None:
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot_id
+        if sid is None or sid == -1:
+            return None
+        for s in self.snapshots:
+            if s["snapshot-id"] == sid:
+                return s
+        raise ValueError(f"snapshot {sid} not in table "
+                         f"{[s['snapshot-id'] for s in self.snapshots]}")
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live data files of a snapshot:
+        [{path, record_count, file_size_in_bytes}, ...], deterministic
+        (manifest order, then entry order — the spec's own ordering)."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        if "manifest-list" in snap:
+            _, _, manifests = avro.read_container(
+                self._local(snap["manifest-list"]))
+        else:  # format v1 tables may inline the manifest list
+            manifests = [{"manifest_path": p, "content": 0}
+                         for p in snap.get("manifests", [])]
+        out: list[dict] = []
+        for mf in manifests:
+            if mf.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "iceberg v2 delete manifests are not supported — "
+                    "this reader serves append-only tables (the "
+                    "engine's own tombstones handle deletes)")
+            _, _, entries = avro.read_container(
+                self._local(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                if df.get("content", 0) != 0:
+                    raise NotImplementedError(
+                        "iceberg delete files are not supported")
+                fmt = str(df.get("file_format", "PARQUET")).upper()
+                if fmt != "PARQUET":
+                    raise NotImplementedError(
+                        f"iceberg data file format {fmt!r} (parquet "
+                        "only)")
+                out.append({
+                    "path": self._local(df["file_path"]),
+                    "record_count": df["record_count"],
+                    "file_size_in_bytes": df.get("file_size_in_bytes"),
+                })
+        return out
+
+    # -- commit -------------------------------------------------------------
+
+    def _next_version(self) -> int:
+        base = os.path.basename(self.metadata_file)
+        num = base.split(".", 1)[0].lstrip("v")
+        return (int(num) + 1) if num.isdigit() else 1
+
+
+def _write_metadata(table_path: str, metadata: dict, version: int) -> str:
+    """Atomic metadata commit: metadata json rename, then version-hint
+    rename LAST (the commit point — a crash in between leaves the
+    previous version current, exactly the index build's manifest-last
+    discipline)."""
+    md = os.path.join(table_path, "metadata")
+    os.makedirs(md, exist_ok=True)
+    meta_path = os.path.join(md, f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metadata, f, indent=1)
+    os.replace(tmp, meta_path)
+    hint = os.path.join(md, "version-hint.text")
+    tmp = hint + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, hint)
+    return meta_path
+
+
+def commit_append(table_path: str, parquet_files: list[str],
+                  snapshot_props: dict | None = None) -> int:
+    """Commit existing parquet files as a new snapshot (creating the
+    table from the first file's schema if absent).  Returns the new
+    snapshot id.  Files are referenced in place — move them under
+    `<table>/data/` first if you want the table self-contained (what
+    `write_table` does)."""
+    import pyarrow.parquet as pq
+
+    table_path = os.path.abspath(_strip_scheme(table_path))
+    if not parquet_files:
+        raise ValueError("commit_append needs at least one parquet file")
+    parquet_files = sorted(os.path.abspath(p) for p in parquet_files)
+    now_ms = int(time.time() * 1000)
+
+    try:
+        tbl: IcebergTable | None = IcebergTable(table_path)
+    except FileNotFoundError:
+        tbl = None
+
+    if tbl is None:
+        schema = _iceberg_schema_from_arrow(
+            pq.ParquetFile(parquet_files[0]).schema_arrow)
+        last_col = schema.pop("_last_column_id")
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": table_path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        version = 0
+        parent_id = None
+    else:
+        metadata = tbl.metadata
+        version = tbl._next_version()
+        parent_id = tbl.current_snapshot_id
+
+    seq = metadata.get("last-sequence-number", 0) + 1
+    # snapshot ids must be unique within the table; a counter keyed off
+    # the sequence number is deterministic and collision-free here
+    snapshot_id = seq
+    md_dir = os.path.join(table_path, "metadata")
+    os.makedirs(md_dir, exist_ok=True)
+
+    entries = []
+    added_rows = 0
+    for p in parquet_files:
+        pf = pq.ParquetFile(p)
+        n = pf.metadata.num_rows
+        added_rows += n
+        entries.append({
+            "status": _STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,   # inherited from the manifest
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        })
+    schema_json = json.dumps(
+        metadata["schemas"][0] if "schemas" in metadata
+        else metadata["schema"])
+    manifest_path = os.path.join(
+        md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    mlen = avro.write_container(
+        manifest_path, json.dumps(_MANIFEST_ENTRY_SCHEMA), entries,
+        extra_meta={"schema": schema_json.encode(),
+                    "schema-id": b"0",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"data"})
+
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": mlen,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    prev_manifests: list[dict] = []
+    if tbl is not None and tbl.current_snapshot_id not in (None, -1):
+        snap = tbl._snapshot(None)
+        if snap and "manifest-list" in snap:
+            _, _, prev_manifests = avro.read_container(
+                tbl._local(snap["manifest-list"]))
+    all_manifests = prev_manifests + [new_manifest]
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    avro.write_container(
+        mlist_path, json.dumps(_MANIFEST_FILE_SCHEMA), all_manifests,
+        extra_meta={"format-version": b"2",
+                    "snapshot-id": str(snapshot_id).encode(),
+                    "sequence-number": str(seq).encode()})
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": metadata.get("current-schema-id", 0),
+        "summary": dict({"operation": "append",
+                         "added-data-files": str(len(entries)),
+                         "added-records": str(added_rows)},
+                        **(snapshot_props or {})),
+    }
+    if parent_id not in (None, -1):
+        snapshot["parent-snapshot-id"] = parent_id
+    metadata["snapshots"] = metadata.get("snapshots", []) + [snapshot]
+    metadata["current-snapshot-id"] = snapshot_id
+    metadata["last-sequence-number"] = seq
+    metadata["last-updated-ms"] = now_ms
+    metadata["snapshot-log"] = metadata.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+    _write_metadata(table_path, metadata, version)
+    return snapshot_id
+
+
+def write_table(spark, df, table_path: str, mode: str = "append") -> int:
+    """Write a DataFrame as a new Iceberg snapshot (parquet data files
+    under `<table>/data/batch-<seq>/`, then the metadata commit).
+    Returns the new snapshot id.  `mode="overwrite"` starts a fresh
+    table (drops existing metadata + data)."""
+    import shutil
+
+    table_path = os.path.abspath(_strip_scheme(table_path))
+    if mode == "overwrite" and os.path.exists(table_path):
+        shutil.rmtree(table_path)
+    elif mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r} (append|overwrite)")
+    try:
+        seq = IcebergTable(table_path).metadata["last-sequence-number"] + 1
+    except FileNotFoundError:
+        seq = 1
+    data_dir = os.path.join(table_path, "data", f"batch-{seq:05d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    return commit_append(table_path, files)
+
+
+def read_table(spark, table_path: str,
+               snapshot_id: int | None = None):
+    """Snapshot-pinned DataFrame over an Iceberg table — the input
+    side of `build_index` (the direct build plans splits from the same
+    file list via `plan_parquet_splits`)."""
+    tbl = IcebergTable(table_path)
+    files = [f["path"] for f in tbl.data_files(snapshot_id)]
+    if not files:
+        return spark.createDataFrame(
+            [], iceberg_to_spark_schema(tbl.schema()))
+    return spark.read.parquet(*files)

@@ -1,0 +1,202 @@
+"""Iceberg source/sink: snapshot resolution, pinned reads, commit
+atomicity, and parity of the direct-IO build over an Iceberg table vs
+the same rows as plain parquet.
+
+The Avro layer under the manifests is oracle-validated against the
+Java Avro library in test_avro.py; here `test_jvm_reads_real_manifest`
+additionally runs the Java reader over the ACTUAL manifest files our
+commits write (not synthetic fixtures).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from tantivy_spark.sources import avro, iceberg
+
+
+def _mk_df(spark, n, off=0):
+    from pyspark.sql import functions as F
+
+    return (spark.range(off, off + n)
+            .select(F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+                    (F.col("id") % 7).cast("int").alias("turn_idx"),
+                    F.lit("user").alias("role"),
+                    F.concat(F.lit("hello world token"),
+                             F.col("id")).alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.lit("2026-01-01 00:00:00")
+                    .cast("timestamp").alias("ts")))
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ice") / "transcripts")
+    s1 = iceberg.write_table(spark, _mk_df(spark, 120), path)
+    s2 = iceberg.write_table(spark, _mk_df(spark, 80, off=120), path)
+    return path, s1, s2
+
+
+def test_snapshots_and_counts(spark, table):
+    path, s1, s2 = table
+    t = iceberg.IcebergTable(path)
+    assert t.current_snapshot_id == s2
+    assert [s["snapshot-id"] for s in t.snapshots] == [s1, s2]
+    n_all = sum(f["record_count"] for f in t.data_files())
+    n_s1 = sum(f["record_count"] for f in t.data_files(s1))
+    assert (n_s1, n_all) == (120, 200)
+    # parent linkage + sequence numbers advance
+    snap2 = t.snapshots[-1]
+    assert snap2["parent-snapshot-id"] == s1
+    assert t.metadata["last-sequence-number"] == 2
+
+
+def test_read_table_pinned(spark, table):
+    path, s1, s2 = table
+    assert iceberg.read_table(spark, path).count() == 200
+    df1 = iceberg.read_table(spark, path, snapshot_id=s1)
+    assert df1.count() == 120
+    assert df1.columns == ["conv_id", "turn_idx", "role", "text",
+                           "tool", "ts"]
+
+
+def test_unknown_snapshot_raises(spark, table):
+    path, *_ = table
+    with pytest.raises(ValueError, match="snapshot"):
+        iceberg.IcebergTable(path).data_files(99999)
+
+
+def test_version_hint_is_commit_point(spark, table, tmp_path):
+    """Reader falls back to the highest metadata version when the hint
+    is missing (spec File System Tables), and a stale hint (crash
+    between metadata rename and hint rename) serves the PREVIOUS
+    version — never a torn state."""
+    path, s1, s2 = table
+    dst = str(tmp_path / "copy")
+    shutil.copytree(path, dst)
+    hint = os.path.join(dst, "metadata", "version-hint.text")
+    os.remove(hint)
+    assert iceberg.IcebergTable(dst).current_snapshot_id == s2
+    with open(hint, "w") as f:
+        f.write("0")  # stale: points at the pre-append version
+    assert iceberg.IcebergTable(dst).current_snapshot_id == s1
+
+
+def test_moved_table_rebases_paths(spark, table, tmp_path):
+    """Metadata records absolute paths at write time; a moved/copied
+    table directory must still resolve its own files."""
+    path, s1, s2 = table
+    dst = str(tmp_path / "moved")
+    shutil.copytree(path, dst)
+    # make the recorded absolute paths dead so rebase is exercised
+    t = iceberg.IcebergTable(dst)
+    files = t.data_files()
+    assert all(f["path"].startswith(dst + os.sep) or
+               f["path"].startswith(os.path.abspath(path))
+               for f in files)
+    # simulate the original location disappearing entirely
+    tmp_orig = path + ".away"
+    os.rename(path, tmp_orig)
+    try:
+        files = iceberg.IcebergTable(dst).data_files()
+        assert sum(f["record_count"] for f in files) == 200
+        assert all(f["path"].startswith(dst + os.sep) for f in files)
+    finally:
+        os.rename(tmp_orig, path)
+
+
+def test_delete_manifests_refused(spark, tmp_path):
+    # fresh table (NOT the shared fixture — this test corrupts its
+    # manifest-list in place)
+    path = str(tmp_path / "del")
+    iceberg.write_table(spark, _mk_df(spark, 10), path)
+    t = iceberg.IcebergTable(path)
+    mlist = t._local(t._snapshot(None)["manifest-list"])
+    schema, meta, manifests = avro.read_container(mlist)
+    manifests[-1]["content"] = 1  # pretend: a delete manifest
+    avro.write_container(
+        mlist, json.dumps(iceberg._MANIFEST_FILE_SCHEMA), manifests)
+    with pytest.raises(NotImplementedError, match="delete"):
+        iceberg.IcebergTable(path).data_files()
+
+
+def test_jvm_reads_real_manifest(spark, table):
+    """The Java Avro library reads the actual manifest + manifest-list
+    files a commit wrote, and sees the same file list we do."""
+    path, s1, s2 = table
+    t = iceberg.IcebergTable(path)
+    jvm = spark._jvm
+    mlist = t._local(t._snapshot(None)["manifest-list"])
+    ours = {f["path"] for f in t.data_files()}
+    theirs = set()
+    r = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mlist),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    jpaths = []
+    while r.hasNext():
+        jpaths.append(r.next().get("manifest_path").toString())
+    r.close()
+    for mp in jpaths:
+        mr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(t._local(mp)),
+            jvm.org.apache.avro.generic.GenericDatumReader())
+        while mr.hasNext():
+            e = mr.next()
+            theirs.add(t._local(
+                e.get("data_file").get("file_path").toString()))
+        mr.close()
+    assert theirs == ours
+
+
+def test_direct_build_parity_vs_parquet(spark, table, tmp_path):
+    """build_index_direct over the Iceberg table == the same rows as a
+    plain parquet directory: identical segment plan, identical query
+    results; a snapshot-pinned build sees only that snapshot's rows."""
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path, s1, s2 = table
+    cfg = IndexConfig(n_term_buckets=4)
+
+    plain = str(tmp_path / "plain_src")
+    iceberg.read_table(spark, path).write.parquet(plain)
+
+    idx_ice = str(tmp_path / "idx_ice")
+    idx_plain = str(tmp_path / "idx_plain")
+    m_ice = build_index_direct(spark, path, idx_ice, cfg)
+    build_index_direct(spark, plain, idx_plain, cfg)
+    assert m_ice["total_docs"] == 200
+
+    def top(idx):
+        rows = (Searcher(spark, idx).search(TermQuery("token5"), k=5)
+                .collect())
+        return [(r["conv_id"], round(r["score"], 5)) for r in rows]
+
+    assert top(idx_ice) == top(idx_plain)
+
+    idx_s1 = str(tmp_path / "idx_s1")
+    m1 = build_index_direct(spark, path, idx_s1, cfg, snapshot_id=s1)
+    assert m1["total_docs"] == 120
+
+
+def test_empty_table_read(spark, tmp_path):
+    """A created-but-empty table (no snapshot yet) reads as an empty
+    DataFrame with the schema from metadata."""
+    path = str(tmp_path / "empty")
+    # commit one batch then roll back to "no snapshot" by hand-writing
+    # a v0-style metadata without snapshots
+    iceberg.write_table(spark, _mk_df(spark, 3), path)
+    t = iceberg.IcebergTable(path)
+    md = dict(t.metadata)
+    md["current-snapshot-id"] = -1
+    md["snapshots"] = []
+    iceberg._write_metadata(path, md, t._next_version())
+    df = iceberg.read_table(spark, path)
+    assert df.count() == 0
+    assert df.columns == ["conv_id", "turn_idx", "role", "text",
+                          "tool", "ts"]

@@ -82,9 +82,10 @@ def main(argv: list[str]) -> int:
             ap.error("build needs exactly one of --source / --synthetic-convs")
         if args.direct and not args.source:
             ap.error("--direct reads parquet files directly: needs --source")
-        if args.direct and args.source_format != "parquet":
-            ap.error("--direct plans parquet row-group splits; for other "
-                     "formats use the DataFrame build (no --direct)")
+        if args.direct and args.source_format not in ("parquet", "iceberg"):
+            ap.error("--direct plans parquet row-group splits (parquet or "
+                     "iceberg sources); for other formats use the "
+                     "DataFrame build (no --direct)")
         cfg = IndexConfig(
             n_segments=args.segments,
             n_term_buckets=args.term_buckets,
@@ -99,11 +100,24 @@ def main(argv: list[str]) -> int:
                                           resume=args.resume,
                                           split_bytes=args.split_bytes)
         else:
-            if args.source:
+            if args.source and args.source_format == "iceberg":
+                # filesystem Iceberg tables resolve with the built-in
+                # pure-Python reader (sources/iceberg.py — no runtime
+                # jar needed); catalog-name sources still work via
+                # spark.read.format("iceberg") when the cluster carries
+                # the iceberg-spark-runtime jar
+                import os as _os
+
+                if _os.path.isdir(args.source):
+                    from tantivy_spark.sources.iceberg import read_table
+
+                    src = read_table(spark, args.source)
+                else:
+                    src = (spark.read.format("iceberg")
+                           .load(args.source))
+            elif args.source:
                 # format-pluggable source: the engine consumes a DataFrame,
-                # so any Spark DataSource works; Iceberg tables resolve by
-                # catalog name (spark.read.format("iceberg").load("db.tbl"))
-                # and get snapshot-pinned scans + partition pruning for free
+                # so any Spark DataSource works
                 src = spark.read.format(args.source_format).load(args.source)
             else:
                 from tantivy_spark.sources.transcripts import transcripts_df
