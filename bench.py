@@ -173,10 +173,13 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
     `mode`: "input" (default benched configuration — the fused
     shuffle-free single-pass build with DIRECT parquet reads,
     `build_index_direct`: tantivy's arrival-order IndexWriter semantics
-    and the documented at-scale dataflow — bytes never touch the JVM) or
-    "hash" (content-deterministic assignment through the DataFrame
-    build, one raw-text exchange) — BOTH are measured and recorded every
-    round so the two numbers can be read against each other (BENCH.md).
+    and the documented at-scale dataflow — bytes never touch the JVM);
+    "hash_direct" (content-deterministic assignment through the
+    two-phase direct build — file-based re-bucketing shuffle,
+    layout-identical to Catalyst hash mode; the transparency pair the
+    record carries every round); or "hash" (the legacy DataFrame hash
+    build whose raw-text JVM exchange measured 15-90 MB/s — kept
+    callable for history, BENCH.md).
 
     STEADY-STATE protocol: one untimed FULL-SIZE build first, then the
     best of 2 timed builds in the same session.  The first
@@ -207,6 +210,16 @@ def _index_transcripts(cores: int, run_tag: str, n_convs: int | None = None,
 
     if mode == "input":
         cfg = IndexConfig(n_segments=32, n_term_buckets=16)
+
+        def build():
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            return build_index_direct(spark, src_path, idx_dir, cfg)
+    elif mode == "hash_direct":
+        # content-deterministic segments through the two-phase direct
+        # build (file-based re-bucketing shuffle, layout-identical to
+        # the Catalyst hash mode — build.build_fused_hash_files)
+        cfg = IndexConfig(n_segments=32, n_term_buckets=16,
+                          segment_assignment="hash")
 
         def build():
             shutil.rmtree(idx_dir, ignore_errors=True)
@@ -680,8 +693,10 @@ def main() -> None:
         # both modes' scaling is on the record every round — the benched
         # default above is segment_assignment="input" (the fused
         # shuffle-free pass; see BENCH.md "segment assignment modes")
-        hash_low = _leg(low, f"h{low}", scale_convs, mode="hash", reps=1)
-        hash_high = _leg(high, f"h{high}", scale_convs, mode="hash", reps=1)
+        hash_low = _leg(low, f"h{low}", scale_convs, mode="hash_direct",
+                        reps=1)
+        hash_high = _leg(high, f"h{high}", scale_convs,
+                         mode="hash_direct", reps=1)
         # the LITERAL N-vs-4N-EXECUTORS experiment: local-cluster spawns
         # real separate executor JVMs (own heap, own GC, own forked
         # Python workers) on this box — 1 executor x 2 cores vs
@@ -785,7 +800,10 @@ def main() -> None:
                 "efficiency_low_to_high": round(
                     (hash_high["turns_per_sec"]
                      / hash_low["turns_per_sec"]) / (high / low), 3),
-                "note": ("single pair, not best-of-N — recorded for "
+                "note": ("hash_direct: content-deterministic segments "
+                         "via the two-phase file-shuffle direct build "
+                         "(layout-identical to Catalyst hash mode); "
+                         "single pair, not best-of-N — recorded for "
                          "cross-mode transparency, not as the criterion"),
             },
             # the box's own scaling ceiling, measured Spark-free: any job
@@ -812,8 +830,8 @@ def main() -> None:
     # builds (measured 9.3 / 7.5 / 4.8 s on the same corpus) — two timed
     # reps after the untimed warm still under-report steady state
     r_full = _leg(CPUS, f"c{CPUS}", scale_convs, reps=3)
-    r_full_hash = _leg(CPUS, f"ch{CPUS}", scale_convs, mode="hash",
-                       reps=1)
+    r_full_hash = _leg(CPUS, f"ch{CPUS}", scale_convs,
+                       mode="hash_direct", reps=1)
     out["indexing"] = {
         "n_turns": r_full["n_turns"],
         "turns_per_sec": r_full["turns_per_sec"],

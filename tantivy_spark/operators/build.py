@@ -696,6 +696,62 @@ def _fused_segment_core(batches, seg: int, text_col: str,
                                  multi, extra_fields, terms_path, basic)
 
 
+def _validate_direct_source(splits: list[tuple], cfg: IndexConfig):
+    """Validate config against the parquet footer schema BEFORE any
+    destructive cleanup: a typo'd text_col / reserved-name collision
+    must not destroy a previously built index on its way to the error.
+    Returns (arrow schema, passthrough column list)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    text_col = cfg.text_col
+    _schema = _pq.ParquetFile(splits[0][0]).schema_arrow
+    schema_names = _schema.names
+    if text_col not in schema_names:
+        raise ValueError(f"text_col {text_col!r} not in {schema_names}")
+    _check_reserved_names(schema_names)
+    for f in cfg.extra_fields:
+        if f not in schema_names:
+            raise ValueError(f"extra_field {f!r} not in {schema_names}")
+        if not (_pa.types.is_string(_schema.field(f).type)
+                or _pa.types.is_large_string(_schema.field(f).type)):
+            # Arrow's and Catalyst's to-string casts render doubles /
+            # timestamps differently (e.g. '1' vs '1.0'), so the direct
+            # path would index different term bytes than build_index.
+            # Refuse, like the other restrictions on this path.
+            raise ValueError(
+                f"build_index_direct requires string extra_fields; "
+                f"{f!r} is {_schema.field(f).type} — cast it to string "
+                "in the source, or use the DataFrame build "
+                "(segment_assignment='input'), which casts in Catalyst")
+    return _schema, [n for n in schema_names if n != text_col]
+
+
+def _normalize_direct_batch(b, extra_fields: tuple[str, ...]):
+    """Per-batch input normalization shared by the direct-IO builds:
+    ns-timestamps -> Spark's micros (INT96/nanos parquet reads as
+    timestamp[ns], which Spark can't read back from the docmap) and
+    extra fields -> string (mirroring the DataFrame path's Catalyst
+    cast so term bytes match)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {n: b.column(n) for n in b.schema.names}
+    changed = False
+    for n, c in cols.items():
+        if pa.types.is_timestamp(c.type) and c.type.unit == "ns":
+            cols[n] = pc.cast(c, pa.timestamp("us", tz=c.type.tz))
+            changed = True
+    for f in extra_fields:
+        if not pa.types.is_string(cols[f].type):
+            cols[f] = pc.cast(cols[f], pa.string())
+            changed = True
+    if changed:
+        b = pa.RecordBatch.from_arrays(
+            [cols[n] for n in b.schema.names], list(b.schema.names))
+    return b
+
+
 def plan_parquet_splits(src_path: str | list,
                         split_bytes: int = 128 << 20,
                         snapshot_id: int | None = None) -> list[tuple]:
@@ -803,33 +859,7 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     nb = cfg.n_term_buckets
 
     splits = plan_parquet_splits(src_path, split_bytes, snapshot_id)
-
-    # validate config against the footer schema BEFORE any destructive
-    # cleanup below: a typo'd text_col / reserved-name collision must not
-    # destroy a previously built index on its way to the error
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
-    _schema = _pq.ParquetFile(splits[0][0]).schema_arrow
-    schema_names = _schema.names
-    if text_col not in schema_names:
-        raise ValueError(f"text_col {text_col!r} not in {schema_names}")
-    _check_reserved_names(schema_names)
-    for f in extra_fields:
-        if f not in schema_names:
-            raise ValueError(f"extra_field {f!r} not in {schema_names}")
-        if not (_pa.types.is_string(_schema.field(f).type)
-                or _pa.types.is_large_string(_schema.field(f).type)):
-            # Arrow's and Catalyst's to-string casts render doubles /
-            # timestamps differently (e.g. '1' vs '1.0'), so the direct
-            # path would index different term bytes than build_index.
-            # Refuse, like the other restrictions on this path.
-            raise ValueError(
-                f"build_index_direct requires string extra_fields; "
-                f"{f!r} is {_schema.field(f).type} — cast it to string "
-                "in the source, or use the DataFrame build "
-                "(segment_assignment='input'), which casts in Catalyst")
-    passthrough = [n for n in schema_names if n != text_col]
+    _schema, passthrough = _validate_direct_source(splits, cfg)
     # per-SPLIT checkpoints (the north rule's "resumable from
     # per-partition checkpoints with lineage and metrics recorded per
     # task"): each completed split writes an atomic lineage marker with
@@ -886,29 +916,7 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
             pf = pq.ParquetFile(fname)
             for b in pf.iter_batches(batch_size=batch_rows,
                                      row_groups=list(rgs)):
-                cols = {n: b.column(n) for n in b.schema.names}
-                changed = False
-                for n, c in cols.items():
-                    # INT96/nanos timestamps read as timestamp[ns] —
-                    # normalize to Spark's micros so the docmap parquet
-                    # stays Spark-readable (and matches the DataFrame
-                    # path's fast-field values)
-                    if (pa.types.is_timestamp(c.type)
-                            and c.type.unit == "ns"):
-                        cols[n] = pc.cast(
-                            c, pa.timestamp("us", tz=c.type.tz))
-                        changed = True
-                for f in extra_fields:
-                    # the DataFrame path casts extra fields to string in
-                    # Catalyst; mirror it here so term bytes match
-                    if not pa.types.is_string(cols[f].type):
-                        cols[f] = pc.cast(cols[f], pa.string())
-                        changed = True
-                if changed:
-                    b = pa.RecordBatch.from_arrays(
-                        [cols[n] for n in b.schema.names],
-                        list(b.schema.names))
-                yield b
+                yield _normalize_direct_batch(b, extra_fields)
 
         m = _fused_segment_core(batches(), sid, text_col, passthrough,
                                 extra_fields, positions, multi, basic,
@@ -932,6 +940,224 @@ def build_fused_input_files(spark: SparkSession, src_path: str,
     return [m for m in metrics if m is not None]
 
 
+def build_fused_hash_files(spark: SparkSession, src_path: str,
+                           docmap_path: str, postings_path: str,
+                           terms_path: str, cfg: IndexConfig,
+                           split_bytes: int = 128 << 20,
+                           batch_rows: int = 65536,
+                           lineage_dir: str | None = None,
+                           resume: bool = False,
+                           staging_dir: str | None = None,
+                           snapshot_id: int | None = None) -> list[dict]:
+    """Content-deterministic (hash-assigned) segments through the
+    direct-IO dataflow — the scale-safe replacement for the Catalyst
+    hash mode's raw-text exchange+sort (measured 15-90 MB/s at 32
+    cores with volatile scaling: every text byte crosses the JVM row
+    machinery once).  Two map-only phases, a file-based shuffle in
+    between:
+
+      * **Phase A (one task per planned split)**: read the split with
+        pyarrow, compute each row's segment as
+        ``pmod(xxhash64(segment_col), n_segments)`` — bit-identical to
+        Catalyst's assignment (`functions/xxhash64.py`, parity-pinned
+        vs `F.xxhash64`) — and write the rows re-bucketed as
+        ``staging/seg={s}/split-{sid}.parquet``.  The "shuffle" is
+        parquet files on shared storage: columnar, compressed, written
+        at parquet speed instead of JVM row-serialization speed.
+      * **Phase B (one task per segment)**: read the segment's staged
+        files, sort by ``key_cols`` (the hash mode's deterministic
+        within-segment order, `_docmap_base`), and stream the sorted
+        batches through the SAME `_fused_segment_core` as every other
+        direct path.
+
+    The resulting layout — doc→segment mapping AND within-segment doc
+    order — is identical to `build_index(segment_assignment="hash")`
+    at ANY parallelism, which is the entire point of hash mode
+    (cross-cluster-size reproducibility); tests/test_hash_direct.py
+    pins both the layout identity and the cross-parallelism
+    bit-equality.  Resume: per-split markers for phase A, per-segment
+    markers for phase B, both under the shared plan fingerprint.
+
+    Scale notes: phase A buffers one split (<= split_bytes); phase B
+    holds one segment in memory for the sort+encode — size segments
+    via ``n_segments`` exactly as the fused core already requires (the
+    postings encode is whole-segment).  Staged files are
+    (splits x live segments); at 10^12 turns use a few hundred
+    segments and object-store staging, the Hive-style dynamic
+    partitioning shape."""
+    import shutil
+
+    from ..functions.xxhash64 import spark_pmod_segments
+
+    if cfg.date_precision is not None or cfg.sort_by_field is not None:
+        raise ValueError(
+            "the direct hash build does not support date_precision / "
+            "sort_by_field — use the DataFrame build "
+            "(segment_assignment='hash'), which applies them in Catalyst")
+    text_col = cfg.text_col
+    extra_fields = tuple(cfg.extra_fields)
+    positions = cfg.positions
+    basic = cfg.record == "basic"
+    multi = bool(extra_fields)
+    nb = cfg.n_term_buckets
+    n_segments = cfg.n_segments
+    seg_col = cfg.segment_col
+    key_cols = list(cfg.key_cols)
+
+    splits = plan_parquet_splits(src_path, split_bytes, snapshot_id)
+    _schema, passthrough = _validate_direct_source(splits, cfg)
+    for c in (seg_col, *key_cols):
+        if c not in _schema.names:
+            raise ValueError(f"column {c!r} not in {_schema.names}")
+
+    import hashlib
+
+    staging = staging_dir or (docmap_path.rstrip("/\\") + "_staging")
+    plan_sig = hashlib.sha256(
+        ("hash2" + repr(splits) + cfg.to_json() + str(split_bytes)).encode()
+    ).hexdigest()
+    plan_file = (os.path.join(lineage_dir, "plan.json")
+                 if lineage_dir else None)
+    keep_outputs = False
+    if resume and plan_file and os.path.exists(plan_file):
+        with open(plan_file) as f:
+            keep_outputs = json.load(f).get("plan_sig") == plan_sig
+    for p in (docmap_path, postings_path, terms_path, staging):
+        if not keep_outputs and os.path.exists(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
+    if lineage_dir:
+        if not keep_outputs and os.path.exists(lineage_dir):
+            shutil.rmtree(lineage_dir)
+        os.makedirs(lineage_dir, exist_ok=True)
+        tmp = plan_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"plan_sig": plan_sig, "n_splits": len(splits),
+                       "n_segments": n_segments}, f)
+        os.replace(tmp, plan_file)
+    resume_ok = keep_outputs
+    if resume_ok and lineage_dir:
+        # staging is deleted after a SUCCESSFUL build, so a resume may
+        # find bucket markers whose staged files are gone.  Any split
+        # whose staged output a still-pending segment needs must
+        # re-bucket: drop its marker (re-bucketing is idempotent — it
+        # rewrites all of the split's seg files deterministically).
+        pending = {s for s in range(n_segments)
+                   if not os.path.exists(
+                       os.path.join(lineage_dir, f"seg_{s}.json"))}
+        for sid in range(len(splits)):
+            bm = os.path.join(lineage_dir, f"bucket_{sid}.json")
+            if not os.path.exists(bm):
+                continue
+            with open(bm) as f:
+                staged = json.load(f).get("rows_per_segment", {})
+            for s in staged:
+                if int(s) in pending and not os.path.exists(os.path.join(
+                        staging, f"seg={int(s)}",
+                        f"split-{sid:05d}.parquet")):
+                    os.remove(bm)
+                    break
+
+    enc_cols = ["doc_id", "fieldnorm_id", "terms", "token_count"]
+    if positions:
+        enc_cols.append("positions")
+    if multi:
+        enc_cols.append("term_fns")
+    enc_cols += [f"xf_tc_{f}" for f in extra_fields]
+
+    def bucket_task(item):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        sid, (fname, rgs) = item
+        marker = (os.path.join(lineage_dir, f"bucket_{sid}.json")
+                  if lineage_dir else None)
+        if resume_ok and marker and os.path.exists(marker):
+            return None  # split already staged
+
+        per_seg: dict[int, list] = {}
+        pf = pq.ParquetFile(fname)
+        for b in pf.iter_batches(batch_size=batch_rows,
+                                 row_groups=list(rgs)):
+            b = _normalize_direct_batch(b, extra_fields)
+            segs = spark_pmod_segments(b.column(seg_col), n_segments)
+            t = pa.Table.from_batches([b])
+            for s in np.unique(segs):
+                per_seg.setdefault(int(s), []).append(
+                    t.take(np.nonzero(segs == s)[0]))
+        counts = {}
+        for s, parts in per_seg.items():
+            seg_dir = os.path.join(staging, f"seg={s}")
+            os.makedirs(seg_dir, exist_ok=True)
+            out = pa.concat_tables(parts)
+            # deterministic filename: task retries overwrite idempotently
+            pq.write_table(
+                out, os.path.join(seg_dir, f"split-{sid:05d}.parquet"))
+            counts[s] = out.num_rows
+        if marker is not None:
+            tmpm = marker + ".tmp"
+            with open(tmpm, "w") as f:
+                json.dump({"split": sid, "rows_per_segment": counts}, f)
+            os.replace(tmpm, marker)
+        return None
+
+    def segment_task(s: int):
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        marker = (os.path.join(lineage_dir, f"seg_{s}.json")
+                  if lineage_dir else None)
+        if resume_ok and marker and os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        files = sorted(_glob.glob(
+            os.path.join(staging, f"seg={s}", "split-*.parquet")))
+        if not files:
+            return None  # no docs hashed into this segment
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        # the hash mode's deterministic within-segment order: key_cols
+        # ascending (independent of which split contributed which rows,
+        # so the layout is identical at any parallelism)
+        t = t.sort_by([(k, "ascending") for k in key_cols])
+        batches = t.combine_chunks().to_batches(max_chunksize=batch_rows)
+        m = _fused_segment_core(iter(batches), s, text_col, passthrough,
+                                extra_fields, positions, multi, basic,
+                                nb, docmap_path, postings_path,
+                                terms_path, enc_cols)
+        if marker is not None and m is not None:
+            tmpm = marker + ".tmp"
+            with open(tmpm, "w") as f:
+                json.dump(m, f)
+            os.replace(tmpm, marker)
+        return m
+
+    sc = spark.sparkContext
+    t_a = time.time()
+    sc.parallelize(list(enumerate(splits)), len(splits)) \
+        .map(bucket_task).collect()
+    t_b = time.time()
+    metrics = (
+        sc.parallelize(list(range(n_segments)), n_segments)
+        .map(segment_task)
+        .collect()
+    )
+    t_end = time.time()
+    if lineage_dir:
+        # phase timing next to the plan: the file-shuffle stage (A) vs
+        # the sort+encode stage (B), for the bench record / profiling
+        with open(os.path.join(lineage_dir, "phases.json"), "w") as f:
+            json.dump({"bucket_sec": round(t_b - t_a, 3),
+                       "encode_sec": round(t_end - t_b, 3)}, f)
+    shutil.rmtree(staging, ignore_errors=True)
+    return [m for m in metrics if m is not None]
+
+
 def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
                        cfg: IndexConfig | None = None,
                        resume: bool = False,
@@ -947,13 +1173,22 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
     ``src_path`` may also be an Iceberg table directory (see
     `plan_parquet_splits`); ``snapshot_id`` pins the snapshot to index
     (None = current) — the Searcher-session pinning SURVEY.md §2.1 maps
-    to Iceberg snapshot ids."""
+    to Iceberg snapshot ids.
+
+    ``cfg.segment_assignment="hash"`` selects the two-phase direct
+    hash build (`build_fused_hash_files`): content-deterministic
+    segments, layout-identical to `build_index`'s hash mode, via a
+    file-based re-bucketing shuffle instead of the JVM exchange.
+    "auto"/"input" run the shuffle-free arrival-order pass."""
     import dataclasses
 
     cfg = cfg or IndexConfig()
-    # the manifest must describe the layout actually built: arrival-order
-    # input-split segments, whatever the caller's default said
-    cfg = dataclasses.replace(cfg, segment_assignment="input")
+    # the manifest must describe the layout actually built:
+    # arrival-order input-split segments unless the caller explicitly
+    # asked for content-hashed assignment
+    hash_mode = cfg.segment_assignment == "hash"
+    if not hash_mode:
+        cfg = dataclasses.replace(cfg, segment_assignment="input")
     if cfg.record not in ("freqs", "basic"):
         raise ValueError(f"unknown record option {cfg.record!r}")
     if cfg.record == "basic" and cfg.positions:
@@ -971,7 +1206,9 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
     if not (resume and _stage_done(index_dir, "docmap")
             and _stage_done(index_dir, "postings")):
         t = time.time()
-        seg_metrics = build_fused_input_files(
+        builder = build_fused_hash_files if hash_mode \
+            else build_fused_input_files
+        seg_metrics = builder(
             spark, src_path, docmap_path, postings_path,
             os.path.join(index_dir, TERMS_DIR), cfg,
             split_bytes=split_bytes,
