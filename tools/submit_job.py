@@ -52,6 +52,13 @@ def main(argv: list[str]) -> int:
     b.add_argument("--segments", type=int, default=8)
     b.add_argument("--term-buckets", type=int, default=8)
     b.add_argument("--positions", action="store_true")
+    b.add_argument("--assignment", default="auto",
+                   choices=["auto", "input", "hash"],
+                   help="segment assignment: auto/input = arrival-order "
+                        "fused pass; hash = content-deterministic "
+                        "(with --direct this runs the two-phase "
+                        "file-shuffle build — same layout at any "
+                        "cluster size)")
     b.add_argument("--direct", action="store_true",
                    help="use build_index_direct over --source (fused "
                         "single-pass, per-split resumable checkpoints — "
@@ -90,6 +97,7 @@ def main(argv: list[str]) -> int:
             n_segments=args.segments,
             n_term_buckets=args.term_buckets,
             positions=args.positions,
+            segment_assignment=args.assignment,
         )
         t0 = time.time()
         if args.direct:
