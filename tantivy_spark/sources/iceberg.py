@@ -510,6 +510,87 @@ def write_table(spark, df, table_path: str, mode: str = "append") -> int:
     return commit_append(table_path, files)
 
 
+def sync_index(spark, table_path: str, index_dir: str, cfg=None,
+               snapshot_id: int | None = None) -> dict:
+    """Incrementally index an Iceberg table: the first call indexes the
+    pinned (default: current) snapshot; every later call appends ONLY
+    the data files added since the last sync as new segments (the
+    streaming micro-commit path, `streaming/incremental._append_segment`
+    — one fused shuffle-free job per sync, tantivy's
+    add_documents→commit lifecycle driven by table commits instead of a
+    stream).  Returns the index manifest.
+
+    At 10^12 turns this is the production shape: ingestion commits
+    batches to the table, a scheduled sync indexes each commit's delta,
+    and `LogMergePolicy` compaction bounds segment count — no full
+    rebuilds, no re-reads of already-indexed files.
+
+    Crash safety (two-phase sidecar `iceberg_sync.json`): phase 1
+    records the pending file list plus the current max segment ord,
+    THEN the append commits the manifest atomically, THEN phase 2
+    promotes pending→done.  A crash between the phases is resolved by
+    comparing the manifest's max ord against the recorded base: ord
+    advanced ⇒ the append committed (promote, don't re-index — no
+    duplicates); ord unchanged ⇒ redo the pending files."""
+    from ..config import IndexConfig
+    from ..operators.build import load_manifest
+    from ..streaming.incremental import _append_segment
+
+    cfg = cfg or IndexConfig()
+    tbl = IcebergTable(table_path)
+    snap_id = snapshot_id if snapshot_id is not None \
+        else tbl.current_snapshot_id
+    files_now = [f["path"] for f in tbl.data_files(snap_id)]
+
+    os.makedirs(index_dir, exist_ok=True)
+    side_path = os.path.join(index_dir, "iceberg_sync.json")
+
+    def manifest_max_ord() -> int:
+        try:
+            m = load_manifest(index_dir)
+        except FileNotFoundError:
+            return -1
+        return max((s["segment_ord"] for s in m["segments"]), default=-1)
+
+    side = {"table": os.path.abspath(_strip_scheme(table_path)),
+            "done": [], "pending": [], "base_max_ord": -1,
+            "snapshot_id": None}
+    if os.path.exists(side_path):
+        with open(side_path) as f:
+            side = json.load(f)
+        if side.get("table") != os.path.abspath(_strip_scheme(table_path)):
+            raise ValueError(
+                f"index {index_dir!r} is synced to table "
+                f"{side.get('table')!r}, not {table_path!r}")
+        if side.get("pending"):
+            # crash-window recovery: did the interrupted append commit?
+            if manifest_max_ord() > side["base_max_ord"]:
+                side["done"] = side["done"] + side["pending"]  # committed
+            side["pending"] = []  # uncommitted pendings simply re-enter
+
+    def write_side() -> None:
+        tmp = side_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(side, f)
+        os.replace(tmp, side_path)
+
+    new = [p for p in files_now if p not in set(side["done"])]
+    if not new:
+        write_side()  # persists any recovery promotion above
+        return load_manifest(index_dir)
+
+    side["pending"] = new
+    side["base_max_ord"] = manifest_max_ord()
+    write_side()                                   # phase 1
+    manifest = _append_segment(
+        spark, spark.read.parquet(*new), index_dir, cfg)   # atomic commit
+    side["done"] = side["done"] + side["pending"]
+    side["pending"] = []
+    side["snapshot_id"] = snap_id
+    write_side()                                   # phase 2
+    return manifest
+
+
 def read_table(spark, table_path: str,
                snapshot_id: int | None = None):
     """Snapshot-pinned DataFrame over an Iceberg table — the input

@@ -200,3 +200,95 @@ def test_empty_table_read(spark, tmp_path):
     assert df.count() == 0
     assert df.columns == ["conv_id", "turn_idx", "role", "text",
                           "tool", "ts"]
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot sync
+# ---------------------------------------------------------------------------
+
+
+def test_sync_index_incremental(spark, tmp_path):
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    s1 = iceberg.write_table(spark, _mk_df(spark, 100), path)
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m1["total_docs"] == 100
+    ords1 = {s["segment_ord"] for s in m1["segments"]}
+
+    s2 = iceberg.write_table(spark, _mk_df(spark, 60, off=100), path)
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 160
+    ords2 = {s["segment_ord"] for s in m2["segments"]}
+    assert ords1 < ords2  # old segments untouched, new ones appended
+
+    # idempotent: nothing new -> no new segments
+    m3 = iceberg.sync_index(spark, path, idx, cfg)
+    assert {s["segment_ord"] for s in m3["segments"]} == ords2
+
+    # result parity vs a one-shot build of the full table (global BM25
+    # stats are sums, so scores match; layout differs)
+    full = str(tmp_path / "idx_full")
+    build_index_direct(spark, path, full, cfg)
+
+    def hits(i):
+        return sorted(
+            (r["conv_id"], int(r["turn_idx"]), round(float(r["score"]), 5))
+            for r in Searcher(spark, i).search(
+                TermQuery("token42"), k=10, mode="daat").collect())
+
+    assert hits(idx) == hits(full)
+
+
+def test_sync_index_crash_recovery(spark, tmp_path):
+    """Both sides of the crash window: append committed but sidecar not
+    promoted (must NOT re-index), and sidecar written but append never
+    ran (must redo)."""
+    import json as _json
+
+    from tantivy_spark.config import IndexConfig
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 50), path)
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    side_path = os.path.join(idx, "iceberg_sync.json")
+    with open(side_path) as f:
+        side = _json.load(f)
+
+    # case 1: pretend the crash hit AFTER the append committed — move
+    # the done files back to pending with the pre-append base ord
+    side_c1 = dict(side, pending=side["done"], done=[], base_max_ord=-1)
+    with open(side_path, "w") as f:
+        _json.dump(side_c1, f)
+    m = iceberg.sync_index(spark, path, idx, cfg)
+    assert m["total_docs"] == 50  # promoted, not duplicated
+
+    # case 2: pretend the crash hit BEFORE the append — pending files
+    # with base == current max ord; a new commit makes them real work
+    iceberg.write_table(spark, _mk_df(spark, 30, off=50), path)
+    cur_max = max(s["segment_ord"] for s in m["segments"])
+    side_c2 = dict(side, pending=["/nonexistent/ghost.parquet"],
+                   done=side["done"], base_max_ord=cur_max)
+    with open(side_path, "w") as f:
+        _json.dump(side_c2, f)
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 80  # pending dropped, new files indexed
+
+
+def test_sync_index_wrong_table_refused(spark, tmp_path):
+    from tantivy_spark.config import IndexConfig
+
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    idx = str(tmp_path / "idx")
+    iceberg.write_table(spark, _mk_df(spark, 10), p1)
+    iceberg.write_table(spark, _mk_df(spark, 10), p2)
+    iceberg.sync_index(spark, p1, idx, IndexConfig(n_term_buckets=2))
+    with pytest.raises(ValueError, match="synced to table"):
+        iceberg.sync_index(spark, p2, idx, IndexConfig(n_term_buckets=2))
