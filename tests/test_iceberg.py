@@ -292,3 +292,69 @@ def test_sync_index_wrong_table_refused(spark, tmp_path):
     iceberg.sync_index(spark, p1, idx, IndexConfig(n_term_buckets=2))
     with pytest.raises(ValueError, match="synced to table"):
         iceberg.sync_index(spark, p2, idx, IndexConfig(n_term_buckets=2))
+
+
+def test_sync_compact_sync_compose(spark, tmp_path):
+    """Table-commit syncs interleave with LogMergePolicy-style
+    compaction: merged ords are monotonic (max+1), so the sidecar's
+    base-ord recovery logic stays sound and later syncs keep appending
+    above the compacted segment."""
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.operators.merge import merge_segments
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 60), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+    iceberg.write_table(spark, _mk_df(spark, 40, off=60), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    m = merge_segments(spark, idx)  # full compaction
+    assert len(m["segments"]) == 1
+    compact_ord = m["segments"][0]["segment_ord"]
+
+    iceberg.write_table(spark, _mk_df(spark, 30, off=100), path)
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 130
+    new_ords = {s["segment_ord"] for s in m2["segments"]}
+    assert compact_ord in new_ords
+    assert all(o >= compact_ord for o in new_ords)
+
+    # the synced+compacted+synced index answers like a one-shot build
+    full = str(tmp_path / "full")
+    build_index_direct(spark, path, full, cfg)
+
+    def hits(i):
+        return sorted(
+            (r["conv_id"], round(float(r["score"]), 5))
+            for r in Searcher(spark, i).search(
+                TermQuery("token101"), k=10, mode="daat").collect())
+
+    assert hits(idx) == hits(full)
+
+
+def test_sync_then_serving_reload(spark, tmp_path):
+    """The serving reader's reload() picks up segments appended by an
+    iceberg sync — the live-serving loop: table commit -> sync ->
+    reload -> new docs visible at interactive latency."""
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.serve import ServingSearcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 40), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    srv = ServingSearcher(idx)
+    assert len(srv.search(TermQuery("token77"), k=5)) == 0
+
+    iceberg.write_table(spark, _mk_df(spark, 40, off=40), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+    srv.reload()
+    assert len(srv.search(TermQuery("token77"), k=5)) == 1
