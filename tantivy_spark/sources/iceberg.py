@@ -536,6 +536,20 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     from ..operators.build import load_manifest
     from ..streaming.incremental import _append_segment
 
+    try:
+        existing_cfg = load_manifest(index_dir)["config"]
+    except FileNotFoundError:
+        existing_cfg = None
+    if existing_cfg is not None:
+        if cfg is None:
+            # later syncs inherit the index's own recorded config — the
+            # common case needs no cfg at all
+            cfg = IndexConfig.from_json_dict(existing_cfg)
+        elif json.loads(cfg.to_json()) != existing_cfg:
+            raise ValueError(
+                "sync_index config differs from the index's recorded "
+                "config — segments built under different analyzers/"
+                "options cannot share an index; omit cfg to inherit")
     cfg = cfg or IndexConfig()
     tbl = IcebergTable(table_path)
     snap_id = snapshot_id if snapshot_id is not None \

@@ -358,3 +358,22 @@ def test_sync_then_serving_reload(spark, tmp_path):
     iceberg.sync_index(spark, path, idx, cfg)
     srv.reload()
     assert len(srv.search(TermQuery("token77"), k=5)) == 1
+
+
+def test_sync_index_inherits_and_guards_config(spark, tmp_path):
+    from tantivy_spark.config import IndexConfig
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    iceberg.write_table(spark, _mk_df(spark, 20), path)
+    iceberg.sync_index(spark, path, idx,
+                       IndexConfig(n_term_buckets=2, positions=True))
+    iceberg.write_table(spark, _mk_df(spark, 20, off=20), path)
+    # cfg omitted: inherited from the index's recorded config
+    m = iceberg.sync_index(spark, path, idx)
+    assert m["total_docs"] == 40
+    assert m["config"]["positions"] is True
+    # a conflicting cfg is refused, not silently mixed
+    with pytest.raises(ValueError, match="recorded config"):
+        iceberg.sync_index(spark, path, idx,
+                           IndexConfig(n_term_buckets=8))
