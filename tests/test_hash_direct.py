@@ -193,3 +193,21 @@ def test_resume_markers(spark, built, tmp_path):
     assert m2["total_docs"] == m1["total_docs"]
     assert {s["segment_ord"] for s in m2["segments"]} == \
         {s["segment_ord"] for s in m1["segments"]}
+
+
+def test_hash_direct_over_iceberg_table(spark, tmp_path):
+    """The two direct dataflows compose: content-deterministic hash
+    segments planned from an Iceberg snapshot's data files."""
+    from tantivy_spark.sources import iceberg
+
+    src = transcripts_df(spark, 40, partitions=3)
+    tbl = str(tmp_path / "tbl")
+    iceberg.write_table(spark, src, tbl)
+    idx = str(tmp_path / "idx")
+    m = build_index_direct(
+        spark, tbl, idx,
+        IndexConfig(n_segments=4, n_term_buckets=2,
+                    segment_assignment="hash"))
+    assert m["total_docs"] == src.count()
+    s = Searcher(spark, idx)
+    assert len(s.search(L.TermQuery("w1"), k=5).collect()) == 5
