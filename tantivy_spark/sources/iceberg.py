@@ -556,6 +556,12 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
         else tbl.current_snapshot_id
     files_now = [f["path"] for f in tbl.data_files(snap_id)]
 
+    def norm(p: str) -> str:
+        # track done files by table-relative path so a moved/copied
+        # table (absolute paths rebased by _local) doesn't re-index
+        i = p.rfind("/data/")
+        return p[i:] if i >= 0 else os.path.basename(p)
+
     os.makedirs(index_dir, exist_ok=True)
     side_path = os.path.join(index_dir, "iceberg_sync.json")
 
@@ -566,16 +572,24 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
             return -1
         return max((s["segment_ord"] for s in m["segments"]), default=-1)
 
+    uuid_now = tbl.metadata.get("table-uuid")
     side = {"table": os.path.abspath(_strip_scheme(table_path)),
+            "table_uuid": uuid_now,
             "done": [], "pending": [], "base_max_ord": -1,
             "snapshot_id": None}
     if os.path.exists(side_path):
         with open(side_path) as f:
             side = json.load(f)
-        if side.get("table") != os.path.abspath(_strip_scheme(table_path)):
+        # identity = table-uuid (survives moves); path is informational
+        same = (side.get("table_uuid") == uuid_now
+                if side.get("table_uuid") and uuid_now
+                else side.get("table") == os.path.abspath(
+                    _strip_scheme(table_path)))
+        if not same:
             raise ValueError(
                 f"index {index_dir!r} is synced to table "
-                f"{side.get('table')!r}, not {table_path!r}")
+                f"{side.get('table')!r} (uuid {side.get('table_uuid')}), "
+                f"not {table_path!r}")
         if side.get("pending"):
             # crash-window recovery: did the interrupted append commit?
             if manifest_max_ord() > side["base_max_ord"]:
@@ -588,12 +602,13 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
             json.dump(side, f)
         os.replace(tmp, side_path)
 
-    new = [p for p in files_now if p not in set(side["done"])]
+    done = {norm(p) for p in side["done"]}
+    new = [p for p in files_now if norm(p) not in done]
     if not new:
         write_side()  # persists any recovery promotion above
         return load_manifest(index_dir)
 
-    side["pending"] = new
+    side["pending"] = [norm(p) for p in new]
     side["base_max_ord"] = manifest_max_ord()
     write_side()                                   # phase 1
     manifest = _append_segment(
@@ -601,6 +616,7 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     side["done"] = side["done"] + side["pending"]
     side["pending"] = []
     side["snapshot_id"] = snap_id
+    side["table"] = os.path.abspath(_strip_scheme(table_path))
     write_side()                                   # phase 2
     return manifest
 

@@ -377,3 +377,25 @@ def test_sync_index_inherits_and_guards_config(spark, tmp_path):
     with pytest.raises(ValueError, match="recorded config"):
         iceberg.sync_index(spark, path, idx,
                            IndexConfig(n_term_buckets=8))
+
+
+def test_sync_survives_table_move(spark, tmp_path):
+    """Sync identity is the table's uuid and done-files are tracked by
+    table-relative path, so a moved/copied table keeps syncing
+    incrementally instead of re-indexing (or refusing)."""
+    from tantivy_spark.config import IndexConfig
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    iceberg.write_table(spark, _mk_df(spark, 30), path)
+    iceberg.sync_index(spark, path, idx, IndexConfig(n_term_buckets=2))
+
+    moved = str(tmp_path / "tbl_moved")
+    os.rename(path, moved)
+    iceberg.write_table(spark, _mk_df(spark, 20, off=30), moved)
+    m = iceberg.sync_index(spark, moved, idx)
+    assert m["total_docs"] == 50
+    # idempotent after the move too
+    m2 = iceberg.sync_index(spark, moved, idx)
+    assert {s["segment_ord"] for s in m2["segments"]} == \
+        {s["segment_ord"] for s in m["segments"]}
