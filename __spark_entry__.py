@@ -1245,7 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["text_pii"] = _pii
 
     # Rotation: least-recently-driver-sampled entries FIRST (the driver
-    # samples ~50 of 82 in dict order), so every entry stays within one
+    # samples ~50 of 94 in dict order), so every entry stays within one
     # round of an official CORRECTNESS_r*.json check.  Round-4 order:
     # the never-sampled serving entries, then the 4 entries last sampled
     # in r1, then the 26 last sampled in r2, then the 50 that appeared in
