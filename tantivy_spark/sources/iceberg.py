@@ -488,6 +488,73 @@ def commit_append(table_path: str, parquet_files: list[str],
     return snapshot_id
 
 
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and delete the
+    files only they referenced — the spec's snapshot-expiration
+    maintenance op, and the Iceberg analogue of `SegmentUpdater`'s
+    orphan-file GC (`src/indexer/segment_updater.rs:756-805`,
+    SURVEY.md §2.1).  Returns {"expired": n, "deleted_files": [...]}.
+
+    Deletion order is crash-safe: the new metadata (without the expired
+    snapshots) commits FIRST, then unreferenced manifest-lists /
+    manifests / data files are removed — a crash mid-delete leaves
+    harmless orphans, never a referenced-but-missing file (re-running
+    expire cleans nothing further since the metadata no longer lists
+    them; a fuller GC would walk the data dir, as the reference's
+    `garbage_collect_files` walks the directory)."""
+    tbl = IcebergTable(table_path)
+    snaps = tbl.snapshots
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "deleted_files": []}
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+
+    def reachable(snapshots) -> tuple[set, set]:
+        """(metadata files, data files) referenced by these snapshots."""
+        meta_files: set[str] = set()
+        data_files: set[str] = set()
+        for s in snapshots:
+            if "manifest-list" not in s:
+                continue
+            ml = tbl._local(s["manifest-list"])
+            meta_files.add(ml)
+            _, _, manifests = avro.read_container(ml)
+            for mf in manifests:
+                mp = tbl._local(mf["manifest_path"])
+                meta_files.add(mp)
+                _, _, entries = avro.read_container(mp)
+                for e in entries:
+                    if e["status"] != _STATUS_DELETED:
+                        data_files.add(
+                            tbl._local(e["data_file"]["file_path"]))
+        return meta_files, data_files
+
+    keep_meta, keep_data = reachable(keep)
+    drop_meta, drop_data = reachable(drop)
+
+    metadata = dict(tbl.metadata)
+    kept_ids = {s["snapshot-id"] for s in keep}
+    metadata["snapshots"] = keep
+    metadata["snapshot-log"] = [
+        e for e in metadata.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids]
+    # drop dangling parent pointers into the expired range
+    for s in metadata["snapshots"]:
+        if s.get("parent-snapshot-id") not in kept_ids:
+            s.pop("parent-snapshot-id", None)
+    _write_metadata(table_path, metadata, tbl._next_version())  # commit
+
+    deleted = []
+    for p in sorted((drop_meta | drop_data) - keep_meta - keep_data):
+        try:
+            os.remove(p)
+            deleted.append(p)
+        except FileNotFoundError:
+            pass
+    return {"expired": len(drop), "deleted_files": deleted}
+
+
 def write_table(spark, df, table_path: str, mode: str = "append") -> int:
     """Write a DataFrame as a new Iceberg snapshot (parquet data files
     under `<table>/data/batch-<seq>/`, then the metadata commit).

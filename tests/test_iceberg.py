@@ -399,3 +399,31 @@ def test_sync_survives_table_move(spark, tmp_path):
     m2 = iceberg.sync_index(spark, moved, idx)
     assert {s["segment_ord"] for s in m2["segments"]} == \
         {s["segment_ord"] for s in m["segments"]}
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Expiration keeps the table readable at the retained snapshot,
+    forgets the expired ones, and deletes only files no retained
+    snapshot references (append-only: data files stay, old
+    manifest-lists go)."""
+    path = str(tmp_path / "tbl")
+    iceberg.write_table(spark, _mk_df(spark, 30), path)
+    iceberg.write_table(spark, _mk_df(spark, 20, off=30), path)
+    s3 = iceberg.write_table(spark, _mk_df(spark, 10, off=50), path)
+    t0 = iceberg.IcebergTable(path)
+    old_mlists = [t0._local(s["manifest-list"]) for s in t0.snapshots[:-1]]
+
+    out = iceberg.expire_snapshots(path, keep_last=1)
+    assert out["expired"] == 2
+    assert set(old_mlists) <= set(out["deleted_files"])
+    for p in old_mlists:
+        assert not os.path.exists(p)
+
+    t = iceberg.IcebergTable(path)
+    assert [s["snapshot-id"] for s in t.snapshots] == [s3]
+    assert "parent-snapshot-id" not in t.snapshots[0]
+    assert iceberg.read_table(spark, path).count() == 60  # data intact
+    with pytest.raises(ValueError, match="snapshot"):
+        t.data_files(1)  # expired id no longer resolvable
+    # idempotent
+    assert iceberg.expire_snapshots(path, keep_last=1)["expired"] == 0
