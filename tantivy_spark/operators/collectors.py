@@ -84,7 +84,7 @@ def top_docs(searcher: Searcher, query: L.Query, limit: int, offset: int = 0,
             and tuple(sbf) == (order_by_field,
                                "asc" if ascending else "desc")
             and not searcher.tombstones()
-            and not searcher.doc_tombstones()):
+            and not searcher.has_doc_tombstones()):
         k = limit + offset
         frame = (
             searcher.docmap()

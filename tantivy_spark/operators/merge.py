@@ -276,21 +276,18 @@ def merge_segments(spark: SparkSession, index_dir: str,
         F.col("segment_ord").isin(segment_ords)
     )
 
-    # physically drop tombstoned docs
-    dead_terms = tombstoned_terms(spark, index_dir) if drop_deleted else []
-    if dead_terms:
+    # physically drop tombstoned docs — one DISTRIBUTED left_anti join
+    # against Searcher.dead_docs_df (address tombstones UNION docs of
+    # tombstoned terms), so a merge after a hot-term delete_query that
+    # tombstoned 10^7 docs never collects or broadcasts the dead set
+    # (nothing proportional to |dead| touches the driver).
+    had_doc_tombs = False
+    if drop_deleted:
         searcher = Searcher(spark, index_dir)
-        dead = (
-            searcher.flat_postings(dead_terms)
-            .select("segment_ord", "doc_id")
-            .distinct()
-        )
-        dm = dm.join(dead, ["segment_ord", "doc_id"], "left_anti")
-    dead_docs = doc_tombstones(spark, index_dir) if drop_deleted else []
-    dead_docs = [(s, d) for s, d in dead_docs if s in set(segment_ords)]
-    if dead_docs:
-        dd = spark.createDataFrame(dead_docs, "segment_ord int, doc_id int")
-        dm = dm.join(F.broadcast(dd), ["segment_ord", "doc_id"], "left_anti")
+        had_doc_tombs = searcher.has_doc_tombstones()
+        dead = searcher.dead_docs_df()
+        if dead is not None:
+            dm = dm.join(dead, ["segment_ord", "doc_id"], "left_anti")
 
     # Re-assign dense doc ids in stable key order within the merged
     # segment — DISTRIBUTED: a global row_number window would pull the
@@ -410,7 +407,7 @@ def merge_segments(spark: SparkSession, index_dir: str,
     # tombstone rows for merged-away segments are consumed (their docs
     # were remapped/dropped); clearing them is idempotent best-effort —
     # stale rows for dead segments are harmless no-ops for readers
-    if dead_docs:
+    if had_doc_tombs:
         _rewrite_doc_tombstones(spark, index_dir, set(segment_ords))
 
     # old segment files are now orphans (GC'able, like segment_updater's

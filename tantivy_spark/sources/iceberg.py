@@ -104,13 +104,25 @@ def iceberg_to_spark_schema(ice_schema: dict):
             "binary": T.BinaryType(), "date": T.DateType(),
             "timestamp": T.TimestampNTZType(),
             "timestamptz": T.TimestampType()}
+
+    def lookup(t, fname: str):
+        # a diagnosable refusal, matching the reader's other
+        # NotImplementedError surfaces — not a bare KeyError
+        try:
+            return prim[t]
+        except (KeyError, TypeError):
+            raise NotImplementedError(
+                f"iceberg type {t!r} on field {fname!r} is not supported "
+                "by this reader (primitives "
+                f"{sorted(prim)} and lists of them only)") from None
+
     out = []
     for f in ice_schema["fields"]:
         t = f["type"]
         if isinstance(t, dict) and t.get("type") == "list":
-            st = T.ArrayType(prim[t["element"]])
+            st = T.ArrayType(lookup(t["element"], f["name"]))
         else:
-            st = prim[t]
+            st = lookup(t, f["name"])
         out.append(T.StructField(f["name"], st, not f.get("required")))
     return T.StructType(out)
 
@@ -208,7 +220,15 @@ class IcebergTable:
                          os.path.join(md, f"{v}.metadata.json")):
                 if os.path.exists(cand):
                     return cand
-        cands = sorted(glob.glob(os.path.join(md, "*.metadata.json")))
+        return self._latest_metadata_file()
+
+    def _latest_metadata_file(self) -> str | None:
+        """Highest-version metadata file on disk — what WRITERS must
+        build on (the hint is an advisory reader pointer; a racing or
+        crashed committer may have created a newer version the hint
+        doesn't reference yet)."""
+        cands = sorted(glob.glob(
+            os.path.join(self._meta_dir(), "*.metadata.json")))
         if not cands:
             return None
 
@@ -323,18 +343,33 @@ class IcebergTable:
         return (int(num) + 1) if num.isdigit() else 1
 
 
+class CommitConflictError(RuntimeError):
+    """Another committer created the same metadata version first."""
+
+
 def _write_metadata(table_path: str, metadata: dict, version: int) -> str:
-    """Atomic metadata commit: metadata json rename, then version-hint
-    rename LAST (the commit point — a crash in between leaves the
-    previous version current, exactly the index build's manifest-last
-    discipline)."""
+    """Atomic metadata commit.  The COMMIT POINT is the exclusive
+    creation (hard link, fails-if-exists) of v{N}.metadata.json — the
+    filesystem-table CAS: two committers that both read vN-1 race to
+    create vN and exactly one wins; the loser gets CommitConflictError
+    and must retry from re-read metadata (`commit_append` does).  The
+    version-hint write afterward is an advisory pointer only — readers
+    fall back to the max-version glob (`_current_metadata_file`), so a
+    crash before the hint write still leaves the new version current."""
     md = os.path.join(table_path, "metadata")
     os.makedirs(md, exist_ok=True)
     meta_path = os.path.join(md, f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(metadata, f, indent=1)
-    os.replace(tmp, meta_path)
+    try:
+        os.link(tmp, meta_path)                     # CAS: EEXIST = lost race
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit already created {meta_path!r}; retry "
+            "from re-read metadata") from None
+    finally:
+        os.unlink(tmp)
     hint = os.path.join(md, "version-hint.text")
     tmp = hint + ".tmp"
     with open(tmp, "w") as f:
@@ -349,7 +384,22 @@ def commit_append(table_path: str, parquet_files: list[str],
     table from the first file's schema if absent).  Returns the new
     snapshot id.  Files are referenced in place — move them under
     `<table>/data/` first if you want the table self-contained (what
-    `write_table` does)."""
+    `write_table` does).  Concurrent committers are safe: a lost
+    metadata-version CAS (`_write_metadata`) retries the whole commit
+    from re-read metadata, so no snapshot is silently dropped."""
+    for _ in range(16):
+        try:
+            return _commit_append_once(table_path, parquet_files,
+                                       snapshot_props)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"commit_append to {table_path!r} lost the metadata CAS 16 "
+        "times in a row")
+
+
+def _commit_append_once(table_path: str, parquet_files: list[str],
+                        snapshot_props: dict | None = None) -> int:
     import pyarrow.parquet as pq
 
     table_path = os.path.abspath(_strip_scheme(table_path))
@@ -362,6 +412,15 @@ def commit_append(table_path: str, parquet_files: list[str],
         tbl: IcebergTable | None = IcebergTable(table_path)
     except FileNotFoundError:
         tbl = None
+    if tbl is not None:
+        latest = tbl._latest_metadata_file()
+        if latest and latest != tbl.metadata_file:
+            # a committed version the hint doesn't reference yet (racing
+            # or crashed writer): commits build on the LATEST metadata —
+            # building on the hinted one would drop that snapshot
+            tbl.metadata_file = latest
+            with open(latest) as f:
+                tbl.metadata = json.load(f)
 
     if tbl is None:
         schema = _iceberg_schema_from_arrow(
@@ -593,12 +652,15 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     rebuilds, no re-reads of already-indexed files.
 
     Crash safety (two-phase sidecar `iceberg_sync.json`): phase 1
-    records the pending file list plus the current max segment ord,
-    THEN the append commits the manifest atomically, THEN phase 2
-    promotes pending→done.  A crash between the phases is resolved by
-    comparing the manifest's max ord against the recorded base: ord
-    advanced ⇒ the append committed (promote, don't re-index — no
-    duplicates); ord unchanged ⇒ redo the pending files."""
+    records the pending file list plus a fresh sync NONCE, THEN the
+    append commits the manifest atomically with the nonce stamped into
+    its top level, THEN phase 2 promotes pending→done.  A crash between
+    the phases is resolved by looking for OUR nonce in the manifest:
+    present ⇒ the interrupted append committed (promote, don't
+    re-index — no duplicates); absent ⇒ redo the pending files.  The
+    nonce is the evidence — a mere manifest advance (a compaction, a
+    delete commit, an append from another writer) does NOT promote, so
+    never-indexed pending files can't be silently dropped."""
     from ..config import IndexConfig
     from ..operators.build import load_manifest
     from ..streaming.incremental import _append_segment
@@ -623,11 +685,22 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
         else tbl.current_snapshot_id
     files_now = [f["path"] for f in tbl.data_files(snap_id)]
 
+    table_root = os.path.abspath(_strip_scheme(table_path))
+
     def norm(p: str) -> str:
-        # track done files by table-relative path so a moved/copied
-        # table (absolute paths rebased by _local) doesn't re-index
-        i = p.rfind("/data/")
-        return p[i:] if i >= 0 else os.path.basename(p)
+        # track done files by table-root-relative path (survives a
+        # moved/copied table — absolute paths rebased by _local), and
+        # by ABSOLUTE path for files referenced in place outside the
+        # table: a bare basename collides across directories (two
+        # part-00000.parquet files would collapse to one done-key and
+        # the second would silently never be indexed)
+        p = os.path.abspath(_strip_scheme(p))
+        droot = os.path.join(table_root, "data") + os.sep
+        if p.startswith(droot):
+            return "/data/" + p[len(droot):]   # key form older sidecars use
+        if p.startswith(table_root + os.sep):
+            return p[len(table_root):]
+        return p
 
     os.makedirs(index_dir, exist_ok=True)
     side_path = os.path.join(index_dir, "iceberg_sync.json")
@@ -659,9 +732,25 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
                 f"not {table_path!r}")
         if side.get("pending"):
             # crash-window recovery: did the interrupted append commit?
-            if manifest_max_ord() > side["base_max_ord"]:
-                side["done"] = side["done"] + side["pending"]  # committed
+            # Evidence = OUR nonce stamped in the manifest by the same
+            # atomic commit.  (Manifest-advance alone is NOT evidence:
+            # compaction, a delete commit, or another writer's append
+            # also advance it — promoting on that would silently drop
+            # never-indexed files.)  Sidecars from before the nonce
+            # (r4) fall back to the old max-ord comparison.
+            nonce = side.get("pending_nonce")
+            if nonce is not None:
+                try:
+                    committed = (load_manifest(index_dir)
+                                 .get("last_sync_nonce") == nonce)
+                except FileNotFoundError:
+                    committed = False
+            else:
+                committed = manifest_max_ord() > side["base_max_ord"]
+            if committed:
+                side["done"] = side["done"] + side["pending"]
             side["pending"] = []  # uncommitted pendings simply re-enter
+            side.pop("pending_nonce", None)
 
     def write_side() -> None:
         tmp = side_path + ".tmp"
@@ -675,13 +764,17 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
         write_side()  # persists any recovery promotion above
         return load_manifest(index_dir)
 
+    nonce = uuid.uuid4().hex
     side["pending"] = [norm(p) for p in new]
+    side["pending_nonce"] = nonce
     side["base_max_ord"] = manifest_max_ord()
     write_side()                                   # phase 1
-    manifest = _append_segment(
-        spark, spark.read.parquet(*new), index_dir, cfg)   # atomic commit
+    manifest = _append_segment(                    # atomic commit + nonce
+        spark, spark.read.parquet(*new), index_dir, cfg,
+        manifest_extra={"last_sync_nonce": nonce})
     side["done"] = side["done"] + side["pending"]
     side["pending"] = []
+    side.pop("pending_nonce", None)
     side["snapshot_id"] = snap_id
     side["table"] = os.path.abspath(_strip_scheme(table_path))
     write_side()                                   # phase 2

@@ -37,12 +37,19 @@ from tantivy_spark.operators.build import (
 
 
 def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
-                    cfg: IndexConfig) -> dict:
+                    cfg: IndexConfig,
+                    manifest_extra: dict | None = None) -> dict:
     """Index one micro-batch as new segment(s); returns the new manifest.
 
     Default configs take the fused shuffle-free pass (one segment per
     batch partition, `build.build_fused_input` append mode); non-default
-    analyzers/engines keep the DataFrame path (one combined segment)."""
+    analyzers/engines keep the DataFrame path (one combined segment).
+
+    `manifest_extra` entries are stamped into the manifest TOP LEVEL in
+    the same atomic commit — callers that need commit evidence that
+    survives later manifest rewrites (compaction/deletes preserve
+    unknown keys) record it here; `sync_index` stamps its crash-recovery
+    nonce this way."""
     docmap_path = os.path.join(index_dir, "docmap")
     postings_path = os.path.join(index_dir, "postings")
     try:
@@ -140,6 +147,8 @@ def _append_segment(spark: SparkSession, batch_df: DataFrame, index_dir: str,
             f: int(sum(s["field_tokens"][f] for s in manifest["segments"]))
             for f in cfg.extra_fields
         }
+    if manifest_extra:
+        manifest.update(manifest_extra)
     tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -116,6 +116,50 @@ def test_mass_delete_is_scale_safe(spark, tmp_path):
     assert s._doc_tombstones is None
 
 
+def test_merge_drops_mass_deletes_distributed(spark, tmp_path, monkeypatch):
+    """A merge after a hot-term delete_query tombstoning ~20% of a
+    100k-doc corpus must consume the tombstones without EVER collecting
+    the dead set on the driver: the docmap anti-join runs against the
+    distributed dead_docs_df frame (merger.rs drop-deleted semantics,
+    minus the reference's in-memory bitsets).  The driver-collect
+    helpers are poisoned for the duration of the merge to prove they
+    are never on the merge path."""
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.operators import merge as M
+
+    n_docs, n_dead = 100_000, 20_000
+    src = spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("k"),
+        F.concat(
+            F.lit("common word"),
+            F.when(F.col("id") % 5 == 0, F.lit(" kill")).otherwise(F.lit("")),
+            F.lit(" tok"), (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    idx = str(tmp_path / "mass_merge_idx")
+    cfg = IndexConfig(text_col="text", key_cols=("k",), segment_col="k",
+                      n_segments=8, n_term_buckets=4, positions=False)
+    build_index(spark, src, idx, cfg)
+    assert delete_query(spark, idx, L.TermQuery("kill")) == n_dead
+
+    def _boom(*a, **kw):
+        raise AssertionError("dead set collected on the driver")
+
+    monkeypatch.setattr(M, "doc_tombstones", _boom)
+    monkeypatch.setattr(Searcher, "doc_tombstones", _boom)
+    merge_segments(spark, idx)
+
+    s = Searcher(spark, idx)
+    assert s.total_docs == n_docs - n_dead
+    assert not s.has_doc_tombstones()      # consumed by the merge
+    assert s.count(L.TermQuery("kill")) == 0
+    assert s.count(L.TermQuery("common")) == n_docs - n_dead
+    top = s.search(L.TermQuery("common"), k=10).collect()
+    assert len(top) == 10
+    assert all(int(r["k"][1:]) % 5 != 0 for r in top)
+
+
 def test_reserved_column_names_rejected(spark, tmp_path):
     from tantivy_spark.operators.build import build_docmap
 

@@ -62,7 +62,8 @@ def test_xxhash64_matches_spark_longs(spark):
             df.select(F.xxhash64("v").alias("h")).collect()]
     got = spark_xxhash64_array(pa.array(vals, type=pa.int64()))
     assert [int(x) for x in got] == want
-    # int32 columns hash like longs in Spark too
+    # int32 columns take Spark's 4-byte hashInt path, not hashLong —
+    # which is why spark_xxhash64_array splits on bit_width > 32
     df32 = spark.createDataFrame([(v,) for v in range(-5, 6)], "v int")
     want32 = [r["h"] for r in
               df32.select(F.xxhash64("v").alias("h")).collect()]

@@ -282,6 +282,124 @@ def test_sync_index_crash_recovery(spark, tmp_path):
     assert m2["total_docs"] == 80  # pending dropped, new files indexed
 
 
+def test_sync_recovery_nonce_not_fooled_by_other_commits(spark, tmp_path):
+    """Crash-recovery must decide 'the interrupted append committed' by
+    finding OUR nonce in the manifest, not by manifest advance: a
+    compaction (or any other manifest-advancing op) between the crash
+    and the re-sync must NOT promote never-indexed pending files —
+    that would be silent permanent data loss."""
+    import glob as _glob
+    import json as _json
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.merge import merge_segments
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 50), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+    side_path = os.path.join(idx, "iceberg_sync.json")
+    with open(side_path) as f:
+        side1 = _json.load(f)
+
+    # a second table commit whose sync "crashed" AFTER phase 1 (pending
+    # + nonce recorded) but BEFORE its append ran
+    iceberg.write_table(spark, _mk_df(spark, 30, off=50), path)
+    batch2_keys = ["/data/batch-00002/" + os.path.basename(p)
+                   for p in sorted(_glob.glob(
+                       os.path.join(path, "data", "batch-00002",
+                                    "*.parquet")))]
+    assert batch2_keys
+    side_crash = dict(side1, pending=batch2_keys,
+                      pending_nonce="feedface" * 4,
+                      base_max_ord=-1)    # old heuristic would promote
+    with open(side_path, "w") as f:
+        _json.dump(side_crash, f)
+
+    # ...and a compaction advances the manifest in the crash window
+    merge_segments(spark, idx)
+
+    m = iceberg.sync_index(spark, path, idx, cfg)
+    assert m["total_docs"] == 80          # batch2 redone, not dropped
+
+    # converse: when the manifest DOES carry the pending nonce, the
+    # interrupted append committed — promote without re-indexing
+    with open(side_path) as f:
+        side_ok = _json.load(f)
+    committed_nonce = m["last_sync_nonce"]
+    side_again = dict(side_ok, pending=batch2_keys,
+                      pending_nonce=committed_nonce,
+                      done=[k for k in side_ok["done"]
+                            if k not in batch2_keys])
+    with open(side_path, "w") as f:
+        _json.dump(side_again, f)
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 80         # promoted, no duplicates
+
+
+def test_commit_cas_survives_concurrent_committer(spark, tmp_path):
+    """The metadata-version write is an exclusive-create CAS: a
+    concurrent commit that already created vN must make ours retry from
+    re-read metadata (landing at vN+1) instead of silently overwriting
+    — no snapshot is ever lost."""
+    path = str(tmp_path / "tbl")
+    iceberg.write_table(spark, _mk_df(spark, 20), path)
+    t = iceberg.IcebergTable(path)
+    n_snaps = len(t.snapshots)
+
+    # simulate the concurrent winner: the next version file appears
+    # between our read and our write (content = a valid commit by the
+    # other writer; a re-read picks it up via the version glob)
+    winner = os.path.join(path, "metadata",
+                          f"v{t._next_version()}.metadata.json")
+    with open(t.metadata_file) as f:
+        other = json.load(f)
+    with open(winner, "w") as f:
+        json.dump(other, f)
+
+    # direct same-version write must refuse
+    with pytest.raises(iceberg.CommitConflictError):
+        iceberg._write_metadata(path, other, t._next_version())
+
+    # the public commit path retries past the conflict
+    sid = iceberg.write_table(spark, _mk_df(spark, 10, off=20), path)
+    t2 = iceberg.IcebergTable(path)
+    assert t2.current_snapshot_id == sid
+    assert len(t2.snapshots) == n_snaps + 1
+    assert sum(f["record_count"] for f in t2.data_files(None)) == 30
+
+
+def test_sync_inplace_files_same_basename(spark, tmp_path):
+    """Done-file tracking for files referenced in place keys on the
+    absolute path: two files in different directories sharing a
+    basename must both be indexed (a bare-basename key would collapse
+    them and silently skip the second)."""
+    from tantivy_spark.config import IndexConfig
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=2)
+    d_a, d_b = tmp_path / "a", tmp_path / "b"
+    _mk_df(spark, 50).coalesce(1).write.parquet(str(d_a))
+    _mk_df(spark, 30, off=50).coalesce(1).write.parquet(str(d_b))
+    fa = glob.glob(str(d_a / "*.parquet"))
+    fb = glob.glob(str(d_b / "*.parquet"))
+    assert len(fa) == len(fb) == 1
+    # force the colliding basename
+    fa2 = str(d_a / "part-00000.parquet")
+    fb2 = str(d_b / "part-00000.parquet")
+    os.rename(fa[0], fa2)
+    os.rename(fb[0], fb2)
+
+    iceberg.commit_append(path, [fa2])
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m1["total_docs"] == 50
+    iceberg.commit_append(path, [fb2])
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 80        # second file NOT skipped
+
+
 def test_sync_index_wrong_table_refused(spark, tmp_path):
     from tantivy_spark.config import IndexConfig
 
