@@ -15,10 +15,14 @@ same row ordering, same null/missing semantics as `run_aggregation`
 nulls-last descending, exactly Spark's ordering).  Differences, all
 explicit errors rather than silent divergence:
 
-* approximate sketches (HLL cardinality, `percentile_approx`, DDSketch)
-  raise — they are two-phase mergeable-partial algorithms and belong on
-  the distributed path (collector.rs:46 DistributedAggregationCollector);
-  the exact variants run here.
+* approximate sketches run on the SERVING-SIDE mergeable partials —
+  DDSketch percentiles (`functions/ddsketch.py`, the reference's own
+  algorithm, alpha=0.01) and HLL cardinality (`functions/hll.py`,
+  rsd->lg_k like Spark) — with the same error bounds as the distributed
+  engine's `percentile_approx` / HLL++ but NOT value-identical to them
+  (different sketch constants; the same documented tolerance-contract
+  stance as the agg_percentiles_ddsketch / agg_cardinality_hll oracle
+  entries).  Exact variants are value-identical across engines.
 * `terms` `shard_size` raises — it is the distributed shard-merge error
   protocol; a single-process reader is always exact (error bound 0).
 * `filter` conditions: a callable(pdf) -> bool mask, or a string
@@ -110,13 +114,28 @@ def _metric_values(g: pd.DataFrame, name: str, spec: dict) -> dict:
             f"{name}_std_deviation": some(lambda s: float(s.std(ddof=0))),
         }
     if kind == "percentiles":
-        if not body.get("exact", True):
-            raise NotImplementedError(
-                "approximate percentiles are the distributed two-phase "
-                "path (percentiles_ddsketch / percentile_approx)")
         pcts = body.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
         vals = (nn.to_numpy(dtype="float64")
                 if nn is not None and len(nn) else None)
+        if not body.get("exact", True):
+            # serving-side mergeable sketch: DDSketch with the
+            # reference's default alpha=0.01 (metric/percentiles.rs:
+            # 216-218) — single-process is the trivial merge case of
+            # the same partials `percentiles_ddsketch` distributes.
+            # Same relative-error guarantee; NOT value-identical to
+            # the distributed engine's `percentile_approx` (Spark's
+            # GK sketch) — both carry explicit bounds (the
+            # agg_percentiles_ddsketch tolerance-contract stance).
+            from tantivy_spark.functions.ddsketch import DDSketch
+
+            s = DDSketch(alpha=body.get("alpha", 0.01))
+            if vals is not None:
+                s.add(vals)
+            return {
+                f"{name}_p{str(p).replace('.', '_')}":
+                    (float(s.quantile(p / 100.0)) if s.count else np.nan)
+                for p in pcts
+            }
         out = {}
         for p in pcts:
             col = f"{name}_p{str(p).replace('.', '_')}"
@@ -126,11 +145,20 @@ def _metric_values(g: pd.DataFrame, name: str, spec: dict) -> dict:
                         if vals is not None else np.nan)
         return out
     if kind == "cardinality":
-        if not body.get("exact", False):
-            raise NotImplementedError(
-                "approximate cardinality (HLL) is the distributed "
-                "two-phase path; pass exact=True here")
-        return {name: np.int64(nn.nunique())}
+        if body.get("exact", False):
+            return {name: np.int64(nn.nunique())}
+        # serving-side mergeable HLL (functions/hll.py): same register
+        # count as the distributed HLL++ (rsd -> lg_k, default 0.023 ->
+        # lg_k=11 = the reference's DataSketches default) and the same
+        # error class; estimates are NOT bit-identical to Spark's
+        # HLL++ (different hash/bias constants — the documented
+        # agg_cardinality_hll tolerance-contract stance).
+        from tantivy_spark.functions.hll import HyperLogLog, lg_k_for_rsd
+
+        h = HyperLogLog(lg_k_for_rsd(body.get("rsd", 0.023)))
+        if nn is not None and len(nn):
+            h.add(nn)
+        return {name: np.int64(round(h.estimate()))}
     raise ValueError(f"unsupported metric aggregation {kind!r}")
 
 

@@ -778,8 +778,18 @@ def plan_parquet_splits(src_path: str | list,
             os.path.join(src_path, "metadata", "*.metadata.json")):
         from ..sources.iceberg import IcebergTable
 
-        files = [f["path"]
-                 for f in IcebergTable(src_path).data_files(snapshot_id)]
+        tbl = IcebergTable(src_path)
+        if tbl.delete_files(snapshot_id):
+            # splits read data files as-is — they cannot apply v2
+            # deletes; silently indexing deleted rows would be worse
+            # than refusing (build_index_direct detects this case first
+            # and falls back to the delete-applying DataFrame build)
+            raise NotImplementedError(
+                "this iceberg snapshot carries v2 delete files; direct "
+                "split planning cannot apply them — use "
+                "build_index_direct (it falls back to the DataFrame "
+                "build) or read_table")
+        files = [f["path"] for f in tbl.data_files(snapshot_id)]
         if not files:
             raise ValueError(
                 f"iceberg table {src_path!r} has no data files at "
@@ -1181,8 +1191,23 @@ def build_index_direct(spark: SparkSession, src_path: str, index_dir: str,
     file-based re-bucketing shuffle instead of the JVM exchange.
     "auto"/"input" run the shuffle-free arrival-order pass."""
     import dataclasses
+    import glob as _glob
 
     cfg = cfg or IndexConfig()
+    # merge-on-read Iceberg tables: the direct split planner reads data
+    # files as-is and cannot apply v2 delete files — route through the
+    # DataFrame build over the delete-applying read (read_table), same
+    # manifest/commit discipline, instead of silently indexing deleted
+    # rows or refusing
+    if (isinstance(src_path, str) and os.path.isdir(src_path)
+            and _glob.glob(os.path.join(src_path, "metadata",
+                                        "*.metadata.json"))):
+        from ..sources.iceberg import IcebergTable, read_table
+
+        if IcebergTable(src_path).delete_files(snapshot_id):
+            return build_index(
+                spark, read_table(spark, src_path, snapshot_id),
+                index_dir, cfg, resume=resume, plugins=plugins)
     # the manifest must describe the layout actually built:
     # arrival-order input-split segments unless the caller explicitly
     # asked for content-hashed assignment

@@ -294,45 +294,87 @@ class IcebergTable:
         raise ValueError(f"snapshot {sid} not in table "
                          f"{[s['snapshot-id'] for s in self.snapshots]}")
 
-    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
-        """Live data files of a snapshot:
-        [{path, record_count, file_size_in_bytes}, ...], deterministic
-        (manifest order, then entry order — the spec's own ordering)."""
+    def _manifests(self, snapshot_id: int | None) -> list[dict]:
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return []
         if "manifest-list" in snap:
             _, _, manifests = avro.read_container(
                 self._local(snap["manifest-list"]))
-        else:  # format v1 tables may inline the manifest list
-            manifests = [{"manifest_path": p, "content": 0}
-                         for p in snap.get("manifests", [])]
-        out: list[dict] = []
-        for mf in manifests:
-            if mf.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg v2 delete manifests are not supported — "
-                    "this reader serves append-only tables (the "
-                    "engine's own tombstones handle deletes)")
+            return manifests
+        # format v1 tables may inline the manifest list
+        return [{"manifest_path": p, "content": 0}
+                for p in snap.get("manifests", [])]
+
+    def _walk_entries(self, snapshot_id: int | None, content: int):
+        """(manifest, live entry) pairs from manifests of the given
+        content class (0 = data, 1 = deletes), in spec order."""
+        for mf in self._manifests(snapshot_id):
+            if mf.get("content", 0) != content:
+                continue
             _, _, entries = avro.read_container(
                 self._local(mf["manifest_path"]))
             for e in entries:
-                if e["status"] == _STATUS_DELETED:
-                    continue
-                df = e["data_file"]
-                if df.get("content", 0) != 0:
-                    raise NotImplementedError(
-                        "iceberg delete files are not supported")
-                fmt = str(df.get("file_format", "PARQUET")).upper()
-                if fmt != "PARQUET":
-                    raise NotImplementedError(
-                        f"iceberg data file format {fmt!r} (parquet "
-                        "only)")
-                out.append({
-                    "path": self._local(df["file_path"]),
-                    "record_count": df["record_count"],
-                    "file_size_in_bytes": df.get("file_size_in_bytes"),
-                })
+                if e["status"] != _STATUS_DELETED:
+                    yield mf, e
+
+    @staticmethod
+    def _entry_seq(mf: dict, e: dict) -> int:
+        # null entry sequence numbers inherit the manifest's
+        # (spec "Sequence Number Inheritance")
+        seq = e.get("sequence_number")
+        if seq is None:
+            seq = mf.get("sequence_number", 0)
+        return int(seq or 0)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live data files of a snapshot: [{path, recorded_path,
+        record_count, file_size_in_bytes, sequence_number}, ...],
+        deterministic (manifest order, then entry order — the spec's
+        own ordering).  v2 delete manifests are listed separately by
+        `delete_files` and applied by `read_table` / `sync_index`
+        (position deletes); this listing is the pre-delete file set."""
+        out: list[dict] = []
+        for mf, e in self._walk_entries(snapshot_id, content=0):
+            df = e["data_file"]
+            if df.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "delete file inside a data manifest is not supported")
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg data file format {fmt!r} (parquet "
+                    "only)")
+            out.append({
+                "path": self._local(df["file_path"]),
+                "recorded_path": df["file_path"],
+                "record_count": df["record_count"],
+                "file_size_in_bytes": df.get("file_size_in_bytes"),
+                "sequence_number": self._entry_seq(mf, e),
+            })
+        return out
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live v2 delete files of a snapshot: [{path, content (1 =
+        position deletes, 2 = equality deletes), record_count,
+        sequence_number}, ...].  Readers apply position deletes to data
+        files whose data sequence number is <= the delete file's (spec
+        "Scan Planning"); equality deletes are refused loudly at the
+        points that would have to apply them."""
+        out: list[dict] = []
+        for mf, e in self._walk_entries(snapshot_id, content=1):
+            df = e["data_file"]
+            content = int(df.get("content", 1))
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"iceberg delete file format {fmt!r} (parquet only)")
+            out.append({
+                "path": self._local(df["file_path"]),
+                "content": content,
+                "record_count": df["record_count"],
+                "sequence_number": self._entry_seq(mf, e),
+            })
         return out
 
     # -- commit -------------------------------------------------------------
@@ -547,6 +589,157 @@ def _commit_append_once(table_path: str, parquet_files: list[str],
     return snapshot_id
 
 
+def commit_position_deletes(table_path: str,
+                            deletes: dict[str, list[int]],
+                            snapshot_props: dict | None = None) -> int:
+    """Commit v2 POSITION deletes: ``{data_file_path: [row
+    positions]}`` (paths as `data_files()` returns them, or as
+    recorded) becomes one position-delete parquet (spec columns
+    ``file_path``, ``pos``) under a delete manifest (content=1)
+    appended to a new snapshot.  Returns the snapshot id.  The same
+    CAS/retry discipline as `commit_append`.
+
+    This is the merge-on-read write side a lakehouse engine performs;
+    here it exists so delete-carrying tables can be created and the
+    read/sync paths tested without an external engine."""
+    for _ in range(16):
+        try:
+            return _commit_position_deletes_once(table_path, deletes,
+                                                 snapshot_props)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"commit_position_deletes to {table_path!r} lost the metadata "
+        "CAS 16 times in a row")
+
+
+def _commit_position_deletes_once(table_path: str,
+                                  deletes: dict[str, list[int]],
+                                  snapshot_props: dict | None = None) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_path = os.path.abspath(_strip_scheme(table_path))
+    if not deletes:
+        raise ValueError("commit_position_deletes needs at least one "
+                         "(file, positions) entry")
+    tbl = IcebergTable(table_path)
+    latest = tbl._latest_metadata_file()
+    if latest and latest != tbl.metadata_file:
+        tbl.metadata_file = latest
+        with open(latest) as f:
+            tbl.metadata = json.load(f)
+    now_ms = int(time.time() * 1000)
+    metadata = tbl.metadata
+    version = tbl._next_version()
+    parent_id = tbl.current_snapshot_id
+    seq = metadata.get("last-sequence-number", 0) + 1
+    snapshot_id = seq
+
+    # resolve caller paths to the RECORDED form delete rows must carry
+    rec_of = {}
+    for e in tbl.data_files(None):
+        rec_of[e["path"]] = e["recorded_path"]
+        rec_of[e["recorded_path"]] = e["recorded_path"]
+    rows_fp: list[str] = []
+    rows_pos: list[int] = []
+    for p, poss in sorted(deletes.items()):
+        rp = rec_of.get(p) or rec_of.get(os.path.abspath(_strip_scheme(p)))
+        if rp is None:
+            raise ValueError(f"{p!r} is not a data file of this table")
+        for pos in sorted(set(int(x) for x in poss)):
+            rows_fp.append(rp)
+            rows_pos.append(pos)
+
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    del_path = os.path.join(
+        data_dir, f"delete-{seq:05d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(
+        pa.table({"file_path": pa.array(rows_fp, pa.string()),
+                  "pos": pa.array(rows_pos, pa.int64())}),
+        del_path)
+
+    md_dir = os.path.join(table_path, "metadata")
+    entries = [{
+        "status": _STATUS_ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,                       # position deletes
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows_fp),
+            "file_size_in_bytes": os.path.getsize(del_path),
+        },
+    }]
+    schema_json = json.dumps(
+        metadata["schemas"][0] if "schemas" in metadata
+        else metadata["schema"])
+    manifest_path = os.path.join(
+        md_dir, f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    mlen = avro.write_container(
+        manifest_path, json.dumps(_MANIFEST_ENTRY_SCHEMA), entries,
+        extra_meta={"schema": schema_json.encode(),
+                    "schema-id": b"0",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"deletes"})
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": mlen,
+        "partition_spec_id": 0,
+        "content": 1,                           # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(rows_fp),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    prev_manifests: list[dict] = []
+    if tbl.current_snapshot_id not in (None, -1):
+        snap = tbl._snapshot(None)
+        if snap and "manifest-list" in snap:
+            _, _, prev_manifests = avro.read_container(
+                tbl._local(snap["manifest-list"]))
+    all_manifests = prev_manifests + [new_manifest]
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    avro.write_container(
+        mlist_path, json.dumps(_MANIFEST_FILE_SCHEMA), all_manifests,
+        extra_meta={"format-version": b"2",
+                    "snapshot-id": str(snapshot_id).encode(),
+                    "sequence-number": str(seq).encode()})
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": metadata.get("current-schema-id", 0),
+        "summary": dict({"operation": "delete",
+                         "added-delete-files": "1",
+                         "added-position-deletes": str(len(rows_fp))},
+                        **(snapshot_props or {})),
+    }
+    if parent_id not in (None, -1):
+        snapshot["parent-snapshot-id"] = parent_id
+    metadata["snapshots"] = metadata.get("snapshots", []) + [snapshot]
+    metadata["current-snapshot-id"] = snapshot_id
+    metadata["last-sequence-number"] = seq
+    metadata["last-updated-ms"] = now_ms
+    metadata["snapshot-log"] = metadata.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+    _write_metadata(table_path, metadata, version)
+    return snapshot_id
+
+
 def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
     """Expire all but the last ``keep_last`` snapshots and delete the
     files only they referenced — the spec's snapshot-expiration
@@ -683,7 +876,13 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     tbl = IcebergTable(table_path)
     snap_id = snapshot_id if snapshot_id is not None \
         else tbl.current_snapshot_id
-    files_now = [f["path"] for f in tbl.data_files(snap_id)]
+    entries_now = tbl.data_files(snap_id)
+    files_now = [f["path"] for f in entries_now]
+    dels_now = tbl.delete_files(snap_id)
+    if any(d.get("content") == 2 for d in dels_now):
+        raise NotImplementedError(
+            "iceberg equality delete files are not supported (position "
+            "deletes are; rewrite equality deletes upstream)")
 
     table_root = os.path.abspath(_strip_scheme(table_path))
 
@@ -759,20 +958,49 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
         os.replace(tmp, side_path)
 
     done = {norm(p) for p in side["done"]}
-    new = [p for p in files_now if norm(p) not in done]
-    if not new:
+    new_entries = [e for e in entries_now if norm(e["path"]) not in done]
+
+    # v2 deletes across snapshots, BEFORE the data append:
+    # delete files added since the last sync whose rows target
+    # ALREADY-INDEXED data files become engine address tombstones
+    # (resolved distributed: positions -> source keys -> docmap
+    # addresses, nothing per-row on the driver).  Idempotent — a crash
+    # anywhere below redoes it and duplicate tombstone rows are
+    # distinct-ed by every reader — so done_deletes promotes with
+    # phase 2 and needs no nonce of its own.  Rows targeting files
+    # indexed THIS sync are instead applied by the filtered read below.
+    done_dels = {norm(p) for p in side.get("done_deletes", [])}
+    new_dels = [d for d in dels_now if norm(d["path"]) not in done_dels]
+    done_entries = [e for e in entries_now if norm(e["path"]) in done]
+    if new_dels and done_entries:
+        _tombstone_position_deletes(spark, index_dir, cfg,
+                                    done_entries, new_dels)
+
+    if not new_entries:
+        side["done_deletes"] = side.get("done_deletes", []) + [
+            norm(d["path"]) for d in new_dels]
         write_side()  # persists any recovery promotion above
-        return load_manifest(index_dir)
+        try:
+            return load_manifest(index_dir)
+        except FileNotFoundError:
+            # first sync of an empty (or fully-deleted) table: commit
+            # an empty manifest so the index exists
+            return _append_segment(
+                spark, read_table(spark, table_path, snap_id)
+                .limit(0), index_dir, cfg)
 
     nonce = uuid.uuid4().hex
-    side["pending"] = [norm(p) for p in new]
+    side["pending"] = [norm(e["path"]) for e in new_entries]
     side["pending_nonce"] = nonce
     side["base_max_ord"] = manifest_max_ord()
     write_side()                                   # phase 1
     manifest = _append_segment(                    # atomic commit + nonce
-        spark, spark.read.parquet(*new), index_dir, cfg,
+        spark, _read_data_files(spark, new_entries, dels_now),
+        index_dir, cfg,
         manifest_extra={"last_sync_nonce": nonce})
     side["done"] = side["done"] + side["pending"]
+    side["done_deletes"] = side.get("done_deletes", []) + [
+        norm(d["path"]) for d in new_dels]
     side["pending"] = []
     side.pop("pending_nonce", None)
     side["snapshot_id"] = snap_id
@@ -781,14 +1009,122 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     return manifest
 
 
+def _tombstone_position_deletes(spark, index_dir: str, cfg,
+                                done_entries: list[dict],
+                                new_dels: list[dict]) -> int:
+    """Convert v2 position-delete rows that target ALREADY-INDEXED data
+    files into engine address tombstones: (file, pos) -> source key
+    columns (via `_metadata.row_index`) -> docmap (segment_ord, doc_id)
+    -> distributed append to the tombstone table (the `delete_query`
+    write discipline — the matched count is the only scalar on the
+    driver).  Applicability follows the spec rule del_seq >= data_seq."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import tombstones_docs_path
+
+    pos = [d for d in new_dels if d.get("content") == 1]
+    if not pos:
+        return 0
+    key_cols = list(cfg.key_cols)
+    mapping = spark.createDataFrame(
+        [(e["recorded_path"], "file:" + e["path"],
+          int(e["sequence_number"])) for e in done_entries],
+        "rp string, uri string, data_seq long")
+    dd = reduce(lambda a, b: a.unionByName(b), [
+        spark.read.parquet(d["path"]).select(
+            F.col("file_path").alias("rp"),
+            F.col("pos").cast("long").alias("__pos"),
+            F.lit(int(d["sequence_number"])).alias("del_seq"))
+        for d in pos
+    ])
+    dd = (dd.join(F.broadcast(mapping), "rp")
+          .filter(F.col("del_seq") >= F.col("data_seq"))
+          .select(F.col("uri").alias("__file"), "__pos")
+          .distinct())
+    doomed_keys = (
+        spark.read.parquet(*[e["path"] for e in done_entries])
+        .select(*key_cols,
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"))
+        .join(dd, ["__file", "__pos"], "left_semi")
+        .select(*key_cols)
+    )
+    addrs = (
+        spark.read.parquet(os.path.join(index_dir, "docmap"))
+        .select(*key_cols, "segment_ord", "doc_id")
+        .join(doomed_keys, key_cols, "left_semi")
+        .select(F.col("segment_ord").cast("int"),
+                F.col("doc_id").cast("int"))
+        .distinct()
+        .withColumn("ts", F.lit(float(time.time())))
+        .persist()
+    )
+    n = addrs.count()
+    if n:
+        addrs.write.mode("append").parquet(tombstones_docs_path(index_dir))
+    addrs.unpersist()
+    return n
+
+
+def _read_data_files(spark, entries: list[dict], dels: list[dict]):
+    """DataFrame over the given data-file entries with applicable v2
+    POSITION deletes anti-joined out.  Fully distributed: the position
+    is Spark's parquet `_metadata.row_index`, the delete rows are read
+    as DataFrames, and the applicability rule (a position delete
+    applies to data files whose data sequence number <= the delete
+    file's, spec "Scan Planning") is a filter on a broadcast of the
+    file list — the only driver-side structure, which split planning
+    holds anyway.  Equality deletes (content=2) are refused loudly."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    paths = [e["path"] for e in entries]
+    eq = [d for d in dels if d.get("content") == 2]
+    if eq:
+        raise NotImplementedError(
+            "iceberg equality delete files are not supported (position "
+            "deletes are applied; rewrite equality deletes to position "
+            "deletes upstream, e.g. Spark's rewrite_position_delete_files)")
+    pos = [d for d in dels if d.get("content") == 1]
+    if not pos:
+        return spark.read.parquet(*paths)
+    base = spark.read.parquet(*paths).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"))
+    # recorded path (what delete rows reference) -> the URI Spark
+    # reports + the data file's sequence number
+    mapping = spark.createDataFrame(
+        [(e["recorded_path"], "file:" + e["path"],
+          int(e["sequence_number"])) for e in entries],
+        "rp string, uri string, data_seq long")
+    dd = reduce(lambda a, b: a.unionByName(b), [
+        spark.read.parquet(d["path"]).select(
+            F.col("file_path").alias("rp"),
+            F.col("pos").cast("long").alias("__pos"),
+            F.lit(int(d["sequence_number"])).alias("del_seq"))
+        for d in pos
+    ])
+    dd = (dd.join(F.broadcast(mapping), "rp")
+          .filter(F.col("del_seq") >= F.col("data_seq"))
+          .select(F.col("uri").alias("__file"), "__pos")
+          .distinct())
+    return (base.join(dd, ["__file", "__pos"], "left_anti")
+            .drop("__file", "__pos"))
+
+
 def read_table(spark, table_path: str,
                snapshot_id: int | None = None):
     """Snapshot-pinned DataFrame over an Iceberg table — the input
     side of `build_index` (the direct build plans splits from the same
-    file list via `plan_parquet_splits`)."""
+    file list via `plan_parquet_splits`).  v2 POSITION deletes are
+    applied (merge-on-read semantics); equality deletes refuse."""
     tbl = IcebergTable(table_path)
-    files = [f["path"] for f in tbl.data_files(snapshot_id)]
-    if not files:
+    entries = tbl.data_files(snapshot_id)
+    if not entries:
         return spark.createDataFrame(
             [], iceberg_to_spark_schema(tbl.schema()))
-    return spark.read.parquet(*files)
+    return _read_data_files(spark, entries, tbl.delete_files(snapshot_id))

@@ -230,15 +230,46 @@ def test_aggregate_sees_deletes(spark, tmp_root):
     # distributed and serving agree post-delete by construction of _both
 
 
-def test_serving_approximate_metrics_route_to_distributed(built):
+def test_serving_approx_sketches_answer_in_process(built):
+    """Approximate metrics now run on serving-side mergeable sketches
+    (HLL cardinality, DDSketch percentiles) with their documented error
+    bounds instead of raising; only terms shard_size (the distributed
+    shard-merge protocol) remains distributed-only."""
     srv = ServingSearcher(built)
-    with pytest.raises(NotImplementedError, match="distributed"):
-        srv.aggregate({"terms": {"field": "role"},
-                       "aggs": {"c": {"cardinality": {"field": "conv_id"}}}})
-    with pytest.raises(NotImplementedError, match="distributed"):
-        srv.aggregate({"terms": {"field": "role"},
-                       "aggs": {"p": {"percentiles": {
-                           "field": "token_count", "exact": False}}}})
+    approx_c = srv.aggregate(
+        {"terms": {"field": "role"},
+         "aggs": {"c": {"cardinality": {"field": "conv_id"}}}})
+    exact_c = srv.aggregate(
+        {"terms": {"field": "role"},
+         "aggs": {"c": {"cardinality": {"field": "conv_id",
+                                        "exact": True}}}})
+    assert list(approx_c.columns) == list(exact_c.columns)
+    for est, ex in zip(approx_c["c"], exact_c["c"]):
+        # rsd 0.023 -> 5-sigma bound (plus slack for tiny counts)
+        assert abs(int(est) - int(ex)) <= max(5 * 0.023 * int(ex), 2)
+    # deterministic (seeded hash, no randomness)
+    again = srv.aggregate(
+        {"terms": {"field": "role"},
+         "aggs": {"c": {"cardinality": {"field": "conv_id"}}}})
+    assert approx_c.equals(again)
+
+    approx_p = srv.aggregate(
+        {"terms": {"field": "role"},
+         "aggs": {"p": {"percentiles": {"field": "token_count",
+                                        "exact": False}}}})
+    exact_p = srv.aggregate(
+        {"terms": {"field": "role"},
+         "aggs": {"p": {"percentiles": {"field": "token_count"}}}})
+    assert list(approx_p.columns) == list(exact_p.columns)
+    pcols = [c for c in approx_p.columns if c.startswith("p_p")]
+    assert pcols
+    # DDSketch guarantee is alpha=0.01 vs the RANK value; the exact
+    # column interpolates between ranks, so allow one inter-rank gap
+    # (token_count is integral -> gap <= 1) on top of the alpha band
+    np.testing.assert_allclose(
+        approx_p[pcols].to_numpy(dtype="float64"),
+        exact_p[pcols].to_numpy(dtype="float64"), rtol=0.03, atol=1.0)
+
     with pytest.raises(NotImplementedError, match="shard_size"):
         srv.aggregate({"terms": {"field": "role", "shard_size": 5,
                                  "shard_col": "conv_id"}})

@@ -108,19 +108,93 @@ def test_moved_table_rebases_paths(spark, table, tmp_path):
         os.rename(tmp_orig, path)
 
 
-def test_delete_manifests_refused(spark, tmp_path):
-    # fresh table (NOT the shared fixture — this test corrupts its
-    # manifest-list in place)
-    path = str(tmp_path / "del")
+def test_position_deletes_applied_on_read(spark, tmp_path):
+    """v2 merge-on-read: commit_position_deletes writes a spec-shaped
+    delete manifest; read_table anti-joins the deleted (file, pos) rows
+    out; a snapshot pinned BEFORE the delete still sees every row; data
+    files committed AFTER the delete are untouched (sequence rule)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mor")
+    iceberg.write_table(spark, _mk_df(spark, 100), path)
+    t = iceberg.IcebergTable(path)
+    pre_delete_snap = t.current_snapshot_id
+    target = t.data_files()[0]
+    victim_rows = pq.read_table(target["path"]).to_pylist()
+    victims = {victim_rows[i]["conv_id"] for i in (0, 1, 5)}
+
+    sid = iceberg.commit_position_deletes(
+        path, {target["path"]: [0, 1, 5]})
+    t2 = iceberg.IcebergTable(path)
+    assert t2.current_snapshot_id == sid
+    dels = t2.delete_files()
+    assert len(dels) == 1 and dels[0]["content"] == 1
+    assert dels[0]["record_count"] == 3
+    # data_files still lists the pre-delete file set (no raise)
+    assert len(t2.data_files()) == len(t.data_files())
+
+    got = {r["conv_id"] for r in
+           iceberg.read_table(spark, path).collect()}
+    assert len(got) == 97 and not (got & victims)
+    # pinned pre-delete snapshot is untouched
+    assert iceberg.read_table(spark, path,
+                              pre_delete_snap).count() == 100
+    # later data files are not affected by the earlier delete
+    iceberg.write_table(spark, _mk_df(spark, 30, off=100), path)
+    assert iceberg.read_table(spark, path).count() == 127
+
+
+def test_position_deletes_direct_build_falls_back(spark, tmp_path):
+    """build_index_direct over a merge-on-read table routes through the
+    delete-applying DataFrame read — deleted rows are absent from the
+    index instead of raising (or silently appearing)."""
+    import pyarrow.parquet as pq
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "mor_build")
+    iceberg.write_table(spark, _mk_df(spark, 60), path)
+    t = iceberg.IcebergTable(path)
+    target = t.data_files()[0]
+    victim = pq.read_table(target["path"]).to_pylist()[3]
+    tok = victim["text"].split()[-1]          # tokenNN, unique per row
+    iceberg.commit_position_deletes(path, {target["path"]: [3]})
+
+    idx = str(tmp_path / "mor_idx")
+    m = build_index_direct(spark, path, idx, IndexConfig(n_term_buckets=2))
+    assert m["total_docs"] == 59
+    s = Searcher(spark, idx)
+    assert s.count(TermQuery(tok.lower())) == 0
+    assert s.count(TermQuery("hello")) == 59
+
+
+def test_equality_deletes_refused(spark, tmp_path):
+    """Equality delete files (content=2) refuse loudly at the points
+    that would have to apply them — never silently wrong results."""
+    path = str(tmp_path / "eqdel")
     iceberg.write_table(spark, _mk_df(spark, 10), path)
     t = iceberg.IcebergTable(path)
-    mlist = t._local(t._snapshot(None)["manifest-list"])
-    schema, meta, manifests = avro.read_container(mlist)
-    manifests[-1]["content"] = 1  # pretend: a delete manifest
-    avro.write_container(
-        mlist, json.dumps(iceberg._MANIFEST_FILE_SCHEMA), manifests)
-    with pytest.raises(NotImplementedError, match="delete"):
-        iceberg.IcebergTable(path).data_files()
+    target = t.data_files()[0]
+    iceberg.commit_position_deletes(path, {target["path"]: [0]})
+    # flip the delete file's content to 2 (equality) in its manifest
+    t2 = iceberg.IcebergTable(path)
+    for mf in t2._manifests(None):
+        if mf.get("content") == 1:
+            mp = t2._local(mf["manifest_path"])
+            schema, meta, entries = avro.read_container(mp)
+            for e in entries:
+                e["data_file"]["content"] = 2
+            avro.write_container(
+                mp, json.dumps(iceberg._MANIFEST_ENTRY_SCHEMA), entries)
+    with pytest.raises(NotImplementedError, match="equality"):
+        iceberg.read_table(spark, path).count()
+    idx = str(tmp_path / "eq_idx")
+    from tantivy_spark.config import IndexConfig
+    with pytest.raises(NotImplementedError, match="equality"):
+        iceberg.sync_index(spark, path, idx, IndexConfig(n_term_buckets=2))
 
 
 def test_jvm_reads_real_manifest(spark, table):
@@ -336,6 +410,57 @@ def test_sync_recovery_nonce_not_fooled_by_other_commits(spark, tmp_path):
         _json.dump(side_again, f)
     m2 = iceberg.sync_index(spark, path, idx, cfg)
     assert m2["total_docs"] == 80         # promoted, no duplicates
+
+
+def test_sync_index_honors_deletes_across_snapshots(spark, tmp_path):
+    """sync_index with v2 deletes: rows deleted AFTER their file was
+    indexed become engine address tombstones (distributed resolution,
+    queries exclude them); rows deleted BEFORE their file is first
+    indexed are dropped by the filtered read; re-sync is idempotent."""
+    import pyarrow.parquet as pq
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 50), path)
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m1["total_docs"] == 50
+
+    # delete 2 rows of the ALREADY-INDEXED file -> tombstones
+    t = iceberg.IcebergTable(path)
+    f1 = t.data_files()[0]
+    rows1 = pq.read_table(f1["path"]).to_pylist()
+    toks_dead = [rows1[i]["text"].split()[-1].lower() for i in (2, 4)]
+    iceberg.commit_position_deletes(path, {f1["path"]: [2, 4]})
+
+    # plus a new batch carrying its own pre-index delete
+    iceberg.write_table(spark, _mk_df(spark, 30, off=50), path)
+    t = iceberg.IcebergTable(path)
+    f2 = [e for e in t.data_files()
+          if "batch-00003" in e["path"]][0]
+    rows2 = pq.read_table(f2["path"]).to_pylist()
+    tok_new_dead = rows2[1]["text"].split()[-1].lower()
+    iceberg.commit_position_deletes(path, {f2["path"]: [1]})
+
+    iceberg.sync_index(spark, path, idx, cfg)
+    s = Searcher(spark, idx)
+    # tombstoned (post-index delete): invisible to every query path
+    for tok in toks_dead:
+        assert s.count(TermQuery(tok)) == 0
+    # pre-index delete: never entered the index
+    assert s.count(TermQuery(tok_new_dead)) == 0
+    assert s.count(TermQuery("hello")) == 50 - 2 + 30 - 1
+    # idempotent: nothing new -> unchanged
+    m3 = iceberg.sync_index(spark, path, idx, cfg)
+    assert {x["segment_ord"] for x in m3["segments"]} == \
+        {x["segment_ord"] for x in iceberg.sync_index(
+            spark, path, idx, cfg)["segments"]}
+    s2 = Searcher(spark, idx)
+    assert s2.count(TermQuery("hello")) == 77
 
 
 def test_commit_cas_survives_concurrent_committer(spark, tmp_path):
