@@ -1246,34 +1246,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Rotation: least-recently-driver-sampled entries FIRST (the driver
     # samples ~50 of 94 in dict order), so every entry stays within one
-    # round of an official CORRECTNESS_r*.json check.  Round-4 order:
-    # the never-sampled serving entries, then the 4 entries last sampled
-    # in r1, then the 26 last sampled in r2, then the 50 that appeared in
-    # CORRECTNESS_r03.json.
+    # round of an official CORRECTNESS_r*.json check.  Round-5 order:
+    # the 44 entries NOT sampled in CORRECTNESS_r04.json (all last
+    # sampled in r2/r3 and green there), then the 50 r4-sampled ones.
     stale = [
-        # new this round (never driver-sampled)
-        "ft_iceberg_term_top10", "ft_iceberg_snapshot_count",
-        "ft_batch_term_top10", "ft_batch_or_top10", "ft_batch_and_top10",
-        "ft_serving_term_top10", "ft_serving_or_top10",
-        "ft_serving_phrase_top10", "ft_serving_mixed_top10",
-        "ft_serving_range_nchars", "ft_serving_counts",
-        "agg_query_scoped_terms", "agg_serving_query_terms",
-        "agg_serving_query_histogram",
-        # last sampled r1
-        "agg_composite_page2", "agg_filter_bucket",
-        "dedup_exact_stats", "dedup_ngram_jaccard",
-        # last sampled r2
-        "ft_all_count", "ft_range_nchars", "ft_exists_lang",
-        "json_field_docs", "json_field_count", "ft_parsed_date_range",
-        "coll_topdocs_by_fast_field", "coll_facet_lang",
-        "coll_histogram_nchars", "coll_sort_key_page",
-        "mm_media_metadata", "mm_frame_sample_counts",
-        "mm_image_features", "agg_extended_stats", "agg_nested_type_day",
-        "agg_terms_event_type", "agg_date_histogram", "agg_range_value",
-        "agg_stats_value", "agg_percentiles_ddsketch",
-        "agg_percentiles_value", "agg_cardinality_users",
-        "agg_cardinality_hll", "agg_terms_shard_error",
-        "agg_terms_sum_other", "agg_top_hits",
+        "ft_and_top10", "ft_bool_mixed_top10", "ft_min_should_match",
+        "ft_boost_top10", "ft_const_score", "ft_dismax_top10",
+        "ft_daat_or_top10", "ft_daat_and_top10", "ft_parsed_nested",
+        "ft_parsed_range", "ft_field_scoped", "ft_field_scoped_kb",
+        "ft_phrase_prefix", "ft_fuzzy", "ft_regex", "ft_more_like_this",
+        "ft_phrase_top10", "ft_bool_with_phrase",
+        "ft_bool_with_phrase_daat", "ft_phrase_daat_top10",
+        "ft_term_set", "ft_count_term", "agg_composite_typed",
+        "agg_terms_order_metric", "agg_histogram_value",
+        "agg_date_histogram_fixed", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "ann_cosine_top10", "ann_lsh_top10",
+        "ann_dot_top10", "ann_l2_top10", "ann_ivf_top10",
+        "ann_ivf_segment_top10", "text_lang_id", "text_quality",
+        "text_token_counts", "text_fingerprint",
+        "text_rolling_fingerprint", "text_stopword_multilang",
+        "text_contamination", "text_repetition", "text_pii",
     ]
     front = {k: Q[k] for k in stale if k in Q}
     return front | {k: v for k, v in Q.items() if k not in front}

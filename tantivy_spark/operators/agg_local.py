@@ -25,11 +25,11 @@ explicit errors rather than silent divergence:
   entries).  Exact variants are value-identical across engines.
 * `terms` `shard_size` raises — it is the distributed shard-merge error
   protocol; a single-process reader is always exact (error bound 0).
-* `filter` conditions: a callable(pdf) -> bool mask, or a string
-  evaluated by `pandas.eval` (python engine).  Spark's SQL dialect and
-  pandas' expression dialect overlap on comparisons/boolean operators
-  (`token_count > 30 and turn_idx < 5`); SQL-only syntax (`=`, LIKE)
-  is not translated.
+* `filter` conditions: a callable(pdf) -> bool mask, or a string /
+  AST list in the SHARED portable predicate language
+  (plans/predicate.py) — the same dialect, Spark-null (Kleene)
+  semantics, and PredicateError as the distributed `filter_agg`; the
+  old pandas.eval dialect-overlap trap is gone.
 
 Scale note: this engine aggregates one query's match set in one
 process — the serving posture.  Corpus-scale aggregations belong on the
@@ -396,9 +396,17 @@ def _range(pdf: pd.DataFrame, body: dict,
 def _filter(pdf: pd.DataFrame, body: dict,
             sub_aggs: dict | None) -> pd.DataFrame:
     cond = body["condition"]
-    mask = (cond(pdf) if callable(cond)
-            else pdf.eval(cond, engine="python"))
-    return _agg_global(pdf[np.asarray(mask, dtype=bool)], sub_aggs)
+    if callable(cond):
+        mask = np.asarray(cond(pdf), dtype=bool)
+    else:
+        # the SHARED portable predicate (plans/predicate.py): same
+        # dialect, same Spark-null (Kleene) semantics, same
+        # PredicateError as the distributed filter_agg — pandas.eval
+        # and its dialect-overlap trap are gone
+        from tantivy_spark.plans import predicate as P
+
+        mask = P.to_pandas_mask(P.as_ast(cond), pdf)
+    return _agg_global(pdf[mask], sub_aggs)
 
 
 def _composite_source(spec, pdf: pd.DataFrame):

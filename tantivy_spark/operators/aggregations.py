@@ -366,8 +366,18 @@ def range_agg(df: DataFrame, field: str, ranges: list[dict],
 
 
 def filter_agg(df: DataFrame, condition, sub_aggs: dict | None = None) -> DataFrame:
-    """Filter bucket (bucket/filter.rs): metrics over the matching subset."""
-    cond = F.expr(condition) if isinstance(condition, str) else condition
+    """Filter bucket (bucket/filter.rs): metrics over the matching
+    subset.  String and AST-list conditions compile through the SHARED
+    portable predicate (plans/predicate.py) — the serving mirror runs
+    the same dialect with the same null semantics and raises the same
+    PredicateError on anything unsupported; pass a Catalyst Column for
+    engine-specific SQL."""
+    from tantivy_spark.plans import predicate as _P
+
+    if isinstance(condition, (str, list, tuple)):
+        cond = _P.to_spark(_P.as_ast(condition))
+    else:
+        cond = condition
     return df.filter(cond).agg(*_sub_metric_exprs(sub_aggs))
 
 
@@ -567,6 +577,17 @@ def request_fields(request: dict) -> list[str]:
             elif kind == "filter":
                 for c in body.get("fields") or []:
                     add(c)
+                cond = body.get("condition")
+                if isinstance(cond, (str, list, tuple)):
+                    # portable predicates declare their own fields —
+                    # no separate "fields" list needed
+                    from tantivy_spark.plans import predicate as _P
+
+                    try:
+                        for c in _P.fields(_P.as_ast(cond)):
+                            add(c)
+                    except _P.PredicateError:
+                        pass    # surfaces with full context at execution
 
     walk(request)
     return out

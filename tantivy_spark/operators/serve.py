@@ -48,6 +48,7 @@ on the distributed path.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -55,7 +56,11 @@ import pyarrow.parquet as pq
 
 from tantivy_spark.config import IndexConfig
 from tantivy_spark.operators import kernel as K
-from tantivy_spark.operators.build import load_manifest, term_bucket_py
+from tantivy_spark.operators.build import (
+    MANIFEST_NAME,
+    load_manifest,
+    term_bucket_py,
+)
 from tantivy_spark.operators.merge import TOMBSTONES_DIR
 from tantivy_spark.functions.bm25 import Bm25Weight
 from tantivy_spark.functions.fieldnorm import FIELD_NORMS_TABLE
@@ -100,8 +105,23 @@ class ServingSearcher(Bm25StatsMixin):
     FASTFIELD_CACHE_VALUES = 50_000_000
 
     def __init__(self, index_dir: str, n_threads: int | None = None,
-                 decoded_cache_postings: int | None = None):
+                 decoded_cache_postings: int | None = None,
+                 reload_policy: str = "manual",
+                 reload_delay: float = 0.5):
+        if reload_policy not in ("manual", "on_commit"):
+            raise ValueError(
+                f"reload_policy {reload_policy!r} (manual | on_commit)")
         self.index_dir = index_dir
+        # ReloadPolicy::OnCommitWithDelay analogue (src/reader/mod.rs:
+        # 21-30): with "on_commit", every query entry point checks the
+        # manifest's (mtime, size) at most once per `reload_delay`
+        # seconds and reloads when a commit (sync_index / streaming
+        # append / merge) rewrote it — a long-lived server tracks table
+        # commits with no caller polling.  The check runs at query
+        # time, not on a background thread: an idle server does no
+        # work, and the delay still bounds staleness of every answer.
+        self.reload_policy = reload_policy
+        self.reload_delay = float(reload_delay)
         self.decoded_cache_postings = (
             self.DECODED_CACHE_POSTINGS if decoded_cache_postings is None
             else max(0, decoded_cache_postings))
@@ -146,6 +166,34 @@ class ServingSearcher(Bm25StatsMixin):
         # field -> (values sorted by (segment_ord, doc_id), seg -> offset)
         self._ff_cache: dict[str, tuple[pd.Series, dict[int, int]]] = {}
         self._ff_granted = 0
+        self._watch_sig = self._manifest_sig()
+        self._watch_last = time.monotonic()
+
+    # -- reload policy ------------------------------------------------------
+    def _manifest_sig(self):
+        try:
+            st = os.stat(os.path.join(self.index_dir, MANIFEST_NAME))
+            return (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return None
+
+    def _maybe_reload(self) -> None:
+        """The on_commit reload check (see __init__): at most one
+        manifest stat per reload_delay; a changed manifest triggers
+        reload(), an unchanged one still refreshes the tombstone state
+        on the same cadence (deletes commit without rewriting the
+        manifest — exactly what an explicit reload() does)."""
+        if self.reload_policy != "on_commit":
+            return
+        now = time.monotonic()
+        if now - self._watch_last < self.reload_delay:
+            return
+        self._watch_last = now
+        if self._manifest_sig() != self._watch_sig:
+            self.reload()
+        else:
+            self._term_tombs = None
+            self._dead = None
 
     # -- tombstones (alive-bitset sources, read once per snapshot) ----------
     def _term_tombstones(self) -> list[str]:
@@ -281,6 +329,7 @@ class ServingSearcher(Bm25StatsMixin):
         picked up."""
         self._term_tombs = None
         self._dead = None
+        self._watch_sig = self._manifest_sig()
         new = load_manifest(self.index_dir)
         if new == self.manifest:
             return False
@@ -491,6 +540,7 @@ class ServingSearcher(Bm25StatsMixin):
         """Count collector: doc_freq fast path for single terms with no
         pending deletes (weight.rs count default + term_weight.rs
         override), full match-set evaluation otherwise."""
+        self._maybe_reload()
         if (isinstance(query, L.TermQuery) and not self._term_tombstones()
                 and not self._dead_by_segment()):
             return self.doc_freqs([query.term])[query.term]
@@ -511,6 +561,7 @@ class ServingSearcher(Bm25StatsMixin):
         from tantivy_spark.operators.agg_local import run_aggregation_pandas
         from tantivy_spark.operators.aggregations import request_fields
 
+        self._maybe_reload()
         cols = (list(fast_fields) if fast_fields is not None
                 else request_fields(request))
         matched = self._match_docs_by_segment(query)
@@ -595,6 +646,7 @@ class ServingSearcher(Bm25StatsMixin):
         kernel paths; nested trees / range / exists run the same float64
         formulas as the distributed TAAT fallback.  Dispatch order
         mirrors Searcher._top_docs_frame_impl."""
+        self._maybe_reload()
         if isinstance(query, L.AllQuery):
             out = self._search_all(k)
             return self._with_keys(out) if fetch_keys else out

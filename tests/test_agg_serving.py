@@ -113,11 +113,24 @@ REQUESTS = [
                "pct": {"percentiles": {"field": "token_count",
                                        "percents": [25.0, 50.0, 99.0]}}}},
      None),
-    # filter bucket (condition valid in both dialects; fields declared)
+    # filter bucket (the shared portable predicate; fields declared)
     ({"filter": {"condition": "token_count > 30",
                  "fields": ["token_count"]},
       "aggs": {"n": {"value_count": {"field": "token_count"}}}},
      L.TermQuery("w2")),
+    # filter bucket: AST form + boolean structure + null-typed column
+    # (tool is mostly null — not/in must DROP null rows on BOTH
+    # engines, Spark's three-valued semantics); fields inferred from
+    # the predicate, no declaration
+    ({"filter": {"condition": ["and", ["gt", "token_count", 20],
+                               ["not", ["in", "role", ["tool"]]]]},
+      "aggs": {"n": {"value_count": {"field": "token_count"}},
+               "a": {"avg": {"field": "token_count"}}}},
+     None),
+    ({"filter": {"condition":
+                 "not tool == 'browser' or token_count <= 15"},
+      "aggs": {"n": {"value_count": {"field": "token_count"}}}},
+     None),
     # composite: typed sources, per-source order
     ({"composite": {"sources": [
         {"r": {"terms": {"field": "role", "order": "desc"}}},

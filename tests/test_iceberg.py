@@ -603,6 +603,58 @@ def test_sync_then_serving_reload(spark, tmp_path):
     assert len(srv.search(TermQuery("token77"), k=5)) == 1
 
 
+def test_serving_on_commit_reload_policy(spark, tmp_path):
+    """ReloadPolicy::OnCommitWithDelay analogue (src/reader/mod.rs:
+    21-30): a reader opened with reload_policy='on_commit' sees a
+    sync-appended segment within the configured delay with NO explicit
+    reload() call, and tracks delete commits (which don't rewrite the
+    manifest) on the same cadence."""
+    import time as _time
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.merge import delete_by_address
+    from tantivy_spark.operators.serve import ServingSearcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 40), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    srv = ServingSearcher(idx, reload_policy="on_commit",
+                          reload_delay=0.05)
+    assert len(srv.search(TermQuery("token77"), k=5)) == 0
+    baseline = srv.count(TermQuery("hello"))
+    assert baseline == 40
+
+    # table commit + sync; NO srv.reload() anywhere below
+    iceberg.write_table(spark, _mk_df(spark, 40, off=40), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+    _time.sleep(0.06)                      # > reload_delay
+    assert len(srv.search(TermQuery("token77"), k=5)) == 1
+    assert srv.count(TermQuery("hello")) == 80
+
+    # a delete commit (no manifest rewrite) is tracked on the cadence
+    hit = srv.search(TermQuery("token77"), k=5)
+    addr = (int(hit["segment_ord"][0]), int(hit["doc_id"][0]))
+    delete_by_address(spark, idx, [addr])
+    _time.sleep(0.06)
+    assert len(srv.search(TermQuery("token77"), k=5)) == 0
+
+    # manual policy (the default) stays pinned
+    srv2 = ServingSearcher(idx)
+    iceberg.write_table(spark, _mk_df(spark, 10, off=80), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+    _time.sleep(0.06)
+    assert srv2.count(TermQuery("hello")) == 79   # 80 - 1 deleted
+    srv2.reload()
+    assert srv2.count(TermQuery("hello")) == 89
+
+    with pytest.raises(ValueError, match="reload_policy"):
+        ServingSearcher(idx, reload_policy="bogus")
+
+
 def test_sync_index_inherits_and_guards_config(spark, tmp_path):
     from tantivy_spark.config import IndexConfig
 
