@@ -250,6 +250,56 @@ def _iceberg_searcher(spark: SparkSession, sf_dir: str,
     return _SEARCHERS[index_dir]
 
 
+def _iceberg_mor_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Merge-on-read: documents committed as ONE doc_id-ordered data
+    file, then a v2 POSITION-delete snapshot for positions
+    {0, 1, 2, 10, 11} — the file is doc_id-sorted and doc_id is
+    0..n-1, so position == ext_id and the oracle excludes exactly
+    those ids.  `build_index_direct` detects the delete-carrying table
+    and routes through the delete-applying DataFrame read
+    (`sources/iceberg.py read_table`), so the deleted rows never enter
+    the index."""
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.sources.iceberg import (
+        IcebergTable,
+        commit_position_deletes,
+        write_table,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tpath = os.path.join(_IDX_ROOT, f"docs-icemor-{tag}-v1")
+    index_dir = os.path.join(_IDX_ROOT, f"docs-icemor-idx-{tag}-v1")
+    if index_dir not in _SEARCHERS:
+        cfg = IndexConfig(
+            text_col="text",
+            key_cols=("ext_id",),
+            n_term_buckets=8,
+            positions=True,
+        )
+        try:
+            load_manifest(index_dir)
+        except FileNotFoundError:
+            try:
+                t = IcebergTable(tpath)
+                if len(t.snapshots) != 2 or not t.delete_files():
+                    raise FileNotFoundError  # partial write — redo
+            except FileNotFoundError:
+                import shutil
+
+                shutil.rmtree(tpath, ignore_errors=True)
+                write_table(
+                    spark,
+                    _documents(spark, sf_dir)
+                    .coalesce(1).sortWithinPartitions("ext_id"),
+                    tpath, mode="overwrite")
+                t = IcebergTable(tpath)
+                commit_position_deletes(
+                    tpath, {t.data_files()[0]["path"]: [0, 1, 2, 10, 11]})
+            build_index_direct(spark, tpath, index_dir, cfg)
+        _SEARCHERS[index_dir] = Searcher(spark, index_dir)
+    return _SEARCHERS[index_dir]
+
+
 def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """A copy of the fulltext index with `delete_query(term "merge")`
     applied — address tombstones exercised through the driver contract.
@@ -596,6 +646,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame([(n,)], "n_matching long")
 
     Q["ft_iceberg_snapshot_count"] = _ice_snap_count
+
+    def _ice_mor_counts(s, d):
+        # v2 position deletes (merge-on-read): the deleted rows
+        # (ext_id 0,1,2,10,11 — position == id, see
+        # _iceberg_mor_searcher) are absent from every count
+        sr = _iceberg_mor_searcher(s, d)
+        return s.createDataFrame(
+            [(sr.count(L.AllQuery()), sr.count(L.TermQuery("dup")))],
+            "n_docs long, n_dup long")
+
+    Q["ft_iceberg_posdelete_count"] = _ice_mor_counts
     Q["ft_or_top10"] = lambda s, d: _topk(
         s, d, L.BooleanQuery.union(["spark", "key", "dup"]), 10)
     Q["ft_and_top10"] = lambda s, d: _topk(
@@ -1065,6 +1126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"filter": {"condition": "value > 10"},
          "aggs": {"v_avg": {"avg": {"field": "value"}}}},
     ).withColumn("v_avg", F.round("v_avg", 5))
+    # the shared portable predicate AST (plans/predicate.py) — the same
+    # tree compiles to a Catalyst filter here and to a pandas
+    # Kleene-logic mask on the serving mirror
+    Q["agg_filter_predicate"] = lambda s, d: A.run_aggregation(
+        _tbl(s, d, "events"),
+        {"filter": {"condition":
+                    ["and", ["gt", "value", 10],
+                     ["not", ["in", "event_type", ["click", "view"]]]]},
+         "aggs": {"n_ev": {"value_count": {"field": "value"}},
+                  "v_avg": {"avg": {"field": "value"}}}},
+    ).withColumn("v_avg", F.round("v_avg", 5))
 
     # QUERY-SCOPED aggregations — the reference's actual entry point
     # (searcher.search(query, AggregationCollector), collector.rs:83-118):
@@ -1249,7 +1321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round of an official CORRECTNESS_r*.json check.  Round-5 order:
     # the 44 entries NOT sampled in CORRECTNESS_r04.json (all last
     # sampled in r2/r3 and green there), then the 50 r4-sampled ones.
+    # The two round-5 entries (never sampled) lead.
     stale = [
+        "ft_iceberg_posdelete_count", "agg_filter_predicate",
         "ft_and_top10", "ft_bool_mixed_top10", "ft_min_should_match",
         "ft_boost_top10", "ft_const_score", "ft_dismax_top10",
         "ft_daat_or_top10", "ft_daat_and_top10", "ft_parsed_nested",
@@ -1323,6 +1397,18 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT count(DISTINCT t.doc_id)::BIGINT AS n_matching FROM tf t "
           "JOIN documents d ON t.doc_id = d.doc_id "
           "WHERE t.term = 'dup' AND d.lang = 'en'"
+    )
+    # v2 position deletes: the single data file is doc_id-sorted and
+    # doc_id is 0..n-1, so deleted positions {0,1,2,10,11} are exactly
+    # those doc ids (see _iceberg_mor_searcher)
+    O["ft_iceberg_posdelete_count"] = (
+        _BM25_PRELUDE
+        + "SELECT (SELECT count(*) FROM documents "
+          "        WHERE doc_id NOT IN (0, 1, 2, 10, 11))::BIGINT "
+          "       AS n_docs, "
+          "       (SELECT count(DISTINCT doc_id) FROM tf "
+          "        WHERE term = 'dup' "
+          "        AND doc_id NOT IN (0, 1, 2, 10, 11))::BIGINT AS n_dup"
     )
     O["ft_or_top10"] = _bool_topk_sql(
         [("should", "spark", 1.0), ("should", "key", 1.0), ("should", "dup", 1.0)], 10)
@@ -1893,6 +1979,12 @@ ORDER BY event_type, user_band LIMIT 15"""
     O["agg_filter_bucket"] = """
 SELECT count(*)::BIGINT AS doc_count, round(avg(value), 5) AS v_avg
 FROM events WHERE value > 10"""
+    # NOT IN over a nullable column drops null rows in SQL exactly as
+    # the predicate AST's Kleene semantics do on both engines
+    O["agg_filter_predicate"] = """
+SELECT count(*)::BIGINT AS doc_count, count(value)::BIGINT AS n_ev,
+       round(avg(value), 5) AS v_avg
+FROM events WHERE value > 10 AND event_type NOT IN ('click', 'view')"""
 
     # query-scoped aggregations: tokenize like the engine's default
     # analyzer, scope to docs containing the query term, aggregate the
