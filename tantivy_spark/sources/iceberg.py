@@ -141,6 +141,11 @@ _DATA_FILE_SCHEMA = {
          "type": {"type": "record", "name": "r102", "fields": []}},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        # spec field 135: schema field ids an equality-delete file keys
+        # on (null for data files and position deletes)
+        {"name": "equality_ids", "field-id": 135, "default": None,
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}]},
     ]}
 
 _MANIFEST_ENTRY_SCHEMA = {
@@ -374,6 +379,7 @@ class IcebergTable:
                 "content": content,
                 "record_count": df["record_count"],
                 "sequence_number": self._entry_seq(mf, e),
+                "equality_ids": df.get("equality_ids"),
             })
         return out
 
@@ -613,6 +619,22 @@ def commit_position_deletes(table_path: str,
         "CAS 16 times in a row")
 
 
+def _writer_state(table_path: str) -> tuple:
+    """(tbl, metadata, version, parent_id, seq, snapshot_id, now_ms)
+    for a new commit — always built on the LATEST metadata file (the
+    hint is a reader pointer; see `_write_metadata`)."""
+    tbl = IcebergTable(table_path)
+    latest = tbl._latest_metadata_file()
+    if latest and latest != tbl.metadata_file:
+        tbl.metadata_file = latest
+        with open(latest) as f:
+            tbl.metadata = json.load(f)
+    metadata = tbl.metadata
+    seq = metadata.get("last-sequence-number", 0) + 1
+    return (tbl, metadata, tbl._next_version(), tbl.current_snapshot_id,
+            seq, seq, int(time.time() * 1000))
+
+
 def _commit_position_deletes_once(table_path: str,
                                   deletes: dict[str, list[int]],
                                   snapshot_props: dict | None = None) -> int:
@@ -623,18 +645,8 @@ def _commit_position_deletes_once(table_path: str,
     if not deletes:
         raise ValueError("commit_position_deletes needs at least one "
                          "(file, positions) entry")
-    tbl = IcebergTable(table_path)
-    latest = tbl._latest_metadata_file()
-    if latest and latest != tbl.metadata_file:
-        tbl.metadata_file = latest
-        with open(latest) as f:
-            tbl.metadata = json.load(f)
-    now_ms = int(time.time() * 1000)
-    metadata = tbl.metadata
-    version = tbl._next_version()
-    parent_id = tbl.current_snapshot_id
-    seq = metadata.get("last-sequence-number", 0) + 1
-    snapshot_id = seq
+    (tbl, metadata, version, parent_id,
+     seq, snapshot_id, now_ms) = _writer_state(table_path)
 
     # resolve caller paths to the RECORDED form delete rows must carry
     rec_of = {}
@@ -675,6 +687,91 @@ def _commit_position_deletes_once(table_path: str,
             "file_size_in_bytes": os.path.getsize(del_path),
         },
     }]
+    return _commit_delete_manifest(
+        table_path, tbl, metadata, version, parent_id, seq, snapshot_id,
+        now_ms, entries,
+        summary={"operation": "delete", "added-delete-files": "1",
+                 "added-position-deletes": str(len(rows_fp)),
+                 **(snapshot_props or {})})
+
+
+def commit_equality_deletes(table_path: str, equality_cols: list[str],
+                            rows: list[dict],
+                            snapshot_props: dict | None = None) -> int:
+    """Commit v2 EQUALITY deletes: each row of values for
+    ``equality_cols`` deletes every matching data row in data files
+    whose data sequence number is STRICTLY less than this snapshot's
+    (spec rule; null values match null, the null-safe semantics
+    `_read_data_files` applies).  Returns the snapshot id."""
+    for _ in range(16):
+        try:
+            return _commit_equality_deletes_once(
+                table_path, equality_cols, rows, snapshot_props)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"commit_equality_deletes to {table_path!r} lost the metadata "
+        "CAS 16 times in a row")
+
+
+def _commit_equality_deletes_once(table_path: str,
+                                  equality_cols: list[str],
+                                  rows: list[dict],
+                                  snapshot_props: dict | None = None) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_path = os.path.abspath(_strip_scheme(table_path))
+    if not rows or not equality_cols:
+        raise ValueError("commit_equality_deletes needs equality_cols "
+                         "and at least one row")
+    (tbl, metadata, version, parent_id,
+     seq, snapshot_id, now_ms) = _writer_state(table_path)
+    id_by_name = {f["name"]: f["id"] for f in tbl.schema()["fields"]}
+    try:
+        eq_ids = [int(id_by_name[c]) for c in equality_cols]
+    except KeyError as e:
+        raise ValueError(f"unknown equality column {e}") from None
+
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    del_path = os.path.join(
+        data_dir, f"eqdelete-{seq:05d}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(
+        pa.table({c: pa.array([r.get(c) for r in rows])
+                  for c in equality_cols}),
+        del_path)
+    entries = [{
+        "status": _STATUS_ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 2,                       # equality deletes
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": eq_ids,
+        },
+    }]
+    return _commit_delete_manifest(
+        table_path, tbl, metadata, version, parent_id, seq, snapshot_id,
+        now_ms, entries,
+        summary={"operation": "delete", "added-delete-files": "1",
+                 "added-equality-deletes": str(len(rows)),
+                 **(snapshot_props or {})})
+
+
+def _commit_delete_manifest(table_path: str, tbl: IcebergTable,
+                            metadata: dict, version: int, parent_id,
+                            seq: int, snapshot_id: int, now_ms: int,
+                            entries: list[dict], summary: dict) -> int:
+    """Shared tail of a delete-snapshot commit: delete manifest
+    (content=1) + manifest list + snapshot + metadata CAS."""
+    md_dir = os.path.join(table_path, "metadata")
+    n_rows = sum(e["data_file"]["record_count"] for e in entries)
     schema_json = json.dumps(
         metadata["schemas"][0] if "schemas" in metadata
         else metadata["schema"])
@@ -696,10 +793,10 @@ def _commit_position_deletes_once(table_path: str,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": 1,
+        "added_files_count": len(entries),
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": len(rows_fp),
+        "added_rows_count": n_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -723,10 +820,7 @@ def _commit_position_deletes_once(table_path: str,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
         "schema-id": metadata.get("current-schema-id", 0),
-        "summary": dict({"operation": "delete",
-                         "added-delete-files": "1",
-                         "added-position-deletes": str(len(rows_fp))},
-                        **(snapshot_props or {})),
+        "summary": summary,
     }
     if parent_id not in (None, -1):
         snapshot["parent-snapshot-id"] = parent_id
@@ -879,10 +973,6 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     entries_now = tbl.data_files(snap_id)
     files_now = [f["path"] for f in entries_now]
     dels_now = tbl.delete_files(snap_id)
-    if any(d.get("content") == 2 for d in dels_now):
-        raise NotImplementedError(
-            "iceberg equality delete files are not supported (position "
-            "deletes are; rewrite equality deletes upstream)")
 
     table_root = os.path.abspath(_strip_scheme(table_path))
 
@@ -973,8 +1063,8 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     new_dels = [d for d in dels_now if norm(d["path"]) not in done_dels]
     done_entries = [e for e in entries_now if norm(e["path"]) in done]
     if new_dels and done_entries:
-        _tombstone_position_deletes(spark, index_dir, cfg,
-                                    done_entries, new_dels)
+        _tombstone_v2_deletes(spark, index_dir, cfg,
+                              done_entries, new_dels, tbl.schema())
 
     if not new_entries:
         side["done_deletes"] = side.get("done_deletes", []) + [
@@ -995,7 +1085,7 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     side["base_max_ord"] = manifest_max_ord()
     write_side()                                   # phase 1
     manifest = _append_segment(                    # atomic commit + nonce
-        spark, _read_data_files(spark, new_entries, dels_now),
+        spark, _read_data_files(spark, new_entries, dels_now, tbl.schema()),
         index_dir, cfg,
         manifest_extra={"last_sync_nonce": nonce})
     side["done"] = side["done"] + side["pending"]
@@ -1009,15 +1099,19 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     return manifest
 
 
-def _tombstone_position_deletes(spark, index_dir: str, cfg,
-                                done_entries: list[dict],
-                                new_dels: list[dict]) -> int:
-    """Convert v2 position-delete rows that target ALREADY-INDEXED data
-    files into engine address tombstones: (file, pos) -> source key
-    columns (via `_metadata.row_index`) -> docmap (segment_ord, doc_id)
-    -> distributed append to the tombstone table (the `delete_query`
-    write discipline — the matched count is the only scalar on the
-    driver).  Applicability follows the spec rule del_seq >= data_seq."""
+def _tombstone_v2_deletes(spark, index_dir: str, cfg,
+                          done_entries: list[dict],
+                          new_dels: list[dict],
+                          schema: dict | None = None) -> int:
+    """Convert v2 delete rows that target ALREADY-INDEXED data files
+    into engine address tombstones: doomed source rows -> key columns
+    -> docmap (segment_ord, doc_id) -> distributed append to the
+    tombstone table (the `delete_query` write discipline — the matched
+    count is the only scalar on the driver).  Position deletes match
+    (file, `_metadata.row_index`) with del_seq >= data_seq; equality
+    deletes match null-safe on their key columns with data_seq
+    STRICTLY < del_seq (the spec rules `_read_data_files` applies at
+    first-index time)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -1025,32 +1119,58 @@ def _tombstone_position_deletes(spark, index_dir: str, cfg,
     from ..operators.merge import tombstones_docs_path
 
     pos = [d for d in new_dels if d.get("content") == 1]
-    if not pos:
+    eq = [d for d in new_dels if d.get("content") == 2]
+    if not pos and not eq:
         return 0
     key_cols = list(cfg.key_cols)
     mapping = spark.createDataFrame(
         [(e["recorded_path"], "file:" + e["path"],
           int(e["sequence_number"])) for e in done_entries],
         "rp string, uri string, data_seq long")
-    dd = reduce(lambda a, b: a.unionByName(b), [
-        spark.read.parquet(d["path"]).select(
-            F.col("file_path").alias("rp"),
-            F.col("pos").cast("long").alias("__pos"),
-            F.lit(int(d["sequence_number"])).alias("del_seq"))
-        for d in pos
-    ])
-    dd = (dd.join(F.broadcast(mapping), "rp")
-          .filter(F.col("del_seq") >= F.col("data_seq"))
-          .select(F.col("uri").alias("__file"), "__pos")
-          .distinct())
-    doomed_keys = (
+    # read the eq-delete key columns too: doomed-row detection needs
+    # them even when they are not index key cols
+    eq_groups: dict[tuple, list[dict]] = {}
+    for d in eq:
+        eq_groups.setdefault(tuple(_eq_delete_cols(d, schema)), []).append(d)
+    read_cols = sorted(set(key_cols)
+                       | {c for g in eq_groups for c in g})
+    base = (
         spark.read.parquet(*[e["path"] for e in done_entries])
-        .select(*key_cols,
+        .select(*read_cols,
                 F.col("_metadata.file_path").alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"))
-        .join(dd, ["__file", "__pos"], "left_semi")
-        .select(*key_cols)
+        .join(F.broadcast(mapping.select(F.col("uri").alias("__file"),
+                                         F.col("data_seq")
+                                         .alias("__dseq"))), "__file")
     )
+    doomed = []
+    if pos:
+        dd = reduce(lambda a, b: a.unionByName(b), [
+            spark.read.parquet(d["path"]).select(
+                F.col("file_path").alias("rp"),
+                F.col("pos").cast("long").alias("__pos"),
+                F.lit(int(d["sequence_number"])).alias("del_seq"))
+            for d in pos
+        ])
+        dd = (dd.join(F.broadcast(mapping), "rp")
+              .filter(F.col("del_seq") >= F.col("data_seq"))
+              .select(F.col("uri").alias("__file"), "__pos")
+              .distinct())
+        doomed.append(base.join(dd, ["__file", "__pos"], "left_semi")
+                      .select(*key_cols))
+    for gcols, ds in sorted(eq_groups.items()):
+        ed = reduce(lambda a, b: a.unionByName(b), [
+            spark.read.parquet(d["path"]).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in gcols],
+                F.lit(int(d["sequence_number"])).alias("__eq_seq"))
+            for d in ds
+        ])
+        cond = ed["__eq_seq"] > base["__dseq"]      # STRICTLY less
+        for c in gcols:
+            cond = cond & base[c].eqNullSafe(ed[f"__eq_{c}"])
+        doomed.append(base.join(ed, cond, "left_semi")
+                      .select(*key_cols))
+    doomed_keys = reduce(lambda a, b: a.unionByName(b), doomed).distinct()
     addrs = (
         spark.read.parquet(os.path.join(index_dir, "docmap"))
         .select(*key_cols, "segment_ord", "doc_id")
@@ -1068,29 +1188,46 @@ def _tombstone_position_deletes(spark, index_dir: str, cfg,
     return n
 
 
-def _read_data_files(spark, entries: list[dict], dels: list[dict]):
+def _eq_delete_cols(d: dict, schema: dict | None) -> list[str]:
+    """Column names an equality-delete file keys on (spec field ids ->
+    current-schema names)."""
+    ids = d.get("equality_ids")
+    if not ids:
+        raise NotImplementedError(
+            "equality delete file without equality_ids cannot be applied")
+    if schema is None:
+        raise NotImplementedError(
+            "equality deletes need the table schema to resolve field ids")
+    name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    try:
+        return [name_by_id[int(i)] for i in ids]
+    except KeyError as e:
+        raise NotImplementedError(
+            f"equality delete references unknown field id {e} "
+            "(schema evolution beyond this reader)") from None
+
+
+def _read_data_files(spark, entries: list[dict], dels: list[dict],
+                     schema: dict | None = None):
     """DataFrame over the given data-file entries with applicable v2
-    POSITION deletes anti-joined out.  Fully distributed: the position
-    is Spark's parquet `_metadata.row_index`, the delete rows are read
-    as DataFrames, and the applicability rule (a position delete
-    applies to data files whose data sequence number <= the delete
-    file's, spec "Scan Planning") is a filter on a broadcast of the
-    file list — the only driver-side structure, which split planning
-    holds anyway.  Equality deletes (content=2) are refused loudly."""
+    deletes anti-joined out (merge-on-read).  Fully distributed: the
+    row position is Spark's parquet `_metadata.row_index`, the delete
+    rows are read as DataFrames, and the spec applicability rules —
+    POSITION deletes apply to data files with data_seq <= del_seq,
+    EQUALITY deletes to data files with data_seq STRICTLY < del_seq,
+    null-safe equality on the delete columns ("Scan Planning") — are
+    join conditions against a broadcast of the file list, the only
+    driver-side structure (split planning holds it anyway)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     paths = [e["path"] for e in entries]
-    eq = [d for d in dels if d.get("content") == 2]
-    if eq:
-        raise NotImplementedError(
-            "iceberg equality delete files are not supported (position "
-            "deletes are applied; rewrite equality deletes to position "
-            "deletes upstream, e.g. Spark's rewrite_position_delete_files)")
     pos = [d for d in dels if d.get("content") == 1]
-    if not pos:
+    eq = [d for d in dels if d.get("content") == 2]
+    if not pos and not eq:
         return spark.read.parquet(*paths)
+    cols = spark.read.parquet(*paths).columns
     base = spark.read.parquet(*paths).select(
         "*",
         F.col("_metadata.file_path").alias("__file"),
@@ -1101,30 +1238,54 @@ def _read_data_files(spark, entries: list[dict], dels: list[dict]):
         [(e["recorded_path"], "file:" + e["path"],
           int(e["sequence_number"])) for e in entries],
         "rp string, uri string, data_seq long")
-    dd = reduce(lambda a, b: a.unionByName(b), [
-        spark.read.parquet(d["path"]).select(
-            F.col("file_path").alias("rp"),
-            F.col("pos").cast("long").alias("__pos"),
-            F.lit(int(d["sequence_number"])).alias("del_seq"))
-        for d in pos
-    ])
-    dd = (dd.join(F.broadcast(mapping), "rp")
-          .filter(F.col("del_seq") >= F.col("data_seq"))
-          .select(F.col("uri").alias("__file"), "__pos")
-          .distinct())
-    return (base.join(dd, ["__file", "__pos"], "left_anti")
-            .drop("__file", "__pos"))
+    if pos:
+        dd = reduce(lambda a, b: a.unionByName(b), [
+            spark.read.parquet(d["path"]).select(
+                F.col("file_path").alias("rp"),
+                F.col("pos").cast("long").alias("__pos"),
+                F.lit(int(d["sequence_number"])).alias("del_seq"))
+            for d in pos
+        ])
+        dd = (dd.join(F.broadcast(mapping), "rp")
+              .filter(F.col("del_seq") >= F.col("data_seq"))
+              .select(F.col("uri").alias("__file"), "__pos")
+              .distinct())
+        base = base.join(dd, ["__file", "__pos"], "left_anti")
+    if eq:
+        base = base.join(
+            F.broadcast(mapping.select(F.col("uri").alias("__file"),
+                                       F.col("data_seq").alias("__dseq"))),
+            "__file")
+        # group equality files by their key-column tuple so each group
+        # is ONE anti-join
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq:
+            groups.setdefault(tuple(_eq_delete_cols(d, schema)), []).append(d)
+        for gcols, ds in sorted(groups.items()):
+            ed = reduce(lambda a, b: a.unionByName(b), [
+                spark.read.parquet(d["path"]).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in gcols],
+                    F.lit(int(d["sequence_number"])).alias("__eq_seq"))
+                for d in ds
+            ])
+            cond = ed["__eq_seq"] > base["__dseq"]    # STRICTLY less
+            for c in gcols:
+                cond = cond & base[c].eqNullSafe(ed[f"__eq_{c}"])
+            base = base.join(ed, cond, "left_anti")
+        base = base.drop("__dseq")
+    return base.select(*cols)
 
 
 def read_table(spark, table_path: str,
                snapshot_id: int | None = None):
     """Snapshot-pinned DataFrame over an Iceberg table — the input
     side of `build_index` (the direct build plans splits from the same
-    file list via `plan_parquet_splits`).  v2 POSITION deletes are
-    applied (merge-on-read semantics); equality deletes refuse."""
+    file list via `plan_parquet_splits`).  v2 POSITION and EQUALITY
+    deletes are applied (merge-on-read semantics)."""
     tbl = IcebergTable(table_path)
     entries = tbl.data_files(snapshot_id)
     if not entries:
         return spark.createDataFrame(
             [], iceberg_to_spark_schema(tbl.schema()))
-    return _read_data_files(spark, entries, tbl.delete_files(snapshot_id))
+    return _read_data_files(spark, entries, tbl.delete_files(snapshot_id),
+                            tbl.schema())

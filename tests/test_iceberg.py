@@ -171,30 +171,105 @@ def test_position_deletes_direct_build_falls_back(spark, tmp_path):
     assert s.count(TermQuery("hello")) == 59
 
 
-def test_equality_deletes_refused(spark, tmp_path):
-    """Equality delete files (content=2) refuse loudly at the points
-    that would have to apply them — never silently wrong results."""
+def test_equality_deletes_applied(spark, tmp_path):
+    """v2 equality deletes: rows matching the delete values disappear
+    from reads of data files with a STRICTLY smaller sequence number;
+    a later re-insert of the same key survives (the spec's upsert
+    pattern); null delete values match null rows (null-safe
+    equality)."""
     path = str(tmp_path / "eqdel")
-    iceberg.write_table(spark, _mk_df(spark, 10), path)
+    iceberg.write_table(spark, _mk_df(spark, 30), path)
+    sid = iceberg.commit_equality_deletes(
+        path, ["conv_id"], [{"conv_id": "conv3"}, {"conv_id": "conv7"}])
     t = iceberg.IcebergTable(path)
-    target = t.data_files()[0]
-    iceberg.commit_position_deletes(path, {target["path"]: [0]})
-    # flip the delete file's content to 2 (equality) in its manifest
-    t2 = iceberg.IcebergTable(path)
-    for mf in t2._manifests(None):
+    assert t.current_snapshot_id == sid
+    dels = t.delete_files()
+    assert len(dels) == 1 and dels[0]["content"] == 2
+    assert dels[0]["equality_ids"]         # field ids recorded
+    got = {r["conv_id"] for r in iceberg.read_table(spark, path).collect()}
+    assert len(got) == 28 and "conv3" not in got and "conv7" not in got
+
+    # upsert: re-commit conv3 AFTER the delete -> data_seq > del_seq,
+    # the new row survives while the old one stays deleted
+    iceberg.write_table(spark, _mk_df(spark, 1, off=3), path)
+    got2 = [r["conv_id"] for r in
+            iceberg.read_table(spark, path).collect()]
+    assert len(got2) == 29 and got2.count("conv3") == 1
+
+    # null-safe: tool is all-null in this corpus; deleting tool=None
+    # kills every row committed before the delete
+    iceberg.commit_equality_deletes(path, ["tool"], [{"tool": None}])
+    assert iceberg.read_table(spark, path).count() == 0
+    iceberg.write_table(spark, _mk_df(spark, 5, off=100), path)
+    assert iceberg.read_table(spark, path).count() == 5
+
+
+def test_equality_delete_build_and_refusals(spark, tmp_path):
+    """The direct build falls back through the delete-applying read
+    for equality deletes too; a delete entry whose equality_ids are
+    missing or unresolvable refuses loudly."""
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.build import build_index_direct
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "eqb")
+    iceberg.write_table(spark, _mk_df(spark, 40), path)
+    iceberg.commit_equality_deletes(
+        path, ["conv_id"], [{"conv_id": "conv5"}])
+    idx = str(tmp_path / "eqb_idx")
+    m = build_index_direct(spark, path, idx, IndexConfig(n_term_buckets=2))
+    assert m["total_docs"] == 39
+    assert Searcher(spark, idx).count(TermQuery("token5")) == 0
+
+    # strip equality_ids from the manifest -> loud refusal, not wrong
+    # results
+    t = iceberg.IcebergTable(path)
+    for mf in t._manifests(None):
         if mf.get("content") == 1:
-            mp = t2._local(mf["manifest_path"])
+            mp = t._local(mf["manifest_path"])
             schema, meta, entries = avro.read_container(mp)
             for e in entries:
-                e["data_file"]["content"] = 2
+                e["data_file"]["equality_ids"] = None
             avro.write_container(
                 mp, json.dumps(iceberg._MANIFEST_ENTRY_SCHEMA), entries)
-    with pytest.raises(NotImplementedError, match="equality"):
+    with pytest.raises(NotImplementedError, match="equality_ids"):
         iceberg.read_table(spark, path).count()
-    idx = str(tmp_path / "eq_idx")
+    with pytest.raises(ValueError, match="unknown equality column"):
+        iceberg.commit_equality_deletes(path, ["nope"], [{"nope": 1}])
+
+
+def test_sync_honors_equality_deletes(spark, tmp_path):
+    """sync_index converts equality deletes of already-indexed files
+    into tombstones and filters them for files first indexed in the
+    same sync."""
     from tantivy_spark.config import IndexConfig
-    with pytest.raises(NotImplementedError, match="equality"):
-        iceberg.sync_index(spark, path, idx, IndexConfig(n_term_buckets=2))
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=4)
+    iceberg.write_table(spark, _mk_df(spark, 50), path)
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    # post-index equality delete -> tombstones at next sync
+    iceberg.commit_equality_deletes(
+        path, ["conv_id"], [{"conv_id": "conv11"}, {"conv_id": "conv22"}])
+    # plus a new batch whose own rows are hit by a second delete
+    # BEFORE it is first indexed -> filtered read
+    iceberg.write_table(spark, _mk_df(spark, 30, off=50), path)
+    iceberg.commit_equality_deletes(path, ["conv_id"],
+                                    [{"conv_id": "conv66"}])
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    s = Searcher(spark, idx)
+    for tok in ("token11", "token22", "token66"):
+        assert s.count(TermQuery(tok)) == 0
+    assert s.count(TermQuery("hello")) == 50 - 2 + 30 - 1
+    # idempotent
+    iceberg.sync_index(spark, path, idx, cfg)
+    assert Searcher(spark, idx).count(TermQuery("hello")) == 77
 
 
 def test_jvm_reads_real_manifest(spark, table):
