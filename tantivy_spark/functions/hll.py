@@ -34,9 +34,14 @@ DEFAULT_LG_K = 11        # rsd ~= 0.023, the reference's default
 
 def lg_k_for_rsd(rsd: float) -> int:
     """Smallest lg_k whose HLL standard error 1.04/sqrt(2^lg_k) <= rsd
-    (how Spark's `approx_count_distinct(rsd=...)` sizes HLL++ too)."""
+    (how Spark's `approx_count_distinct(rsd=...)` sizes HLL++ too).
+    Clamped to HyperLogLog's [4, 18] register range so any rsd the
+    distributed engine accepts answers here too (an rsd below
+    ~0.0026 gets the best available accuracy rather than a crash)."""
+    if not rsd > 0:
+        raise ValueError(f"rsd must be > 0, got {rsd}")
     m = (1.04 / float(rsd)) ** 2
-    return max(4, math.ceil(math.log2(m)))
+    return min(18, max(4, math.ceil(math.log2(m))))
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:

@@ -135,6 +135,12 @@ class ServingSearcher(Bm25StatsMixin):
         # threads add contention, not speed.
         self.n_threads = 4 if n_threads is None else max(1, n_threads)
         self._pool = None
+        # sig BEFORE the manifest load (same order as reload()): a
+        # commit landing in between must look CHANGED to the next
+        # _maybe_reload, not already-seen — the reverse order would
+        # pin an on_commit server to the pre-commit snapshot forever
+        self._watch_sig = self._manifest_sig()
+        self._watch_last = time.monotonic()
         self.manifest = load_manifest(index_dir)
         self.cfg = IndexConfig.from_json_dict(self.manifest["config"])
         self.total_docs = int(self.manifest["total_docs"])
@@ -166,8 +172,6 @@ class ServingSearcher(Bm25StatsMixin):
         # field -> (values sorted by (segment_ord, doc_id), seg -> offset)
         self._ff_cache: dict[str, tuple[pd.Series, dict[int, int]]] = {}
         self._ff_granted = 0
-        self._watch_sig = self._manifest_sig()
-        self._watch_last = time.monotonic()
 
     # -- reload policy ------------------------------------------------------
     def _manifest_sig(self):

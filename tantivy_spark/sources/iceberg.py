@@ -401,9 +401,13 @@ def _write_metadata(table_path: str, metadata: dict, version: int) -> str:
     filesystem-table CAS: two committers that both read vN-1 race to
     create vN and exactly one wins; the loser gets CommitConflictError
     and must retry from re-read metadata (`commit_append` does).  The
-    version-hint write afterward is an advisory pointer only — readers
-    fall back to the max-version glob (`_current_metadata_file`), so a
-    crash before the hint write still leaves the new version current."""
+    version-hint write afterward is an advisory READER pointer: a
+    crash before it leaves readers on the previous version until the
+    next commit advances the hint (stale, never torn — the pinned
+    reader semantics), while WRITERS always resolve
+    `_latest_metadata_file()` so the committed snapshot is never built
+    over or lost.  The hint write is monotonic: a delayed committer
+    never regresses a newer hint a racing committer already wrote."""
     md = os.path.join(table_path, "metadata")
     os.makedirs(md, exist_ok=True)
     meta_path = os.path.join(md, f"v{version}.metadata.json")
@@ -419,10 +423,17 @@ def _write_metadata(table_path: str, metadata: dict, version: int) -> str:
     finally:
         os.unlink(tmp)
     hint = os.path.join(md, "version-hint.text")
-    tmp = hint + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, hint)
+    cur = -1
+    try:
+        with open(hint) as f:
+            cur = int(f.read().strip() or -1)
+    except (FileNotFoundError, ValueError):
+        pass
+    if version > cur:
+        tmp = hint + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)
     return meta_path
 
 
@@ -672,7 +683,6 @@ def _commit_position_deletes_once(table_path: str,
                   "pos": pa.array(rows_pos, pa.int64())}),
         del_path)
 
-    md_dir = os.path.join(table_path, "metadata")
     entries = [{
         "status": _STATUS_ADDED,
         "snapshot_id": snapshot_id,
@@ -1005,7 +1015,7 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
     side = {"table": os.path.abspath(_strip_scheme(table_path)),
             "table_uuid": uuid_now,
             "done": [], "pending": [], "base_max_ord": -1,
-            "snapshot_id": None}
+            "snapshot_id": None, "norm_version": 2}
     if os.path.exists(side_path):
         with open(side_path) as f:
             side = json.load(f)
@@ -1046,6 +1056,30 @@ def sync_index(spark, table_path: str, index_dir: str, cfg=None,
         with open(tmp, "w") as f:
             json.dump(side, f)
         os.replace(tmp, side_path)
+
+    if side.get("norm_version", 1) < 2 and side.get("done"):
+        # migrate a pre-norm-v2 sidecar: its done keys for files
+        # referenced in place were bare basenames (and table-contained
+        # keys may differ in form) — re-key every stored entry that
+        # matches a current data file under BOTH key functions, so
+        # already-indexed files are never re-indexed (duplicated docs)
+        # after the upgrade; unmatched stored keys (files of older
+        # snapshots) are kept verbatim
+        def legacy_norm(p: str) -> str:
+            p = os.path.abspath(_strip_scheme(p))
+            i = p.rfind("/data/")
+            return p[i:] if i >= 0 else os.path.basename(p)
+
+        stored = set(side["done"])
+        migrated, matched = [], set()
+        for e in entries_now:
+            for k in (norm(e["path"]), legacy_norm(e["path"])):
+                if k in stored:
+                    matched.add(k)
+                    migrated.append(norm(e["path"]))
+                    break
+        side["done"] = sorted(set(migrated) | (stored - matched))
+    side["norm_version"] = 2
 
     done = {norm(p) for p in side["done"]}
     new_entries = [e for e in entries_now if norm(e["path"]) not in done]
@@ -1123,21 +1157,16 @@ def _tombstone_v2_deletes(spark, index_dir: str, cfg,
     if not pos and not eq:
         return 0
     key_cols = list(cfg.key_cols)
-    mapping = spark.createDataFrame(
-        [(e["recorded_path"], "file:" + e["path"],
-          int(e["sequence_number"])) for e in done_entries],
-        "rp string, uri string, data_seq long")
+    mapping = _delete_mapping(spark, done_entries)
     # read the eq-delete key columns too: doomed-row detection needs
     # them even when they are not index key cols
-    eq_groups: dict[tuple, list[dict]] = {}
-    for d in eq:
-        eq_groups.setdefault(tuple(_eq_delete_cols(d, schema)), []).append(d)
+    eq_groups = _eq_delete_groups(eq, schema)
     read_cols = sorted(set(key_cols)
                        | {c for g in eq_groups for c in g})
     base = (
         spark.read.parquet(*[e["path"] for e in done_entries])
         .select(*read_cols,
-                F.col("_metadata.file_path").alias("__file"),
+                _spark_file_col().alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"))
         .join(F.broadcast(mapping.select(F.col("uri").alias("__file"),
                                          F.col("data_seq")
@@ -1145,30 +1174,14 @@ def _tombstone_v2_deletes(spark, index_dir: str, cfg,
     )
     doomed = []
     if pos:
-        dd = reduce(lambda a, b: a.unionByName(b), [
-            spark.read.parquet(d["path"]).select(
-                F.col("file_path").alias("rp"),
-                F.col("pos").cast("long").alias("__pos"),
-                F.lit(int(d["sequence_number"])).alias("del_seq"))
-            for d in pos
-        ])
-        dd = (dd.join(F.broadcast(mapping), "rp")
-              .filter(F.col("del_seq") >= F.col("data_seq"))
-              .select(F.col("uri").alias("__file"), "__pos")
-              .distinct())
-        doomed.append(base.join(dd, ["__file", "__pos"], "left_semi")
-                      .select(*key_cols))
+        doomed.append(
+            base.join(_pos_delete_victims(spark, pos, mapping),
+                      ["__file", "__pos"], "left_semi")
+            .select(*key_cols))
     for gcols, ds in sorted(eq_groups.items()):
-        ed = reduce(lambda a, b: a.unionByName(b), [
-            spark.read.parquet(d["path"]).select(
-                *[F.col(c).alias(f"__eq_{c}") for c in gcols],
-                F.lit(int(d["sequence_number"])).alias("__eq_seq"))
-            for d in ds
-        ])
-        cond = ed["__eq_seq"] > base["__dseq"]      # STRICTLY less
-        for c in gcols:
-            cond = cond & base[c].eqNullSafe(ed[f"__eq_{c}"])
-        doomed.append(base.join(ed, cond, "left_semi")
+        ed = _eq_delete_frame(spark, gcols, ds)
+        doomed.append(base.join(ed, _eq_delete_cond(base, ed, gcols),
+                                "left_semi")
                       .select(*key_cols))
     doomed_keys = reduce(lambda a, b: a.unionByName(b), doomed).distinct()
     addrs = (
@@ -1207,71 +1220,119 @@ def _eq_delete_cols(d: dict, schema: dict | None) -> list[str]:
             "(schema evolution beyond this reader)") from None
 
 
+def _spark_file_col():
+    """Spark's parquet `_metadata.file_path` is a URL-ENCODED file URI
+    (space -> %20, %% -> %25, ...), while the delete machinery keys on
+    plain 'file:' + local path — joining the raw column silently
+    matches nothing for any path with an encodable character (deletes
+    stop applying).  Decode it; a literal '+' is a valid unencoded URI
+    path character, so protect it from url_decode's form semantics
+    (+ -> space) first."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B"))
+
+
+def _delete_mapping(spark, entries: list[dict]):
+    """Broadcastable (recorded path `rp` — what delete rows reference —
+    -> 'file:'+local uri, data sequence number) frame; file-list-sized,
+    the only driver-side structure (split planning holds it anyway)."""
+    return spark.createDataFrame(
+        [(e["recorded_path"], "file:" + e["path"],
+          int(e["sequence_number"])) for e in entries],
+        "rp string, uri string, data_seq long")
+
+
+def _pos_delete_victims(spark, pos: list[dict], mapping):
+    """Distinct (__file, __pos) rows the position-delete files kill,
+    applicability-filtered (del_seq >= data_seq — spec 'Scan
+    Planning')."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dd = reduce(lambda a, b: a.unionByName(b), [
+        spark.read.parquet(d["path"]).select(
+            F.col("file_path").alias("rp"),
+            F.col("pos").cast("long").alias("__pos"),
+            F.lit(int(d["sequence_number"])).alias("del_seq"))
+        for d in pos
+    ])
+    return (dd.join(F.broadcast(mapping), "rp")
+            .filter(F.col("del_seq") >= F.col("data_seq"))
+            .select(F.col("uri").alias("__file"), "__pos")
+            .distinct())
+
+
+def _eq_delete_groups(eq: list[dict],
+                      schema: dict | None) -> dict[tuple, list[dict]]:
+    """Equality-delete files grouped by their resolved key-column
+    tuple, so each group is ONE join."""
+    groups: dict[tuple, list[dict]] = {}
+    for d in eq:
+        groups.setdefault(tuple(_eq_delete_cols(d, schema)), []).append(d)
+    return groups
+
+
+def _eq_delete_frame(spark, gcols: tuple, ds: list[dict]):
+    """One group's delete rows: (__eq_<col>..., __eq_seq)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    return reduce(lambda a, b: a.unionByName(b), [
+        spark.read.parquet(d["path"]).select(
+            *[F.col(c).alias(f"__eq_{c}") for c in gcols],
+            F.lit(int(d["sequence_number"])).alias("__eq_seq"))
+        for d in ds
+    ])
+
+
+def _eq_delete_cond(base, ed, gcols: tuple):
+    """Spec equality-delete match: data_seq STRICTLY < del_seq, and
+    null-safe equality on every key column (null matches null)."""
+    cond = ed["__eq_seq"] > base["__dseq"]
+    for c in gcols:
+        cond = cond & base[c].eqNullSafe(ed[f"__eq_{c}"])
+    return cond
+
+
 def _read_data_files(spark, entries: list[dict], dels: list[dict],
                      schema: dict | None = None):
     """DataFrame over the given data-file entries with applicable v2
     deletes anti-joined out (merge-on-read).  Fully distributed: the
     row position is Spark's parquet `_metadata.row_index`, the delete
-    rows are read as DataFrames, and the spec applicability rules —
-    POSITION deletes apply to data files with data_seq <= del_seq,
-    EQUALITY deletes to data files with data_seq STRICTLY < del_seq,
-    null-safe equality on the delete columns ("Scan Planning") — are
-    join conditions against a broadcast of the file list, the only
-    driver-side structure (split planning holds it anyway)."""
-    from functools import reduce
-
+    rows are read as DataFrames, and the spec applicability rules are
+    join conditions against the broadcast file-list mapping (shared
+    helpers above — `_tombstone_v2_deletes` applies the SAME rules to
+    already-indexed files)."""
     from pyspark.sql import functions as F
 
     paths = [e["path"] for e in entries]
     pos = [d for d in dels if d.get("content") == 1]
     eq = [d for d in dels if d.get("content") == 2]
+    reader = spark.read.parquet(*paths)
     if not pos and not eq:
-        return spark.read.parquet(*paths)
-    cols = spark.read.parquet(*paths).columns
-    base = spark.read.parquet(*paths).select(
+        return reader
+    cols = reader.columns
+    base = reader.select(
         "*",
-        F.col("_metadata.file_path").alias("__file"),
+        _spark_file_col().alias("__file"),
         F.col("_metadata.row_index").alias("__pos"))
-    # recorded path (what delete rows reference) -> the URI Spark
-    # reports + the data file's sequence number
-    mapping = spark.createDataFrame(
-        [(e["recorded_path"], "file:" + e["path"],
-          int(e["sequence_number"])) for e in entries],
-        "rp string, uri string, data_seq long")
+    mapping = _delete_mapping(spark, entries)
     if pos:
-        dd = reduce(lambda a, b: a.unionByName(b), [
-            spark.read.parquet(d["path"]).select(
-                F.col("file_path").alias("rp"),
-                F.col("pos").cast("long").alias("__pos"),
-                F.lit(int(d["sequence_number"])).alias("del_seq"))
-            for d in pos
-        ])
-        dd = (dd.join(F.broadcast(mapping), "rp")
-              .filter(F.col("del_seq") >= F.col("data_seq"))
-              .select(F.col("uri").alias("__file"), "__pos")
-              .distinct())
-        base = base.join(dd, ["__file", "__pos"], "left_anti")
+        base = base.join(_pos_delete_victims(spark, pos, mapping),
+                         ["__file", "__pos"], "left_anti")
     if eq:
         base = base.join(
             F.broadcast(mapping.select(F.col("uri").alias("__file"),
                                        F.col("data_seq").alias("__dseq"))),
             "__file")
-        # group equality files by their key-column tuple so each group
-        # is ONE anti-join
-        groups: dict[tuple, list[dict]] = {}
-        for d in eq:
-            groups.setdefault(tuple(_eq_delete_cols(d, schema)), []).append(d)
-        for gcols, ds in sorted(groups.items()):
-            ed = reduce(lambda a, b: a.unionByName(b), [
-                spark.read.parquet(d["path"]).select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in gcols],
-                    F.lit(int(d["sequence_number"])).alias("__eq_seq"))
-                for d in ds
-            ])
-            cond = ed["__eq_seq"] > base["__dseq"]    # STRICTLY less
-            for c in gcols:
-                cond = cond & base[c].eqNullSafe(ed[f"__eq_{c}"])
-            base = base.join(ed, cond, "left_anti")
+        for gcols, ds in sorted(_eq_delete_groups(eq, schema).items()):
+            ed = _eq_delete_frame(spark, gcols, ds)
+            base = base.join(ed, _eq_delete_cond(base, ed, gcols),
+                             "left_anti")
         base = base.drop("__dseq")
     return base.select(*cols)
 

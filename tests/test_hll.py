@@ -26,6 +26,10 @@ def test_lg_k_for_rsd():
     assert lg_k_for_rsd(0.023) == 11     # the reference's DataSketches lg_k
     assert lg_k_for_rsd(0.05) == 9       # Spark's default rsd
     assert lg_k_for_rsd(0.9) == 4        # floor
+    assert lg_k_for_rsd(0.001) == 18     # ceiling: tiny rsd answers,
+    assert lg_k_for_rsd(1e-9) == 18      # never crashes the mirror
+    with pytest.raises(ValueError, match="rsd"):
+        lg_k_for_rsd(0.0)
 
 
 @pytest.mark.parametrize("n", [0, 1, 10, 500, 20000])

@@ -538,6 +538,75 @@ def test_sync_index_honors_deletes_across_snapshots(spark, tmp_path):
     assert s2.count(TermQuery("hello")) == 77
 
 
+def test_deletes_apply_under_encodable_paths(spark, tmp_path):
+    """Spark reports `_metadata.file_path` URL-ENCODED (space -> %20,
+    %% -> %25, literal + unencoded); the delete joins decode it, so a
+    table path with encodable characters still applies v2 deletes —
+    the raw column would silently match nothing (deleted rows
+    reappear) or empty the equality-join."""
+    path = str(tmp_path / "mor dir %x+y" / "tbl")
+    iceberg.write_table(spark, _mk_df(spark, 20), path)
+    t = iceberg.IcebergTable(path)
+    target = t.data_files()[0]
+    iceberg.commit_position_deletes(path, {target["path"]: [0, 1]})
+    assert iceberg.read_table(spark, path).count() == 18
+    iceberg.commit_equality_deletes(path, ["conv_id"],
+                                    [{"conv_id": "conv5"}])
+    got = {r["conv_id"] for r in iceberg.read_table(spark, path).collect()}
+    assert len(got) == 17 and "conv5" not in got
+
+
+def test_version_hint_never_regresses(spark, tmp_path):
+    """The hint write is monotonic: a commit whose version is below an
+    already-written newer hint (a delayed committer finishing after a
+    racing winner advanced it) must not clobber it backward."""
+    path = str(tmp_path / "tbl")
+    iceberg.write_table(spark, _mk_df(spark, 5), path)
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("50")                    # a newer racing committer's hint
+    iceberg.write_table(spark, _mk_df(spark, 5, off=5), path)
+    with open(hint) as f:
+        assert f.read().strip() == "50"  # not regressed
+    # readers still resolve (dangling hint -> version-glob fallback)
+    assert iceberg.read_table(spark, path).count() == 10
+
+
+def test_sync_sidecar_legacy_key_migration(spark, tmp_path):
+    """A pre-norm-v2 sidecar keyed in-place files by bare basename;
+    the migration re-keys matched entries so already-indexed files are
+    NOT re-indexed (duplicated docs) after the upgrade."""
+    import json as _json
+
+    from tantivy_spark.config import IndexConfig
+
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_term_buckets=2)
+    d_a = tmp_path / "ext"
+    _mk_df(spark, 40).coalesce(1).write.parquet(str(d_a))
+    fa = glob.glob(str(d_a / "*.parquet"))[0]
+    iceberg.commit_append(path, [fa])    # referenced in place
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m1["total_docs"] == 40
+
+    # rewrite the sidecar as the OLD code would have written it
+    side_path = os.path.join(idx, "iceberg_sync.json")
+    with open(side_path) as f:
+        side = _json.load(f)
+    side["done"] = [os.path.basename(fa)]     # legacy basename key
+    side.pop("norm_version", None)
+    with open(side_path, "w") as f:
+        _json.dump(side, f)
+
+    m2 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m2["total_docs"] == 40             # NOT re-indexed
+    with open(side_path) as f:
+        side2 = _json.load(f)
+    assert side2["norm_version"] == 2
+    assert side2["done"] == [os.path.abspath(fa)]   # migrated key
+
+
 def test_commit_cas_survives_concurrent_committer(spark, tmp_path):
     """The metadata-version write is an exclusive-create CAS: a
     concurrent commit that already created vN must make ours retry from
