@@ -556,6 +556,42 @@ def test_deletes_apply_under_encodable_paths(spark, tmp_path):
     assert len(got) == 17 and "conv5" not in got
 
 
+def test_concurrent_committers_lose_no_snapshot(spark, tmp_path):
+    """Real racing committers: N threads each commit_append files
+    concurrently; the metadata CAS serializes them via retries and
+    EVERY commit's rows are present in the final table — no snapshot
+    silently lost to a last-writer-wins overwrite."""
+    import threading
+
+    path = str(tmp_path / "race")
+    d = tmp_path / "files"
+    _mk_df(spark, 60).repartition(6).write.parquet(str(d))
+    files = sorted(glob.glob(str(d / "*.parquet")))
+    assert len(files) == 6
+    errs = []
+
+    def committer(fs):
+        try:
+            for f in fs:
+                iceberg.commit_append(path, [f])
+        except Exception as e:                     # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=committer, args=(files[i::3],))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    t = iceberg.IcebergTable(path)
+    assert len(t.snapshots) == 6                  # every commit landed
+    assert iceberg.read_table(spark, path).count() == 60
+    # one linear snapshot chain: each commit built on the previous
+    seqs = sorted(s["sequence-number"] for s in t.snapshots)
+    assert seqs == list(range(1, 7))
+
+
 def test_version_hint_never_regresses(spark, tmp_path):
     """The hint write is monotonic: a commit whose version is below an
     already-written newer hint (a delayed committer finishing after a
