@@ -36,6 +36,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import time
 import uuid
 
@@ -108,13 +109,19 @@ def iceberg_to_spark_schema(ice_schema: dict):
     def lookup(t, fname: str):
         # a diagnosable refusal, matching the reader's other
         # NotImplementedError surfaces — not a bare KeyError
-        try:
-            return prim[t]
-        except (KeyError, TypeError):
-            raise NotImplementedError(
-                f"iceberg type {t!r} on field {fname!r} is not supported "
-                "by this reader (primitives "
-                f"{sorted(prim)} and lists of them only)") from None
+        if isinstance(t, str):
+            if t in prim:
+                return prim[t]
+            m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if m:
+                return T.DecimalType(int(m.group(1)), int(m.group(2)))
+            if t == "uuid":
+                # parquet stores uuid as fixed(16); Spark reads binary
+                return T.BinaryType()
+        raise NotImplementedError(
+            f"iceberg type {t!r} on field {fname!r} is not supported "
+            f"by this reader (primitives {sorted(prim)}, decimal, "
+            "uuid, and lists of them only)")
 
     out = []
     for f in ice_schema["fields"]:
@@ -1172,14 +1179,19 @@ def _tombstone_v2_deletes(spark, index_dir: str, cfg,
                                          F.col("data_seq")
                                          .alias("__dseq"))), "__file")
     )
+    # |dead|-proportional frames are shuffle-pinned throughout (never
+    # broadcast — the same discipline as the read path and the engine's
+    # own dead_docs_df handling)
     doomed = []
     if pos:
         doomed.append(
-            base.join(_pos_delete_victims(spark, pos, mapping),
-                      ["__file", "__pos"], "left_semi")
+            base.join(
+                _pos_delete_victims(spark, pos, mapping)
+                .hint("shuffle_hash"),
+                ["__file", "__pos"], "left_semi")
             .select(*key_cols))
     for gcols, ds in sorted(eq_groups.items()):
-        ed = _eq_delete_frame(spark, gcols, ds)
+        ed = _eq_delete_frame(spark, gcols, ds).hint("shuffle_hash")
         doomed.append(base.join(ed, _eq_delete_cond(base, ed, gcols),
                                 "left_semi")
                       .select(*key_cols))
@@ -1187,7 +1199,7 @@ def _tombstone_v2_deletes(spark, index_dir: str, cfg,
     addrs = (
         spark.read.parquet(os.path.join(index_dir, "docmap"))
         .select(*key_cols, "segment_ord", "doc_id")
-        .join(doomed_keys, key_cols, "left_semi")
+        .join(doomed_keys.hint("shuffle_hash"), key_cols, "left_semi")
         .select(F.col("segment_ord").cast("int"),
                 F.col("doc_id").cast("int"))
         .distinct()
@@ -1321,16 +1333,21 @@ def _read_data_files(spark, entries: list[dict], dels: list[dict],
         _spark_file_col().alias("__file"),
         F.col("_metadata.row_index").alias("__pos"))
     mapping = _delete_mapping(spark, entries)
+    # delete-row frames scale with |dead| — pin them to shuffle joins
+    # so stats/AQE can never pick a broadcast of 10^7 delete rows (the
+    # r2 lesson: per-row-scaled side tables are never broadcast by
+    # default; only the file-list mapping is)
     if pos:
-        base = base.join(_pos_delete_victims(spark, pos, mapping),
-                         ["__file", "__pos"], "left_anti")
+        base = base.join(
+            _pos_delete_victims(spark, pos, mapping).hint("shuffle_hash"),
+            ["__file", "__pos"], "left_anti")
     if eq:
         base = base.join(
             F.broadcast(mapping.select(F.col("uri").alias("__file"),
                                        F.col("data_seq").alias("__dseq"))),
             "__file")
         for gcols, ds in sorted(_eq_delete_groups(eq, schema).items()):
-            ed = _eq_delete_frame(spark, gcols, ds)
+            ed = _eq_delete_frame(spark, gcols, ds).hint("shuffle_hash")
             base = base.join(ed, _eq_delete_cond(base, ed, gcols),
                              "left_anti")
         base = base.drop("__dseq")

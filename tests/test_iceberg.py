@@ -556,6 +556,57 @@ def test_deletes_apply_under_encodable_paths(spark, tmp_path):
     assert len(got) == 17 and "conv5" not in got
 
 
+def test_sync_mass_delete_scale_smoke(spark, tmp_path):
+    """100k-row table with 20% position-deleted AFTER the first sync:
+    the tombstone conversion stays distributed (delete-row frames
+    shuffle-pinned, only the file-list mapping broadcast; the matched
+    count is the only scalar on the driver) and every count is
+    right."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.config import IndexConfig
+    from tantivy_spark.operators.search import Searcher
+    from tantivy_spark.plans.logical import TermQuery
+
+    n = 100_000
+    src = spark.range(n).select(
+        F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("hello world"),
+                 F.when(F.col("id") % 5 == 0, F.lit(" kill"))
+                 .otherwise(F.lit("")),
+                 F.lit(" tok"), (F.col("id") % 97).cast("string"))
+        .alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    iceberg.write_table(spark, src.repartition(4), path)
+    cfg = IndexConfig(n_term_buckets=4)
+    m1 = iceberg.sync_index(spark, path, idx, cfg)
+    assert m1["total_docs"] == n
+
+    # delete every position whose row contains ' kill' (20k rows,
+    # across all 4 data files)
+    t = iceberg.IcebergTable(path)
+    deletes = {}
+    for e in t.data_files():
+        txt = pq.read_table(e["path"], columns=["text"]).column("text")
+        deletes[e["path"]] = [
+            i for i, v in enumerate(txt.to_pylist()) if " kill" in v]
+    assert sum(map(len, deletes.values())) == n // 5
+    iceberg.commit_position_deletes(path, deletes)
+    iceberg.sync_index(spark, path, idx, cfg)
+
+    s = Searcher(spark, idx)
+    assert s.count(TermQuery("kill")) == 0
+    assert s.count(TermQuery("hello")) == n - n // 5
+    top = s.search(TermQuery("hello"), k=10).collect()
+    assert len(top) == 10
+
+
 def test_concurrent_committers_lose_no_snapshot(spark, tmp_path):
     """Real racing committers: N threads each commit_append files
     concurrently; the metadata CAS serializes them via retries and
