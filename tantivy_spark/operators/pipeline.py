@@ -421,7 +421,8 @@ def _cap_buckets(rows: DataFrame, keys: list, cap: int) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, n: int = 3,
                       threshold: float = 0.6, seed: int = 42,
-                      max_bucket: int | None = 1024) -> DataFrame:
+                      max_bucket: int | None = 1024,
+                      presift_margin: float | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
 
     Plan: signatures -> explode into `bands` band-hash keys -> self-join on
@@ -440,6 +441,18 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
     pairs per hot bucket); pass None explicitly for exact banded
     semantics (what the oracle contract entry does — the bound only
     drops buckets a templated corpus degenerates into).
+
+    `presift_margin` (opt-in, None = off) prunes candidates whose
+    SIGNATURE-estimated Jaccard (fraction of agreeing minhash
+    components) is below ``threshold - margin`` BEFORE the exact
+    text verify — the dense-corpus throttle: the estimate is a cheap
+    per-pair array comparison on data already in flight, so the
+    expensive text join + shingle intersection runs only on pairs
+    that can plausibly pass.  This is an APPROXIMATION (a true pair
+    whose estimate strays below the margin is dropped); at 64 perms
+    the estimator's sigma is ~sqrt(t(1-t)/64) ~= 0.06, so margin
+    ~0.2 keeps essentially all true pairs.  The oracle contract
+    entry leaves it off — exact semantics are the default.
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, key_col, text_col, num_perm, n, seed)
@@ -467,6 +480,25 @@ def minhash_lsh_pairs(df: DataFrame, key_col: str, text_col: str = "text",
         .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
         .distinct()
     )
+    if presift_margin is not None:
+        # signature-estimated Jaccard band-pass (see docstring):
+        # agreement fraction of the two signature arrays, joined
+        # shuffle-pinned (signatures are per-doc-scaled)
+        cut = float(threshold) - float(presift_margin)
+        cand = (
+            cand.join(sigs.select(F.col("key").alias("key_a"),
+                                  F.col("sig").alias("_siga"))
+                      .hint("shuffle_hash"), "key_a")
+            .join(sigs.select(F.col("key").alias("key_b"),
+                              F.col("sig").alias("_sigb"))
+                  .hint("shuffle_hash"), "key_b")
+            .filter(
+                F.size(F.filter(F.zip_with("_siga", "_sigb",
+                                           lambda x, y: x == y),
+                                lambda m: m))
+                >= F.lit(cut * num_perm))
+            .select("key_a", "key_b")
+        )
     # Exact verification on the candidates only — join the candidate
     # pairs back to the RAW text first, then compute each side's
     # distinct shingle-string array and intersect.  Ordering matters at

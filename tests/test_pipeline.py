@@ -63,6 +63,30 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 2) in got or (1, 2) in got
 
 
+def test_minhash_presift_margin(docs):
+    """Opt-in signature pre-sift: with a sane margin the output equals
+    the exact run (true pairs survive the estimate band-pass); with
+    margin 0 the output is a subset (estimator noise may prune); the
+    default (None) stays exact."""
+    exact = {
+        (r["key_a"], r["key_b"])
+        for r in P.minhash_lsh_pairs(docs, "id", threshold=0.4).collect()
+    }
+    sifted = {
+        (r["key_a"], r["key_b"])
+        for r in P.minhash_lsh_pairs(docs, "id", threshold=0.4,
+                                     presift_margin=0.25).collect()
+    }
+    assert sifted == exact
+    tight = {
+        (r["key_a"], r["key_b"])
+        for r in P.minhash_lsh_pairs(docs, "id", threshold=0.4,
+                                     presift_margin=0.0).collect()
+    }
+    assert tight <= exact
+    assert (0, 1) in tight          # exact dups estimate at 1.0
+
+
 def test_minhash_vs_exact_jaccard_accuracy(docs):
     sigs = {r["key"]: np.array(r["sig"]) for r in
             P.minhash_signatures(docs, "id", num_perm=256).collect()}
