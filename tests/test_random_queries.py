@@ -91,3 +91,26 @@ def test_random_trees_daat_equals_taat(rand_index):
             assert b == pytest.approx(a, rel=1e-5, abs=1e-6)
         checked += 1
     assert checked == 25
+
+
+def test_random_trees_three_engines(rand_index):
+    """The Spark-free serving reader joins the equivalence: random
+    trees agree across distributed f32 DAAT, distributed f64 TAAT, and
+    ServingSearcher on doc sets AND scores.  (A 300-tree one-off sweep
+    of the same property ran clean in round 5 — NOTES.md #11; this is
+    the always-on guard.)"""
+    from tantivy_spark.operators.serve import ServingSearcher
+
+    srv = ServingSearcher(rand_index.index_dir)
+    rng = np.random.default_rng(4242)
+    for _ in range(10):
+        q = _random_tree(rng)
+        d = {(r["conv_id"], r["turn_idx"]): r["score"]
+             for r in rand_index.search(q, k=200, mode="daat").collect()}
+        out = srv.search(q, 200, fetch_keys=True)
+        s = {(c, int(t)): float(v) for c, t, v in
+             zip(out["conv_id"], out["turn_idx"], out["score"])}
+        assert set(d) == set(s), f"doc sets differ for {q}"
+        for key in d:
+            assert s[key] == pytest.approx(d[key], rel=1e-5, abs=1e-6), \
+                (q, key)
