@@ -628,9 +628,15 @@ def _decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
     compression = head & 3
     filt = (head >> 2) & 3
     pre = (head >> 4) & 3
-    if pre != 0:
-        raise ValueError("ALPH preprocessed-levels (lossy alpha) is not "
-                         "implemented (inject decoder= for these)")
+    if pre > 1:
+        raise ValueError(f"bad ALPH pre-processing method {pre}")
+    # pre == 1 ("preprocessed levels", alpha_quality < 100): the
+    # ENCODER lossily quantized the plane before coding; the coded
+    # levels ARE the output.  libwebp's DequantizeLevels smoothing
+    # runs only under the opt-in decoder alpha_dithering option
+    # (default 0 — WebPDecodeRGBA returns the raw levels), so plain
+    # decode is bit-exact with the default oracle; pinned across an
+    # alpha_quality × filter-method sweep in test_webpcodec.
     data = payload[1:]
     if compression == 0:
         plane = np.frombuffer(data[: width * height],

@@ -162,6 +162,42 @@ def test_lossy_dispatches_to_vp8():
     assert np.array_equal(decode_webp(blob), W.decode_rgba(LIB, blob))
 
 
+@pytest.mark.parametrize("aq,afilt", [
+    (100, 1),      # no preprocessing (control)
+    (90, 0),       # preprocessed levels, no alpha filter
+    (50, 1),       # preprocessed levels, horizontal-ish filter
+    (50, 2),       # preprocessed levels, best-filter search
+    (10, 1),       # aggressive quantization
+])
+def test_alpha_preprocessed_levels_bit_exact(aq, afilt):
+    """ALPH preprocessed-levels (alpha_quality < 100): the encoder
+    quantized the plane, the coded levels are the output — libwebp's
+    default decode applies NO dequant smoothing (that is the opt-in
+    decoder alpha_dithering path), verified bit-exact here across
+    quality / filter-method sweeps via the advanced-API oracle
+    encoder."""
+    rng = np.random.default_rng(aq * 10 + afilt)
+    h, w = 41, 57
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # smooth many-level alpha so quantization + filtering both engage
+    rgba[..., 3] = ((xx * 255 // w + yy * 2) % 256).astype(np.uint8)
+    blob = W.encode_advanced(LIB, rgba, quality=75.0, alpha_quality=aq,
+                             alpha_filtering=afilt)
+    # confirm the stream really is a preprocessed-levels ALPH
+    i, pre = 12, None
+    while i + 8 <= len(blob):
+        fourcc = blob[i:i + 4]
+        sz = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        if fourcc == b"ALPH":
+            pre = (blob[i + 8] >> 4) & 3
+        i += 8 + sz + (sz & 1)
+    assert pre == (0 if aq == 100 else 1)
+    ref = W.decode_rgba(LIB, blob)
+    got = decode_webp(blob)
+    assert np.array_equal(got, ref)
+
+
 def test_real_os_webp_files():
     """Any .webp shipped with the OS/toolchain must be bit-exact
     (lossless AND lossy), except lossy-with-alpha which raises the
